@@ -1,0 +1,172 @@
+"""Frontier operators: register (dedup insert) and dequeue (priority top-k).
+
+Reference semantics being reproduced:
+
+- **register** (storage.rs:84-108): ``INSERT OR IGNORE`` against the
+  UNIQUE url index; returns new-row-or-not (the crawler counts only
+  actually-new links, crawler.rs:139-141). First registration wins —
+  later duplicates never change type/depth.
+- **dequeue** (storage.rs:110-123): ``WHERE status=1 ORDER BY depth ASC
+  LIMIT k`` with ties broken by SQLite rowid = insertion order. We carry
+  an explicit ``seq`` column (registration sequence) as the tiebreaker so
+  crawl order is deterministic and equal to the reference's.
+
+Spark design (append-only, no row-level UPDATE needed):
+
+- ``frontier``  — append-only registration log (one row per unique URL).
+  The url_hash column (xxhash64 of the canonical URL) IS the seen set.
+- ``fetched``   — append-only completion log (url_hash, epoch).
+  status = DOWNLOADED ⇔ url_hash ∈ fetched. Pending rows are simply
+  frontier ∖ fetched, so a failed fetch "stays NotDownloaded" for free
+  (crawler.rs:109-113 semantics).
+
+register = in-batch first-wins dedup → (optional Bloom definite-new
+split) → LEFT ANTI join vs seen → deterministic seq assignment → append.
+The anti-join broadcasts the *candidate* side when it is small (typical:
+one epoch's links vs a huge seen set ⇒ plan as a right-side broadcast
+via a left-anti with broadcast hint on the smaller input when possible);
+at 10^10 keys both sides are bucketed by ``part = pmod(url_hash, N)`` so
+the shuffle is bounded per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import bloom as bloom_mod
+from .schemas import FRONTIER, N_BUCKETS, STATUS_NOT_DOWNLOADED
+from .store import TableStore
+from .urlnorm import canonicalize_udf, host_udf
+
+
+def empty_frontier(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], FRONTIER)
+
+
+def seed_frontier(store: TableStore, seeds: DataFrame) -> int:
+    """Register the seed list (mirrors `crab register <url> <type>`,
+    main.rs:186-200). seeds: DataFrame[url (canonical), type_id]."""
+    # URLs are validated+canonicalized on register, like the reference's
+    # TryInto<Url> bound (storage.rs:84-97); invalid seeds are dropped.
+    seeds = (
+        seeds.withColumn("url", canonicalize_udf(F.col("url")))
+        .filter(F.col("url").isNotNull())
+    )
+    w = Window.orderBy("url")  # deterministic CLI-call-order stand-in
+    cands = (
+        seeds.withColumn("depth", F.lit(0))
+        .withColumn("parent_pos", F.lit(0).cast("long"))
+        .withColumn("link_idx", F.row_number().over(w).cast("int"))
+    )
+    return register(store, cands, epoch=0)
+
+
+def register(
+    store: TableStore,
+    candidates: DataFrame,
+    epoch: int,
+    seen_bloom: bloom_mod.Bloom | None = None,
+) -> int:
+    """Dedup-insert candidate URLs; returns the number of NEW rows.
+
+    candidates: DataFrame[url (canonical), type_id, depth, parent_pos,
+    link_idx]. Registration order (⇒ seq) is (parent_pos, link_idx) —
+    exactly the order the reference's sequential loop would call
+    register_page in (crawler.rs:136-142 with threads=1).
+    """
+    spark = store.spark
+    cands = candidates.withColumn("url_hash", F.xxhash64("url"))
+
+    # in-batch first-wins dedup, deterministic
+    w = Window.partitionBy("url_hash").orderBy("parent_pos", "link_idx")
+    cands = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    max_seq = -1
+    if store.exists("frontier"):
+        seen = store.read("frontier").select("url_hash")
+        max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
+        if seen_bloom is not None:
+            # Bloom split: definite-new rows skip the anti-join shuffle.
+            probe = bloom_mod.might_contain_udf(spark, seen_bloom)
+            cands = cands.withColumn("_maybe", probe(F.col("url_hash")))
+            definite_new = cands.filter(~F.col("_maybe")).drop("_maybe")
+            maybe = cands.filter(F.col("_maybe")).drop("_maybe")
+            new = definite_new.unionByName(maybe.join(seen, "url_hash", "left_anti"))
+        else:
+            new = cands.join(seen, "url_hash", "left_anti")
+    else:
+        new = cands
+
+    # Deterministic seq assignment. A single unpartitioned window is fine
+    # for one epoch's new links (bounded by batch_size × avg out-degree);
+    # the 10^10-scale variant assigns per-partition ranks + a driver-side
+    # cumulative offset (two narrow passes, no global sort of the table).
+    order_w = Window.orderBy("parent_pos", "link_idx")
+    new_rows = (
+        new.withColumn("seq", F.row_number().over(order_w).cast("long") + F.lit(max_seq))
+        .withColumn("host", host_udf(F.col("url")))
+        .withColumn("status", F.lit(STATUS_NOT_DOWNLOADED))
+        .withColumn("priority", F.col("depth").cast("double"))
+        .withColumn("epoch_discovered", F.lit(epoch))
+        .withColumn("part", F.pmod(F.col("url_hash"), F.lit(N_BUCKETS)).cast("int"))
+        .select([f.name for f in FRONTIER.fields])
+    )
+    # Two actions on one plan → cache the small new-rows set for the epoch.
+    new_rows = new_rows.cache()
+    n_new = new_rows.count()
+    if n_new:
+        store.append("frontier", new_rows, tag=f"reg-{epoch:06d}")
+    new_rows.unpersist()
+    return n_new
+
+
+def pending(store: TableStore) -> DataFrame:
+    """frontier rows not yet downloaded (status=1 view)."""
+    frontier = store.read("frontier")
+    if store.exists("fetched"):
+        fetched = store.read("fetched").select("url_hash")
+        return frontier.join(fetched, "url_hash", "left_anti")
+    return frontier
+
+
+def dequeue(store: TableStore, batch_size: int = 100, by_priority: bool = False) -> DataFrame:
+    """Top-k batch in reference order: depth ASC, seq ASC, LIMIT k
+    (storage.rs:110-123; batch hardcoded 100 at crawler.rs:63). Adds a
+    ``pos`` column (the within-batch dispatch position, used for
+    deterministic child registration order).
+
+    Physical note: orderBy+limit compiles to TakeOrderedAndProject —
+    a per-partition top-k then a driver merge of k×partitions rows, no
+    global sort. At 10^10 rows you additionally range-partition the
+    pending set by (depth, seq) so only the head partitions are scanned.
+    """
+    keys = ["priority", "seq"] if by_priority else ["depth", "seq"]
+    batch = pending(store).orderBy(*keys).limit(batch_size)
+    w = Window.orderBy(*keys)
+    return batch.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+def mark_fetched(store: TableStore, done: DataFrame, epoch: int) -> None:
+    """Append completion rows — the status-flip of storage.rs:137-143
+    without an UPDATE. done: DataFrame[url_hash]."""
+    store.append(
+        "fetched",
+        done.select("url_hash").withColumn("epoch", F.lit(epoch)),
+        tag=f"done-{epoch:06d}",
+    )
+
+
+def reset_pages(store: TableStore, url_hashes: DataFrame) -> None:
+    """Force re-download (mirrors `UPDATE pages SET status=1`,
+    storage.rs:125-132, and the validate --reset sweep main.rs:279-300):
+    remove the completion rows. On Iceberg this is a row-level DELETE;
+    here the fetched log is tiny relative to content, so a rewrite is
+    cheap."""
+    fetched = store.read("fetched")
+    keep = fetched.join(url_hashes.select("url_hash"), "url_hash", "left_anti")
+    store.overwrite("fetched", keep, tag="reset")

@@ -1,0 +1,105 @@
+"""Epoch-versioned parquet table store — the Iceberg swap-in point.
+
+The production design per BASELINE.json north_rule keeps frontier /
+documents / metrics as **Iceberg tables** (snapshot isolation, row-level
+MERGE, schema evolution). This sandbox ships no Iceberg runtime jar, so
+this module provides the same operational contract over plain parquet:
+
+- **snapshot reads**: every read resolves through a manifest JSON that
+  lists immutable data directories; writers never mutate a directory a
+  reader can see (same shape as an Iceberg snapshot's manifest list).
+- **atomic commits**: a new manifest is written to a temp file and
+  ``os.replace``d — readers see the old or the new table, never a blend.
+- **idempotent tagged appends**: an append carries a tag (we use the
+  epoch number). Re-running a crashed epoch overwrites its own directory
+  and re-commits the same manifest entry — exactly-once per epoch without
+  a transaction log.
+
+Crucially the *engine* avoids needing row-level UPDATE at all (the one
+thing parquet can't do): where crab flips ``pages.status`` in place
+(storage.rs:126-143), we keep **append-only logs + derived views** —
+``frontier`` (registrations) and ``fetched`` (download completions);
+``status`` is derived by anti/semi join. On Iceberg you could keep the
+same layout or collapse to MERGE; the interface stays identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    def __init__(self, root: str | Path, spark: SparkSession):
+        self.root = Path(root)
+        self.spark = spark
+        (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+
+    # -- manifest plumbing ---------------------------------------------------
+
+    def _manifest_path(self, name: str) -> Path:
+        return self.root / "_manifests" / f"{name}.json"
+
+    def _read_manifest(self, name: str) -> dict:
+        p = self._manifest_path(name)
+        if not p.exists():
+            return {"version": 0, "dirs": []}
+        return json.loads(p.read_text())
+
+    def _commit(self, name: str, dirs: list[str]) -> None:
+        m = self._read_manifest(name)
+        manifest = {"version": m["version"] + 1, "dirs": dirs}
+        tmp = self._manifest_path(name).with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, self._manifest_path(name))
+
+    # -- table ops -----------------------------------------------------------
+
+    def exists(self, name: str) -> bool:
+        return bool(self._read_manifest(name)["dirs"])
+
+    def read(self, name: str) -> DataFrame:
+        dirs = self._read_manifest(name)["dirs"]
+        if not dirs:
+            raise FileNotFoundError(f"table {name!r} has no committed data")
+        return self.spark.read.parquet(*[str(self.root / name / d) for d in dirs])
+
+    def overwrite(self, name: str, df: DataFrame, tag: str = "base") -> None:
+        d = self._write_dir(name, df, tag)
+        self._commit(name, [d])
+
+    def append(self, name: str, df: DataFrame, tag: str) -> None:
+        """Idempotent tagged append: same tag twice = one logical append."""
+        d = self._write_dir(name, df, tag)
+        dirs = self._read_manifest(name)["dirs"]
+        if d not in dirs:
+            dirs = dirs + [d]
+        self._commit(name, dirs)
+
+    def _write_dir(self, name: str, df: DataFrame, tag: str) -> str:
+        dirname = f"snap-{tag}"
+        target = self.root / name / dirname
+        if target.exists():
+            # crashed previous attempt with this tag — replace wholesale
+            shutil.rmtree(target)
+        df.write.mode("overwrite").parquet(str(target))
+        return dirname
+
+    # -- checkpoint state (the epoch counter) ---------------------------------
+
+    def read_state(self, key: str, default: dict | None = None) -> dict:
+        p = self.root / "_manifests" / f"state-{key}.json"
+        if not p.exists():
+            return default if default is not None else {}
+        return json.loads(p.read_text())
+
+    def write_state(self, key: str, state: dict) -> None:
+        p = self.root / "_manifests" / f"state-{key}.json"
+        tmp = p.with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps(state))
+        os.replace(tmp, p)

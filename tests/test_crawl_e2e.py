@@ -1,0 +1,156 @@
+"""End-to-end crawl vs the pure-Python oracle of the reference loop.
+
+The BASELINE.json acceptance criterion: identical crawl ordering and
+URL-seen set vs the reference on the same seed list + politeness budget,
+and span-sequence equality per parsed document. The oracle
+(crab_spark/oracle.py) reimplements crab's default-config loop
+(threads=1, batch=100) independently of any Spark code; the corpus
+reproduces the reference e2e fixture topology
+(examples/test_server/test-server.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crab_spark import corpus as C
+from crab_spark.crawler import CorpusFetcher, crawl
+from crab_spark.frontier import seed_frontier
+from crab_spark.oracle import run_oracle
+from crab_spark.parsers import load_registry
+from crab_spark.parsers import data as parser_data
+from crab_spark.parsers import listing as parser_listing
+from crab_spark.schemas import SEEDS
+from crab_spark.tabulator import export_table, parse_documents
+
+N_PAGES = 12  # small graph: pages 1..12, data 10..129 — still multi-epoch
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_registry([parser_listing, parser_data])
+
+
+@pytest.fixture(scope="module")
+def oracle(registry):
+    corpus = {}
+    for p in range(1, N_PAGES + 1):
+        corpus[C.page_url(p)] = C.page_spans(p, N_PAGES)
+        for d in range(10):
+            corpus[C.data_url(p * 10 + d)] = C.data_spans(p * 10 + d)
+    return run_oracle(
+        seeds=[(C.page_url(1), C.PAGE_TYPE)],
+        corpus=corpus,
+        registry=registry,
+        batch_size=25,
+    )
+
+
+def _run_spark_crawl(spark, store, registry, **kw):
+    corpus_df = C.corpus_df(spark, N_PAGES)
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    return crawl(
+        store,
+        CorpusFetcher(corpus_df),
+        registry,
+        navigate=True,
+        batch_size=25,
+        record_order=True,
+        **kw,
+    )
+
+
+def test_crawl_matches_oracle(spark, store, registry, oracle):
+    stats = _run_spark_crawl(spark, store, registry)
+
+    # URL-seen set: exact equality, including depth / type / seq order
+    got = {
+        r["url"]: (r["seq"], r["depth"], r["type_id"])
+        for r in store.read("frontier").collect()
+    }
+    assert got == oracle.seen
+
+    # crawl (dispatch) order: byte-identical sequence
+    assert stats.crawl_order == oracle.crawl_order
+
+    # every reachable URL downloaded exactly once
+    docs = store.read("documents")
+    assert docs.count() == len(oracle.documents)
+    assert docs.select("doc_id").distinct().count() == docs.count()
+
+    # span-sequence equality (kind, text, media_ref, order) per document
+    for row in docs.collect():
+        want = oracle.documents[row["doc_id"]]
+        got_spans = [(s["kind"], s["text"], s["media_ref"]) for s in row["spans"]]
+        assert got_spans == [(s["kind"], s["text"], s["media_ref"]) for s in want]
+        offs = [s["offset"] for s in row["spans"]]
+        assert offs == sorted(offs)
+
+    # reachable-set golden (fixture topology: all pages + all data URLs)
+    assert set(got) == C.expected_seen_urls(N_PAGES)
+
+    # metrics/lineage: per-epoch summary rows exist and add up
+    m = store.read("metrics").filter(F.col("part") == -1)
+    assert m.agg(F.sum("requests")).collect()[0][0] == stats.requests
+    assert m.agg(F.sum("new_links")).collect()[0][0] == stats.new_links
+    assert stats.new_links == oracle.new_links
+
+
+def test_crawl_resume_from_checkpoint(spark, store, registry, oracle):
+    """Kill-and-resume: run 2 epochs, 'crash', resume — final state
+    identical to an uninterrupted run (north_rule resumability)."""
+    corpus_df = C.corpus_df(spark, N_PAGES)
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    fetcher = CorpusFetcher(corpus_df)
+    crawl(store, fetcher, registry, batch_size=25, max_epochs=2)
+    assert store.read_state("crawl")["epoch"] == 2
+    # resume: a brand-new crawl() call picks up from the checkpoint
+    crawl(store, fetcher, registry, batch_size=25)
+    got = {
+        r["url"]: (r["seq"], r["depth"], r["type_id"])
+        for r in store.read("frontier").collect()
+    }
+    assert got == oracle.seen
+    assert store.read("documents").count() == len(oracle.documents)
+
+
+def test_export_table_golden(spark, store, registry):
+    """`export-csv` e2e golden (Makefile:1-9): the exported default table
+    holds every reachable data id with its square."""
+    _run_spark_crawl(spark, store, registry)
+    docs = store.read("documents")
+    frontier = store.read("frontier").select(F.col("url").alias("doc_id"), "type_id")
+    parsed = parse_documents(docs.join(frontier, "doc_id"), registry)
+    wide = export_table(parsed, "default")
+    rows = {(r["input"], r["output"]) for r in wide.collect()}
+    # reachable pages are 1..N_PAGES-1 (see corpus.expected_seen_urls)
+    want = {(str(n), str(n * n)) for p in range(1, N_PAGES) for n in range(p * 10, p * 10 + 10)}
+    assert rows == want
+    # case-insensitive column filter (main.rs:392-398)
+    only_in = export_table(parsed, "default", columns=["INPUT"])
+    assert only_in.columns == ["doc_id", "row_idx", "input"]
+
+
+def test_navigate_all_depth_quirk(spark, store, registry):
+    """navigate-all registers children at the PARENT's depth
+    (main.rs:212,219-221) — reproduced behind depth_offset=0."""
+    oracle0 = run_oracle(
+        seeds=[(C.page_url(1), C.PAGE_TYPE)],
+        corpus={
+            **{C.page_url(p): C.page_spans(p, N_PAGES) for p in range(1, N_PAGES + 1)},
+            **{C.data_url(p * 10 + d): C.data_spans(p * 10 + d)
+               for p in range(1, N_PAGES + 1) for d in range(10)},
+        },
+        registry=registry,
+        batch_size=25,
+        depth_offset=0,
+    )
+    stats = _run_spark_crawl(spark, store, registry, depth_offset=0)
+    got = {
+        r["url"]: (r["seq"], r["depth"], r["type_id"])
+        for r in store.read("frontier").collect()
+    }
+    assert got == oracle0.seen
+    assert stats.crawl_order == oracle0.crawl_order
+    # everything stays at depth 0 under the quirk
+    assert store.read("frontier").agg(F.max("depth")).collect()[0][0] == 0

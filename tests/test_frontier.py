@@ -1,0 +1,127 @@
+"""Frontier semantics tests — mirrors the reference storage integration
+suite (/root/reference/tests/sqlite.rs): register-once dedup (:64-78),
+register→list roundtrip (:20-42), content write flips status (:80-105),
+depth-ASC LIMIT dequeue (storage.rs:110-123)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crab_spark import frontier as fr
+from crab_spark.bloom import Bloom, build_bloom, might_contain_udf
+from crab_spark.schemas import SEEDS, STATUS_NOT_DOWNLOADED
+
+
+def _cands(spark, rows):
+    """rows: list of (url, type_id, depth, parent_pos, link_idx)"""
+    return spark.createDataFrame(
+        rows, "url string, type_id int, depth int, parent_pos long, link_idx int"
+    )
+
+
+def test_register_once(spark, store):
+    """second/third insert of the same URL returns not-new (sqlite.rs:64-78)."""
+    c = _cands(spark, [("http://h/a", 1, 0, 0, 0)])
+    assert fr.register(store, c, epoch=1) == 1
+    assert fr.register(store, c, epoch=2) == 0
+    assert fr.register(store, c, epoch=3) == 0
+    assert store.read("frontier").count() == 1
+
+
+def test_register_in_batch_dedup_first_wins(spark, store):
+    c = _cands(
+        spark,
+        [
+            ("http://h/a", 1, 0, 0, 0),
+            ("http://h/b", 2, 1, 0, 1),
+            ("http://h/a", 9, 7, 0, 2),  # dup: first wins (type 1, depth 0)
+        ],
+    )
+    assert fr.register(store, c, epoch=1) == 2
+    rows = {r["url"]: r for r in store.read("frontier").collect()}
+    assert rows["http://h/a"]["type_id"] == 1
+    assert rows["http://h/a"]["depth"] == 0
+    assert rows["http://h/a"]["seq"] == 0
+    assert rows["http://h/b"]["seq"] == 1
+
+
+def test_register_roundtrip_fields(spark, store):
+    fr.seed_frontier(store, spark.createDataFrame([("http://h/x", 3)], SEEDS))
+    row = store.read("frontier").collect()[0]
+    assert row["url"] == "http://h/x"
+    assert row["type_id"] == 3
+    assert row["depth"] == 0
+    assert row["status"] == STATUS_NOT_DOWNLOADED
+    assert row["host"] == "h"
+    assert row["part"] == row["url_hash"] % 32
+    assert row["seq"] == 0
+
+
+def test_dequeue_depth_then_seq_order(spark, store):
+    c = _cands(
+        spark,
+        [
+            ("http://h/d2a", 1, 2, 0, 0),
+            ("http://h/d0a", 1, 0, 0, 1),
+            ("http://h/d1a", 1, 1, 0, 2),
+            ("http://h/d0b", 1, 0, 0, 3),
+        ],
+    )
+    fr.register(store, c, epoch=1)
+    got = [r["url"] for r in fr.dequeue(store, batch_size=3).orderBy("pos").collect()]
+    # depth ASC, then registration order (seq) — LIMIT 3
+    assert got == ["http://h/d0a", "http://h/d0b", "http://h/d1a"]
+
+
+def test_mark_fetched_excludes_from_pending(spark, store):
+    c = _cands(spark, [("http://h/a", 1, 0, 0, 0), ("http://h/b", 1, 0, 0, 1)])
+    fr.register(store, c, epoch=1)
+    done = store.read("frontier").filter(F.col("url") == "http://h/a")
+    fr.mark_fetched(store, done, epoch=1)
+    pend = [r["url"] for r in fr.pending(store).collect()]
+    assert pend == ["http://h/b"]
+    # reset flips it back to pending (storage.rs:125-132 semantics)
+    fr.reset_pages(store, done.select("url_hash"))
+    assert fr.pending(store).count() == 2
+
+
+def test_register_bloom_equivalence(spark, store):
+    """Bloom pre-filter is a pure optimization: identical results on/off
+    (SURVEY §7 step 7 equivalence requirement)."""
+    base = _cands(spark, [(f"http://h/{i}", 1, 0, 0, i) for i in range(50)])
+    fr.register(store, base, epoch=1)
+    seen = store.read("frontier")
+    bloom = build_bloom(seen, "url_hash", n_keys_hint=1024)
+    mix = _cands(
+        spark,
+        [(f"http://h/{i}", 1, 1, 1, i) for i in range(25, 75)],  # 25 dup + 25 new
+    )
+    assert fr.register(store, mix, epoch=2, seen_bloom=bloom) == 25
+    assert store.read("frontier").count() == 75
+    seqs = [r["seq"] for r in store.read("frontier").collect()]
+    assert sorted(seqs) == list(range(75))  # seq stays dense and unique
+
+
+def test_bloom_no_false_negatives(spark):
+    import numpy as np
+
+    keys = np.arange(10_000, dtype=np.uint64) * np.uint64(2654435761)
+    b = Bloom.sized_for(10_000, fpr=0.01)
+    b.add(keys)
+    assert b.might_contain(keys).all()
+    other = np.arange(50_000, 60_000, dtype=np.uint64) * np.uint64(2654435761)
+    fpr = b.might_contain(other).mean()
+    assert fpr < 0.05
+
+
+def test_bloom_udf_matches_local(spark):
+    b = Bloom.sized_for(1000)
+    import numpy as np
+
+    keys = np.array([1, 2, 3, 5, 8, 13], dtype=np.uint64)
+    b.add(keys)
+    df = spark.createDataFrame([(int(i),) for i in range(20)], "url_hash long")
+    probe = might_contain_udf(spark, b)
+    got = {r["url_hash"]: r["m"] for r in df.select("url_hash", probe("url_hash").alias("m")).collect()}
+    local = b.might_contain(np.arange(20, dtype=np.uint64))
+    assert all(got[i] == bool(local[i]) for i in range(20))
