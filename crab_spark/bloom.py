@@ -78,10 +78,20 @@ class Bloom:
         return Bloom(self.n_bits, self.n_hashes, np.bitwise_or(self.bits, other.bits))
 
 
-def build_bloom(df: DataFrame, col: str, n_keys_hint: int, fpr: float = 0.01) -> Bloom:
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    n_keys_hint: int = 0,
+    fpr: float = 0.01,
+    proto: Bloom | None = None,
+) -> Bloom:
     """Distributed build: each task folds its Arrow batches into a partial
-    bitmap; the driver ORs the partials (a tree-reduce on a cluster)."""
-    proto = Bloom.sized_for(n_keys_hint, fpr)
+    bitmap; the driver ORs the partials (a tree-reduce on a cluster).
+    Pass ``proto`` to size the bitmap compatibly with an existing filter
+    (so the result can be union()ed into it — the incremental per-epoch
+    maintenance path)."""
+    if proto is None:
+        proto = Bloom.sized_for(n_keys_hint, fpr)
     n_bits, n_hashes = proto.n_bits, proto.n_hashes
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -33,6 +33,54 @@ BASE = "http://localhost:8080"
 PAGE_TYPE = 1   # parser_listing.py TYPE_ID
 DATA_TYPE = 2   # parser_data.py TYPE_ID
 
+# Multi-host variant (bench): the fixture topology spread over H hosts so
+# the per-host politeness groups and hot-host salting actually parallelize
+# — page p lives on host{p mod H}; its data children inherit the host via
+# relative hrefs; pager links are absolute (they cross hosts).
+
+
+def mh_page_url(p: int, n_hosts: int) -> str:
+    return f"http://host{p % n_hosts}.example.com/page/{p}"
+
+
+def mh_page_spans(p: int, n_pages: int, n_hosts: int) -> list[dict]:
+    spans: list[dict] = []
+    off = 0
+
+    def add(kind: str, text: str, media_ref: str = "") -> None:
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
+        off += max(len(text), 1)
+
+    add("text", f"Page number {p}")
+    add("media", "", f"img:page/{p}/0")
+    for d in range(0, 10):
+        add("link", f"/data/{p * 10 + d}")
+    for q in range(max(1, p - 5), min(n_pages, p + 5)):
+        add("link", mh_page_url(q, n_hosts))
+    return spans
+
+
+def multihost_corpus_df(spark: SparkSession, n_pages: int, n_hosts: int = 32) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["id"]:
+                p = int(p)
+                rows.append((mh_page_url(p, n_hosts), PAGE_TYPE,
+                             mh_page_spans(p, n_pages, n_hosts)))
+                host = f"http://host{p % n_hosts}.example.com"
+                for d in range(0, 10):
+                    n = p * 10 + d
+                    rows.append((f"{host}/data/{n}", DATA_TYPE, data_spans(n)))
+            yield pd.DataFrame(rows, columns=["url", "type_id", "spans"])
+
+    return (
+        spark.range(1, n_pages + 1)
+        .repartition(max(2, min(n_pages // 64, 256)))
+        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+    )
+
 CORPUS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

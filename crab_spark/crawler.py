@@ -41,6 +41,7 @@ from .parsers import ParserRegistry
 from .schemas import METRICS, SPAN
 from .store import TableStore
 from .urlnorm import absolutize_udf
+from .util import local_df
 
 HOST_SALT = 4  # sub-splits per host for hot-host skew (north_rule)
 
@@ -228,7 +229,9 @@ def crawl(
     max_epochs: int | None = None,
     depth_offset: int = 1,
     use_bloom: bool = True,
+    bloom_capacity: int = 1_000_000,
     record_order: bool = False,
+    profile: bool = False,
 ) -> CrawlStats:
     """Run the crawl to completion (or max_epochs). Mirrors
     `crab run-crawler [--navigate]` (main.rs:156-184, crawler.rs:52-125).
@@ -244,10 +247,35 @@ def crawl(
     state = store.read_state("crawl", {"epoch": 0})
     epoch = int(state["epoch"])
 
+    # Incremental seen-set state, maintained driver-side across epochs so
+    # no per-epoch full frontier rescan is needed (at 10^10 URLs a rescan
+    # per epoch is the difference between O(frontier) and O(batch)):
+    # - max_seq feeds deterministic seq assignment in register()
+    # - the Bloom is built once here (resume) and union()ed per epoch
+    max_seq = -1
+    seen_bloom = None
+    if store.exists("frontier"):
+        max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
+        if use_bloom:
+            seen_bloom = bloom_mod.build_bloom(
+                store.read("frontier"), "url_hash",
+                proto=bloom_mod.Bloom.sized_for(bloom_capacity),
+            )
+    elif use_bloom:
+        seen_bloom = bloom_mod.Bloom.sized_for(bloom_capacity)
+
+    def _tick(label, t_prev, timings):
+        now = time.monotonic()
+        timings[label] = timings.get(label, 0.0) + (now - t_prev)
+        return now
+
     while max_epochs is None or stats.epochs < max_epochs:
         epoch += 1
+        timings: dict[str, float] = {}
+        te = time.monotonic()
         batch = dequeue(store, batch_size=batch_size).cache()
         n = batch.count()
+        te = _tick("dequeue", te, timings)
         if n == 0:
             batch.unpersist()
             break
@@ -258,6 +286,7 @@ def crawl(
 
         processed = _process_batch(fetcher.fetch(batch), registry, navigate).cache()
         good = processed.filter(F.col("ok") & F.col("valid"))
+        te = _tick("plan", te, timings)
 
         # store content + flip status (S9: append documents, mark fetched)
         docs = good.select(
@@ -265,8 +294,11 @@ def crawl(
             F.col("spans"),
             F.lit(epoch).alias("fetched_epoch"),
         )
-        store.append("documents", docs, tag=f"docs-{epoch:06d}")
+        store.append("documents", docs.coalesce(max(1, n // 100_000 + 1)),
+                     tag=f"docs-{epoch:06d}")
+        te = _tick("docs_write", te, timings)
         mark_fetched(store, good, epoch)
+        te = _tick("fetched_write", te, timings)
 
         n_new = 0
         if navigate:
@@ -284,34 +316,46 @@ def crawl(
                     F.col("link_idx").cast("int").alias("link_idx"),
                 )
             )
-            seen_bloom = None
-            if use_bloom and store.exists("frontier"):
-                seen = store.read("frontier")
-                seen_bloom = bloom_mod.build_bloom(
-                    seen, "url_hash", n_keys_hint=max(seen.count(), 1024)
-                )
-            n_new = register(store, cands, epoch, seen_bloom=seen_bloom)
+            n_new = register(
+                store, cands, epoch,
+                seen_bloom=seen_bloom if (seen_bloom and max_seq >= 0) else None,
+                max_seq=max_seq,
+            )
+            te = _tick("register", te, timings)
+            if n_new:
+                max_seq += n_new
+                if seen_bloom is not None:
+                    # fold ONLY this epoch's new keys into the filter
+                    new_rows = store.read("frontier").filter(
+                        F.col("epoch_discovered") == epoch
+                    )
+                    seen_bloom = seen_bloom.union(
+                        bloom_mod.build_bloom(new_rows, "url_hash", proto=seen_bloom)
+                    )
+            te = _tick("bloom", te, timings)
 
-        # lineage/metrics per (epoch, frontier partition) + a summary row
+        # lineage/metrics per (epoch, frontier partition) + a summary row.
+        # ONE aggregation job: the per-part rows come back to the driver
+        # (≤ N_BUCKETS rows) and the totals are derived from them.
         per_part = processed.groupBy("part").agg(
             F.count("*").alias("requests"),
-            F.sum(F.col("ok").cast("long") * F.col("valid").cast("long")).alias("successful"),
+            F.sum((F.col("ok") & F.col("valid")).cast("long")).alias("successful"),
             F.sum((F.col("ok") & ~F.col("valid")).cast("long")).alias("invalid"),
-        )
-        n_good = good.count()
-        n_invalid = processed.filter(F.col("ok") & ~F.col("valid")).count()
-        metrics = (
-            per_part.withColumn("epoch", F.lit(epoch))
-            .withColumn("new_links", F.lit(0).cast("long"))
-            .select([f.name for f in METRICS.fields])
-            .unionByName(
-                spark.createDataFrame(
-                    [(epoch, -1, n, n_good, n_invalid, n_new)], METRICS
-                )
-            )
-        )
-        store.append("metrics", metrics, tag=f"metrics-{epoch:06d}")
+        ).collect()
+        n_good = sum(r["successful"] for r in per_part)
+        n_invalid = sum(r["invalid"] for r in per_part)
+        rows = [
+            (epoch, r["part"], r["requests"], r["successful"], r["invalid"], 0)
+            for r in per_part
+        ] + [(epoch, -1, n, n_good, n_invalid, n_new)]
+        store.append("metrics", local_df(spark, rows, METRICS).coalesce(1),
+                     tag=f"metrics-{epoch:06d}")
         store.write_state("crawl", {"epoch": epoch})  # commit point: epoch done
+        te = _tick("metrics", te, timings)
+        if profile:
+            total = sum(timings.values())
+            print(f"[epoch {epoch}] n={n} new={n_new} total={total:.1f}s "
+                  + " ".join(f"{k}={v:.1f}" for k, v in timings.items()))
 
         stats.epochs += 1
         stats.requests += n

@@ -67,6 +67,7 @@ def register(
     candidates: DataFrame,
     epoch: int,
     seen_bloom: bloom_mod.Bloom | None = None,
+    max_seq: int | None = None,
 ) -> int:
     """Dedup-insert candidate URLs; returns the number of NEW rows.
 
@@ -86,10 +87,10 @@ def register(
         .drop("_rn")
     )
 
-    max_seq = -1
     if store.exists("frontier"):
         seen = store.read("frontier").select("url_hash")
-        max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
+        if max_seq is None:  # caller may track it to skip the full-scan agg
+            max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
         if seen_bloom is not None:
             # Bloom split: definite-new rows skip the anti-join shuffle.
             probe = bloom_mod.might_contain_udf(spark, seen_bloom)
@@ -101,6 +102,8 @@ def register(
             new = cands.join(seen, "url_hash", "left_anti")
     else:
         new = cands
+        if max_seq is None:
+            max_seq = -1
 
     # Deterministic seq assignment. A single unpartitioned window is fine
     # for one epoch's new links (bounded by batch_size × avg out-degree);
@@ -120,7 +123,13 @@ def register(
     new_rows = new_rows.cache()
     n_new = new_rows.count()
     if n_new:
-        store.append("frontier", new_rows, tag=f"reg-{epoch:06d}")
+        # size-aware file count: appends are per-epoch deltas, so write
+        # few large files — a steady drip of 32-file micro-appends makes
+        # every subsequent frontier scan open thousands of tiny files
+        # (Iceberg calls this the small-file problem; same cure: compact
+        # at write time)
+        n_files = max(1, n_new // 500_000 + (1 if n_new % 500_000 else 0))
+        store.append("frontier", new_rows.coalesce(n_files), tag=f"reg-{epoch:06d}")
     new_rows.unpersist()
     return n_new
 
@@ -156,7 +165,7 @@ def mark_fetched(store: TableStore, done: DataFrame, epoch: int) -> None:
     without an UPDATE. done: DataFrame[url_hash]."""
     store.append(
         "fetched",
-        done.select("url_hash").withColumn("epoch", F.lit(epoch)),
+        done.select("url_hash").withColumn("epoch", F.lit(epoch)).coalesce(1),
         tag=f"done-{epoch:06d}",
     )
 

@@ -1,0 +1,205 @@
+"""Deduplication operators for web-scale corpora.
+
+Design notes for 100 TB:
+- exact dedup is a hash-groupBy: one shuffle on the content hash; with
+  AQE the skew (empty/boilerplate docs hashing equal) is split at runtime.
+- MinHash+LSH is the scalable near-dup path: signatures are computed
+  scan-side with pure built-in expressions (split → shingle via
+  transform/slice → md5 → min), i.e. inside whole-stage codegen, no
+  Python. LSH banding turns O(n²) similarity into groupBy(band) +
+  within-bucket pairing, so the only shuffle is on band keys. Candidate
+  pairs are then *verified* with exact n-gram Jaccard — only on the
+  tiny candidate set.
+- SimHash is the bit-parallel alternative (Charikar); Hamming-adjacent
+  buckets via bit-band keys. The signature needs popcount-style math →
+  one Arrow-batched numpy UDF, still columnar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalized(text: Column) -> Column:
+    """lower + collapse whitespace — the canonical text form shared by
+    all content hashes."""
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5 of normalized text → keeper = min id.
+    Returns (content_hash, keeper, n_dups)."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as an array column — all JVM-side:
+    split → sequence → slice → concat_ws."""
+    words = F.split(text, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig_i = min over shingles of
+    md5(i || '|' || shingle). Seeded-md5 min is not the classic
+    universal-hash family but has the same collision property we need
+    (equal sets ⇒ equal mins; Jaccard-proportional match rate) and is
+    reproducible in any engine (the DuckDB oracle runs the same md5).
+    Returns (id, sig_0..sig_{n-1})."""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature (rows of `band_size` hashes); docs sharing any
+    band key are candidate pairs. Returns distinct (id_a, id_b), a < b.
+
+    Scale shape: one shuffle on (band_idx, band_key); within-bucket
+    pairing is a self-join per bucket — buckets are small by
+    construction (a huge bucket means near-identical boilerplate, which
+    AQE skew-split handles)."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "#", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify stage
+    after LSH). Returns (id_a, id_b, jaccard)."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+_SIMHASH_BITS = 64
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash (Charikar 2002) over whitespace tokens, Arrow
+    batch at a time. Token hash = first 8 bytes of md5 (reproducible
+    anywhere); the signed bit-vote sum runs vectorized in numpy."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    for row, text in enumerate(texts):
+        if not text:
+            continue
+        tokens = text.lower().split()
+        if not tokens:
+            continue
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in tokens
+            ),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
+        bits = (hashes[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, 64)
+        votes = bits.sum(axis=0) * 2 - len(tokens)                   # +1/-1 votes
+        sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        out[row] = np.int64(sig.astype(np.uint64).view(np.int64))
+    return pd.Series(out)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4) -> DataFrame:
+    """Hamming-near pairs via bit-banding: split the 64-bit signature
+    into n_bands chunks; ≤(n_bands-1)-bit-different docs share ≥1 exact
+    chunk. Returns candidate (id_a, id_b, hamming)."""
+    width = _SIMHASH_BITS // n_bands
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = sigs.select(id_col, "simhash", F.explode(chunks).alias("b")).select(
+        id_col, "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )

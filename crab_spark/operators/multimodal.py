@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns + typed metadata, processed by Arrow-batched pandas UDFs.
+
+The decode step is STUBBED (this container has no image/audio codecs —
+see ``FakeDecoder``): the *Spark-side* contract is real and tested —
+schema, batch shape, partition sizing, and the mapInPandas signature
+are exactly what a PIL/ffmpeg-backed decoder would drop into.
+
+Scale notes: media bytes dominate row size, so
+``spark.sql.files.maxPartitionBytes`` governs batch memory, and the
+metadata-only projections below never touch the binary column (column
+pruning keeps the scan cheap — verify via ReadSchema in explain()).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),       # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),     # opaque encoded bytes
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+MEDIA_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class FakeDecoder:
+    """Deterministic stand-in for PIL/ffmpeg decode. Derives metadata
+    and an 8-dim feature purely from the payload bytes, so tests are
+    exact. Swap with a real decoder by replacing decode_batch — the
+    engine contract (pandas in, pandas out, MEDIA_FEATURES schema) is
+    unchanged."""
+
+    def decode_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        widths, heights, frames, feats = [], [], [], []
+        for payload, kind in zip(pdf["payload"], pdf["kind"]):
+            if payload is None:
+                widths.append(None); heights.append(None)
+                frames.append(None); feats.append(None)
+                continue
+            b = np.frombuffer(payload, dtype=np.uint8)
+            h = int(b[:4].sum()) if len(b) else 0
+            widths.append(16 + h % 64)
+            heights.append(16 + (h // 64) % 64)
+            frames.append(1 if kind == "image" else 1 + h % 8)
+            # 8-dim "feature": byte-histogram moments, deterministic
+            hist = np.bincount(b % 8, minlength=8).astype(np.float32)
+            feats.append((hist / max(len(b), 1)).round(4).tolist())
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+                "n_frames": pd.array(frames, dtype="Int32"),
+                "feature": feats,
+            }
+        )
+
+
+def media_from_documents(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Manufacture a deterministic media table from a text corpus (the
+    sandbox stand-in for real crawled bytes): payload = utf-8 bytes of
+    the text, kind round-robins by id hash. Real crawls would append
+    fetched bytes here instead."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.concat(F.lit("m:"), F.col(id_col).cast("string")).alias("media_id"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def extract_features(media: DataFrame, decoder: FakeDecoder | None = None) -> DataFrame:
+    """Decode/feature-extract via mapInPandas — one decoder call per
+    Arrow batch. This is the real production shape: swap FakeDecoder
+    for a PIL/ffmpeg decoder, nothing else changes."""
+    decoder = decoder or FakeDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decoder.decode_batch(pdf)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=MEDIA_FEATURES
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only rollup — never reads the payload column (column
+    pruning: ReadSchema excludes `payload`)."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+    )

@@ -1,0 +1,108 @@
+"""Text analysis operators — all pure built-in expressions (codegen'd);
+nothing here crosses into Python.
+
+- token/word stats, quality scoring (length/punct/stopword ratios),
+- language-ID by stopword-hit heuristic over a tiny per-language
+  function-word table (broadcast-joined, or inlined as expressions),
+- document fingerprinting (normalized-content hash + a positional
+  rolling-style hash built from shingle hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized, word_shingles
+
+# tiny function-word profiles (public common stopwords)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "and", "of", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "et", "est", "un", "une", "de"],
+    "es": ["el", "la", "es", "y", "un", "una", "que"],
+    "zh": ["的", "是", "和", "了", "在", "有", "不"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (≈ chars/4, the
+    common rule-of-thumb for byte-pair vocabularies)."""
+    t = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.ceil(F.length(text_col) / F.lit(4)).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cheap quality signals: length, mean word length, punctuation
+    ratio, uppercase ratio, whitespace ratio — all rounded for
+    engine-portable comparison."""
+    text = F.col(text_col)
+    n = F.length(text).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("double")
+    space = F.length(F.regexp_replace(text, r"[^ ]", "")).cast("double")
+    n_words = F.size(tokens(text)).cast("double")
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.round(n / F.greatest(n_words, F.lit(1.0)), 4).alias("mean_word_len"),
+        F.round(punct / F.greatest(n, F.lit(1.0)), 4).alias("punct_ratio"),
+        F.round(upper / F.greatest(n, F.lit(1.0)), 4).alias("upper_ratio"),
+        F.round(space / F.greatest(n, F.lit(1.0)), 4).alias("space_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: score(lang) = number of tokens that are
+    that language's function words; predict argmax (ties broken by
+    language code order). Pure expressions — the profile table is tiny
+    and inlined; at scale you'd broadcast-join a profile table instead."""
+    toks = tokens(normalized(F.col(text_col)))
+    scores = [
+        F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in ws])))
+        .alias(f"_s_{lang}")
+        for lang, ws in LANG_STOPWORDS.items()
+    ]
+    langs = sorted(LANG_STOPWORDS)
+    scored = docs.select(F.col(id_col), *scores)
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"_s_{l}") == best, F.lit(l)) for l in langs]
+    )
+    return scored.select(F.col(id_col), pred.alias("pred_lang"), best.alias("hits"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 5) -> DataFrame:
+    """Document fingerprint: md5 of normalized content (exact identity)
+    plus a winnowing-style structural print — the min shingle hash per
+    document over k-word windows (rolling-hash flavored, built from the
+    same shingle machinery as MinHash)."""
+    norm = normalized(F.col(text_col))
+    sh = word_shingles(norm, k)
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_hash"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("structural_hash"),
+    )
+
+
+def word_freq(docs: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """Corpus-wide word frequency (explode → groupBy). The classic
+    map-side-combinable aggregation: partial counts per partition,
+    single shuffle on the word."""
+    return (
+        docs.select(F.explode(tokens(normalized(F.col(text_col)))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -1,0 +1,567 @@
+"""The engine's query library + ANSI-SQL oracles.
+
+One entry per operator family from SURVEY.md §2 (scan/filter/project,
+top-k dequeue, dedup-register anti-join, joins, aggregation, windows,
+set ops, string/date/json functions, explode, rollup, sessionization)
+plus the training-data operators (exact/MinHash/SimHash dedup, n-gram
+Jaccard, embedding similarity, text analysis, multimodal plumbing).
+
+Every Spark query aliases its computed columns to the SAME names as its
+oracle SQL; the driver compares row counts, schemas and order-insensitive
+value hashes at sf=0.01 via DuckDB. Entries without SQL (simhash, IVF,
+feature extraction — not expressible in portable SQL) get a rows-only
+check and are cross-validated in tests/ instead.
+
+Float policy: every float aggregate/score is round()ed (4-6 dp) on BOTH
+sides so accumulation-order noise can't flip the value hash; DuckDB
+FLOAT[] inputs are cast to DOUBLE[] before math to match Spark's double
+accumulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as X
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational / crawl-shaped
+# ---------------------------------------------------------------------------
+
+def q01_scan_filter_project(spark, sf):
+    """S2 + predicate/projection pushdown: both reach the parquet scan."""
+    return (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") < "1995-03-15")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+def q02_count_all(spark, sf):
+    return t(spark, sf, "orders").agg(F.count("*").alias("n"))
+
+
+def q03_point_lookup(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def q04_topk_order(spark, sf):
+    """F2 dequeue shape: ORDER BY key ASC, tiebreak, LIMIT k —
+    TakeOrderedAndProject, no global sort."""
+    return (
+        t(spark, sf, "orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+def q05_distinct(spark, sf):
+    return t(spark, sf, "events").select("event_type").distinct()
+
+
+def q06_first_wins(spark, sf):
+    """F1 in-batch dedup: first row per key by deterministic order."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+    )
+
+
+def q07_anti_join(spark, sf):
+    """F1 seen-set semantics: candidates NOT IN seen (left anti)."""
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q08_semi_join(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        c.filter(F.col("c_acctbal") > 9000)
+        .join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+def q09_pricing_summary(spark, sf):
+    """TPC-H Q1 shape — the flagship aggregation (map-side partials,
+    one shuffle on two low-cardinality keys)."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q10_broadcast_join(spark, sf):
+    """Small-dim join: part is broadcast (robots/proxy-table shape)."""
+    li, p = t(spark, sf, "lineitem"), t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q11_multi_join(spark, sf):
+    """customer ⋈ nation ⋈ region rollup per region (TPC-H Q5 shape)."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+def q12_window_topk(spark, sf):
+    """Per-group top-k (per-host frontier pruning shape)."""
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        t(spark, sf, "customer")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+def q13_union_ragged(spark, sf):
+    """Tabulator semantics: union of ragged column sets, '' fill
+    (table.rs:21-38 / unionByName allowMissingColumns)."""
+    c = t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("bal")
+    )
+    return c.unionByName(s, allowMissingColumns=True).fillna("", subset=["segment"])
+
+
+def q14_rollup(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q15_month_agg(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+def q16_string_funcs(spark, sf):
+    return (
+        t(spark, sf, "part")
+        .filter(F.col("p_size") > 40)
+        .select(
+            "p_partkey",
+            F.lower(F.col("p_name")).alias("name_lc"),
+            F.length(F.col("p_name")).alias("name_len"),
+            F.upper(F.col("p_brand")).alias("brand_uc"),
+            F.substring(F.col("p_type"), 1, 5).alias("type5"),
+        )
+    )
+
+
+def q17_case_when(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 300000, "high")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("low")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q18_tumbling_window(spark, sf):
+    """Streaming-style tumbling window over event time (the batch
+    equivalent of a Structured Streaming windowed agg)."""
+    return (
+        t(spark, sf, "events")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("win_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def q19_sessionize(spark, sf):
+    """Session windows via gap detection (30 min) — lag + cumulative sum."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # ts is TIMESTAMP_NTZ
+    gap = secs - F.lag(secs).over(w)
+    ev = (
+        t(spark, sf, "events")
+        .withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return ev.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q20_json_extract(spark, sf):
+    return (
+        t(spark, sf, "events")
+        .select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q21_exact_dedup(spark, sf):
+    return D.exact_dedup(t(spark, sf, "documents"))
+
+
+def q22_minhash_sig(spark, sf):
+    return D.minhash_signatures(t(spark, sf, "documents"), n_hashes=4, k=3)
+
+
+def q23_lsh_pairs(spark, sf):
+    sigs = D.minhash_signatures(t(spark, sf, "documents"), n_hashes=8, k=2)
+    return D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+
+
+def q24_ngram_jaccard(spark, sf):
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 30)
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return D.ngram_jaccard(t(spark, sf, "documents"), pairs, k=3).filter(
+        F.col("jaccard") > 0
+    )
+
+
+def q25_simhash(spark, sf):  # rows-only: bit math not in portable SQL
+    return D.simhash(t(spark, sf, "documents"))
+
+
+def q26_simhash_pairs(spark, sf):  # rows-only
+    return D.simhash_neardup_pairs(D.simhash(t(spark, sf, "documents"))).filter(
+        F.col("hamming") <= 8
+    )
+
+
+def _query_vec(spark, sf) -> list[float]:
+    row = t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+def q27_embedding_topk(spark, sf):
+    return S.cosine_topk(t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10)
+
+
+def _centroids(spark, sf, n=8) -> list[list[float]]:
+    rows = (
+        t(spark, sf, "embeddings").filter(F.col("vec_id") < n).orderBy("vec_id").collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def q28_ivf_topk(spark, sf):  # rows-only: recall vs q27 is tested in pytest
+    cents = _centroids(spark, sf)
+    assigned = S.ivf_assign(t(spark, sf, "embeddings"), cents)
+    return S.ivf_topk(assigned, cents, _query_vec(spark, sf), k=10, nprobe=3)
+
+
+def q29_embedding_neardup(spark, sf):  # rows-only
+    cents = _centroids(spark, sf)
+    assigned = S.ivf_assign(t(spark, sf, "embeddings"), cents)
+    return S.embedding_neardup_pairs(assigned, threshold=0.35)
+
+
+def q30_token_count(spark, sf):
+    return X.token_count(t(spark, sf, "documents"))
+
+
+def q31_quality(spark, sf):
+    return X.quality_features(t(spark, sf, "documents"))
+
+
+def q32_lang_id(spark, sf):
+    return X.lang_id(t(spark, sf, "documents"))
+
+
+def q33_fingerprint(spark, sf):
+    return X.fingerprint(t(spark, sf, "documents"), k=5)
+
+
+def q34_word_freq(spark, sf):
+    return X.word_freq(t(spark, sf, "documents"), min_count=5)
+
+
+def q35_media_stats(spark, sf):
+    docs = t(spark, sf, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        kind.alias("kind"), F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+    )
+
+
+def q36_media_features(spark, sf):  # rows-only: decoder stub, plumbing test
+    media = M.media_from_documents(t(spark, sf, "documents"))
+    return M.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
+}
+
+_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_SHINGLE_CTE = """
+ w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+ sh AS (SELECT doc_id, array_to_string(ws[i:i+{km1}], ' ') s
+        FROM w, unnest(range(1, greatest(len(ws) - {k}, 0) + 2)) t(i))
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_scan_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-03-15'""",
+    "q02_count_all": "SELECT count(*) AS n FROM orders",
+    "q03_point_lookup": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey = 7""",
+    "q04_topk_order": """
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        ORDER BY o_orderdate, o_orderkey LIMIT 100""",
+    "q05_distinct": "SELECT DISTINCT event_type FROM events",
+    "q06_first_wins": """
+        SELECT o_custkey, first_orderkey FROM (
+          SELECT o_custkey, o_orderkey AS first_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) rn
+          FROM orders) WHERE rn = 1""",
+    "q07_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)""",
+    "q08_semi_join": """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c_acctbal > 9000
+          AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q09_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""",
+    "q10_broadcast_join": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""",
+    "q11_multi_join": """
+        SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
+    "q12_window_topk": """
+        SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) rnk
+          FROM customer) WHERE rnk <= 3""",
+    "q13_union_ragged": """
+        SELECT c_name AS name, c_acctbal AS bal, c_mktsegment AS segment FROM customer
+        UNION ALL
+        SELECT s_name, s_acctbal, '' FROM supplier""",
+    "q14_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q15_month_agg": """
+        SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders GROUP BY 1""",
+    "q16_string_funcs": """
+        SELECT p_partkey, lower(p_name) AS name_lc, length(p_name) AS name_len,
+               upper(p_brand) AS brand_uc, substring(p_type, 1, 5) AS type5
+        FROM part WHERE p_size > 40""",
+    "q17_case_when": """
+        SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS bucket, count(*) AS n
+        FROM orders GROUP BY 1""",
+    "q18_tumbling_window": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+               count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2""",
+    "q19_sessionize": """
+        WITH g AS (
+          SELECT user_id, event_id,
+                 CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events)
+        SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id""",
+    "q20_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+               count(*) AS n
+        FROM events GROUP BY 1""",
+    "q21_exact_dedup": f"""
+        SELECT md5({_NORM}) AS content_hash, min(doc_id) AS keeper,
+               count(*) AS n_dups
+        FROM documents GROUP BY 1""",
+    "q22_minhash_sig": (
+        "WITH " + _SHINGLE_CTE.format(k=3, km1=2) + """
+        SELECT doc_id,
+               min(md5('0|' || s)) AS sig_0, min(md5('1|' || s)) AS sig_1,
+               min(md5('2|' || s)) AS sig_2, min(md5('3|' || s)) AS sig_3
+        FROM sh GROUP BY doc_id"""
+    ),
+    "q23_lsh_pairs": (
+        "WITH " + _SHINGLE_CTE.format(k=2, km1=1) + """,
+        sigs AS (SELECT doc_id, """
+        + ", ".join(f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(8))
+        + """ FROM sh GROUP BY doc_id),
+        bands AS ("""
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, sig_{2*b} || '#' || sig_{2*b+1} AS band_key FROM sigs"
+            for b in range(4)
+        )
+        + """)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id"""
+    ),
+    "q24_ngram_jaccard": (
+        "WITH " + _SHINGLE_CTE.format(k=3, km1=2) + """,
+        sets AS (SELECT doc_id, list_distinct(list(s)) sh FROM sh GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 30 AND b.doc_id < 30
+          AND len(list_intersect(a.sh, b.sh)) > 0"""
+    ),
+    "q27_embedding_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) AS score
+        FROM embeddings, q
+        ORDER BY score DESC, vec_id LIMIT 10""",
+    "q30_token_count": """
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        FROM documents""",
+    "q31_quality": """
+        SELECT doc_id, length(text) AS n_chars,
+           round(length(text)::DOUBLE /
+                 greatest(len(string_split(text, ' ')), 1), 4) AS mean_word_len,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
+                 greatest(length(text), 1), 4) AS punct_ratio,
+           round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE /
+                 greatest(length(text), 1), 4) AS upper_ratio,
+           round(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE /
+                 greatest(length(text), 1), 4) AS space_ratio
+        FROM documents""",
+    "q32_lang_id": (
+        "WITH toks AS (SELECT doc_id, list_distinct(string_split("
+        + _NORM
+        + ", ' ')) tk FROM documents), s AS (SELECT doc_id, "
+        + ", ".join(
+            "len(list_intersect(tk, ["
+            + ", ".join(f"'{w}'" for w in ws)
+            + f"])) AS s_{lang}"
+            for lang, ws in sorted(X.LANG_STOPWORDS.items())
+        )
+        + """ FROM toks)
+        SELECT doc_id,
+               CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                    WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                    ELSE 'zh' END AS pred_lang,
+               best AS hits
+        FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) best FROM s)"""
+    ),
+    "q33_fingerprint": (
+        f"WITH n AS (SELECT doc_id, {_NORM} AS text FROM documents), "
+        + _SHINGLE_CTE.format(k=5, km1=4).replace("FROM documents", "FROM n")
+        + f"""
+        SELECT n.doc_id, md5(n.text) AS content_hash,
+               (SELECT min(md5(s)) FROM sh WHERE sh.doc_id = n.doc_id) AS structural_hash
+        FROM n"""
+    ),
+    "q34_word_freq": f"""
+        WITH w AS (SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents)
+        SELECT word, count(*) AS n FROM w WHERE word != ''
+        GROUP BY word HAVING count(*) >= 5""",
+    "q35_media_stats": """
+        WITH m AS (SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+                          octet_length(encode(text)) AS n_bytes
+                   FROM documents)
+        SELECT kind, count(*) AS n, sum(n_bytes) AS total_bytes,
+               round(avg(n_bytes), 4) AS avg_bytes
+        FROM m GROUP BY kind""",
+}

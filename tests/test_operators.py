@@ -1,0 +1,186 @@
+"""Training-data operator tests: property checks for the ops whose
+semantics aren't SQL-expressible (simhash, IVF, media decode), numpy
+cross-validation for the vector math, and plan-shape assertions
+(pushdown/pruning) that encode the 100 TB design contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crab_spark.operators import dedup as D
+from crab_spark.operators import multimodal as M
+from crab_spark.operators import similarity as S
+from crab_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "The  Quick Brown fox jumps over the lazy dog"),  # case/ws-dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    got = {r["keeper"]: r["n_dups"] for r in D.exact_dedup(docs).collect()}
+    # 0, 2, 4 normalize to the same content → keeper 0 with 3 members
+    assert got[0] == 3 and got[1] == 1 and got[3] == 1
+
+
+def test_minhash_identical_sets_equal_sigs(docs):
+    sigs = {r["doc_id"]: (r["sig_0"], r["sig_1"]) for r in
+            D.minhash_signatures(docs, n_hashes=2, k=2).collect()}
+    assert sigs[0] == sigs[4]          # identical text ⇒ identical signature
+    assert sigs[0] != sigs[3]          # disjoint shingles ⇒ ≠ (w.h.p.)
+
+
+def test_lsh_finds_neardups(docs):
+    sigs = D.minhash_signatures(docs, n_hashes=8, k=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2).collect()}
+    assert (0, 4) in pairs             # exact dups always collide
+    assert (0, 1) in pairs             # 8/9-shingle overlap: some band matches
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(0, 4), (0, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.ngram_jaccard(docs, pairs, k=3).collect()}
+    assert got[(0, 4)] == 1.0
+    assert got[(0, 3)] == 0.0
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[0] == sh[4]              # identical text
+    ham01 = bin((sh[0] ^ sh[1]) & (2**64 - 1)).count("1")
+    ham03 = bin((sh[0] ^ sh[3]) & (2**64 - 1)).count("1")
+    assert ham01 < ham03               # near-dup closer than unrelated
+
+
+def test_simhash_neardup_banding(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             D.simhash_neardup_pairs(D.simhash(docs)).collect()}
+    assert pairs[(0, 4)] == 0
+    assert (0, 1) in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(80, 16).astype(np.float32)
+    vecs[5] = vecs[3] + 0.01 * rng.randn(16).astype(np.float32)  # near-dup pair
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    ), vecs
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    q = vecs[0].astype(np.float64)
+    sims = (vecs.astype(np.float64) @ q) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    want = sorted(range(80), key=lambda i: (-round(sims[i], 4), i))[:10]
+    got = [r["vec_id"] for r in S.cosine_topk(df, [float(x) for x in vecs[0]], k=10).collect()]
+    assert got == want
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    df, vecs = emb
+    cents = [[float(x) for x in vecs[i]] for i in range(8)]
+    q = [float(x) for x in vecs[3]]
+    brute = {r["vec_id"] for r in S.cosine_topk(df, q, k=5).collect()}
+    assigned = S.ivf_assign(df, cents)
+    approx = {r["vec_id"] for r in S.ivf_topk(assigned, cents, q, k=5, nprobe=4).collect()}
+    # probe-4-of-8 must recover most of the true top-5 (incl. 3 and 5)
+    assert 3 in approx and len(brute & approx) >= 3
+
+
+def test_embedding_neardup_finds_planted_pair(emb):
+    df, vecs = emb
+    # centroids disjoint from the planted pair: near-identical vectors
+    # then share an argmax bucket (using 3 or 5 AS a centroid would
+    # split them — each would win its own bucket exactly)
+    cents = [[float(x) for x in vecs[i]] for i in range(70, 78)]
+    pairs = {(r["id_a"], r["id_b"]): r["score"] for r in
+             S.embedding_neardup_pairs(S.ivf_assign(df, cents), threshold=0.99).collect()}
+    assert (3, 5) in pairs and pairs[(3, 5)] >= 0.99
+
+
+def test_lang_id_hits(spark):
+    d = spark.createDataFrame(
+        [(0, "the cat is on the mat and a dog"),
+         (1, "der Hund ist ein Tier und das ist gut"),
+         (2, "le chat est un animal et la vie")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in X.lang_id(d).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_quality_features_values(spark):
+    d = spark.createDataFrame([(0, "Ab c, d!")], "doc_id long, text string")
+    r = X.quality_features(d).collect()[0]
+    assert r["n_chars"] == 8
+    assert r["punct_ratio"] == round(2 / 8, 4)  # ',' and '!'
+    assert r["upper_ratio"] == round(1 / 8, 4)
+    assert r["space_ratio"] == round(2 / 8, 4)
+
+
+def test_media_pipeline_deterministic(docs):
+    media = M.media_from_documents(docs)
+    f1 = {r["media_id"]: (r["width"], r["height"], r["n_frames"], tuple(r["feature"]))
+          for r in M.extract_features(media).collect()}
+    f2 = {r["media_id"]: (r["width"], r["height"], r["n_frames"], tuple(r["feature"]))
+          for r in M.extract_features(media).collect()}
+    assert f1 == f2 and len(f1) == 5
+    assert all(len(v[3]) == 8 for v in f1.values())
+    # images are single-frame by contract
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    for mid, (w, h, nf, _) in f1.items():
+        assert w and h
+        if kinds[mid] == "image":
+            assert nf == 1
+
+
+def test_media_stats_prunes_payload(docs):
+    """The metadata rollup must never read the binary column —
+    ReadSchema in the physical plan excludes `payload` (100 TB contract:
+    stats over media tables are metadata-only scans)."""
+    import tempfile
+
+    media = M.media_from_documents(docs)
+    with tempfile.TemporaryDirectory() as td:
+        media.write.parquet(f"{td}/media")
+        stats = M.media_stats(media.sparkSession.read.parquet(f"{td}/media"))
+        plan = stats._sc._jvm.PythonSQLUtils.explainString(
+            stats._jdf.queryExecution(), "formatted"
+        )
+        scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert scan and all("payload" not in l for l in scan)
+        got = {r["kind"]: r["n"] for r in stats.collect()}
+        assert sum(got.values()) == 5
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q01 contract: predicate + projection reach the parquet scan."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1995-03-15")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read and "l_orderkey" in read
