@@ -43,7 +43,7 @@ def mh_page_url(p: int, n_hosts: int) -> str:
     return f"http://host{p % n_hosts}.example.com/page/{p}"
 
 
-def mh_page_spans(p: int, n_pages: int, n_hosts: int) -> list[dict]:
+def mh_page_spans(p: int, n_pages: int, n_hosts: int, fat: int = 0) -> list[dict]:
     spans: list[dict] = []
     off = 0
 
@@ -58,21 +58,37 @@ def mh_page_spans(p: int, n_pages: int, n_hosts: int) -> list[dict]:
         add("link", f"/data/{p * 10 + d}")
     for q in range(max(1, p - 5), min(n_pages, p + 5)):
         add("link", mh_page_url(q, n_hosts))
+    # "fat" filler spans: realistic web pages are tens of KB with dozens
+    # of text nodes — a bench on 200-byte toy pages measures driver
+    # overhead, not engine throughput. Deterministic content.
+    for i in range(fat):
+        add("text", f"filler {p} {i} " + "lorem ipsum dolor sit amet " * 3)
     return spans
 
 
-def multihost_corpus_df(spark: SparkSession, n_pages: int, n_hosts: int = 32) -> DataFrame:
+def multihost_corpus_df(
+    spark: SparkSession, n_pages: int, n_hosts: int = 32, fat: int = 0
+) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for p in pdf["id"]:
                 p = int(p)
                 rows.append((mh_page_url(p, n_hosts), PAGE_TYPE,
-                             mh_page_spans(p, n_pages, n_hosts)))
+                             mh_page_spans(p, n_pages, n_hosts, fat)))
                 host = f"http://host{p % n_hosts}.example.com"
                 for d in range(0, 10):
                     n = p * 10 + d
-                    rows.append((f"{host}/data/{n}", DATA_TYPE, data_spans(n)))
+                    spans = data_spans(n)
+                    if fat:
+                        base = spans[-1]["offset"] + 16
+                        spans = spans + [
+                            {"kind": "text",
+                             "text": f"filler {n} {i} " + "lorem ipsum dolor sit amet " * 3,
+                             "media_ref": "", "offset": base + i}
+                            for i in range(fat)
+                        ]
+                    rows.append((f"{host}/data/{n}", DATA_TYPE, spans))
             yield pd.DataFrame(rows, columns=["url", "type_id", "spans"])
 
     return (

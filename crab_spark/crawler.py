@@ -59,8 +59,13 @@ FETCH_RESULT = T.StructType(
     ]
 )
 
+# validate/navigate OUTPUT: flags + links only. The spans column goes
+# INTO Python (the parser contract needs it) but never comes back out —
+# shipping it both ways doubles the Arrow traffic and bloats the epoch
+# cache with deserialized span objects (measured: flat 2→8-core scaling
+# with fat documents until this was split).
 PROCESSED = T.StructType(
-    FETCH_RESULT.fields
+    [f for f in FETCH_RESULT.fields if f.name != "spans"]
     + [
         T.StructField("valid", T.BooleanType(), False),
         T.StructField(
@@ -97,6 +102,9 @@ class CorpusFetcher:
             F.col("url").alias("c_url"), F.col("spans").alias("c_spans")
         )
         self.delay_sec = delay_sec
+        # politeness sleeps are a side effect: results must be pinned,
+        # not recomputed (crawl() caches fetch output when True)
+        self.side_effects = delay_sec > 0
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         joined = (
@@ -111,11 +119,12 @@ class CorpusFetcher:
             return joined
         delay = self.delay_sec
 
-        def polite(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            # one host(-salt) group per task: spacing budget = delay × n
-            pdf = pdf.sort_values("pos")
-            time.sleep(delay * len(pdf))
-            return pdf
+        def polite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # rows of one host(-salt) group are co-partitioned; spacing
+            # budget = delay × n, paid once per Arrow batch
+            for pdf in batches:
+                time.sleep(delay * len(pdf))
+                yield pdf.drop(columns=["_hs"])
 
         salted = joined.withColumn(
             "_hs",
@@ -123,9 +132,16 @@ class CorpusFetcher:
                 "#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(HOST_SALT)).cast("string")
             ),
         )
+        # explicit partition count: groupBy.applyInPandas would let AQE
+        # coalesce the (tiny) shuffle into 1-2 partitions and SERIALIZE
+        # the politeness sleeps; a user-specified repartition(N, key) is
+        # never coalesced, so sleeping groups keep all executor slots busy
+        sc = joined.sparkSession.sparkContext
+        n_parts = max(4 * sc.defaultParallelism, 16)
         return (
-            salted.groupBy("_hs")
-            .applyInPandas(lambda k, p: polite(k, p.drop(columns=["_hs"])), FETCH_RESULT)
+            salted.repartition(n_parts, "_hs")
+            .sortWithinPartitions("_hs", "pos")
+            .mapInPandas(polite, FETCH_RESULT)
         )
 
 
@@ -140,6 +156,8 @@ class HttpFetcher:
     matter how Spark schedules tasks. HTML→span conversion is the
     caller's parser concern; this returns one text span per page.
     """
+
+    side_effects = True  # network I/O: crawl() must pin fetch results
 
     def __init__(self, delay_sec: float = 5.0, connect_timeout: float = 5.0,
                  read_timeout: float = 5.0, proxies: list[str] | None = None):
@@ -176,35 +194,71 @@ class HttpFetcher:
                 "#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(HOST_SALT)).cast("string")
             ),
         )
-        return salted.groupBy("_hs").applyInPandas(
-            lambda pdf: fetch_group(pdf.drop(columns=["_hs"])), FETCH_RESULT
+        # explicit repartition (not groupBy): AQE must not coalesce the
+        # host groups or the politeness sleeps serialize (see CorpusFetcher)
+        sc = batch.sparkSession.sparkContext
+        n_parts = max(4 * sc.defaultParallelism, 16)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield fetch_group(pdf.drop(columns=["_hs"]))
+
+        return (
+            salted.repartition(n_parts, "_hs")
+            .sortWithinPartitions("_hs", "pos")
+            .mapInPandas(run, FETCH_RESULT)
         )
 
 
-def _process_batch(fetched: DataFrame, registry: ParserRegistry, navigate: bool) -> DataFrame:
+def _span_dicts(spans) -> list:
+    # Arrow→pandas already materializes struct elements as dicts; only
+    # convert when a backend hands us Row-like objects (copying 300
+    # dicts per doc again was a measured memory-bandwidth bottleneck)
+    if len(spans) and not isinstance(spans[0], dict):
+        return [s.asDict() for s in spans]
+    return list(spans)
+
+
+def _process_batch(
+    fetched: DataFrame,
+    registry: ParserRegistry,
+    navigate: bool,
+    has_valid: bool = False,
+) -> DataFrame:
     """validate + navigate in ONE Python pass over the fetch results —
     one Arrow crossing per task instead of the reference's two GIL
-    round-trips per page (python.rs:55-109)."""
+    round-trips per page (python.rs:55-109). With ``has_valid`` the
+    `valid` column was already computed JVM-side (expression
+    validators) and Python only runs navigate."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             valids, links = [], []
-            for type_id, ok, spans in zip(pdf["type_id"], pdf["ok"], pdf["spans"]):
+            pre_valid = pdf["valid"] if has_valid else None
+            for i, (type_id, ok, spans) in enumerate(
+                zip(pdf["type_id"], pdf["ok"], pdf["spans"])
+            ):
                 if not ok or spans is None:
                     valids.append(False)
                     links.append([])
                     continue
-                span_dicts = [dict(s) for s in spans]
-                valid = registry.run_validate(int(type_id), span_dicts)
-                valids.append(bool(valid))
+                span_dicts = None
+                if pre_valid is not None:
+                    valid = bool(pre_valid.iloc[i])
+                else:
+                    span_dicts = _span_dicts(spans)
+                    valid = bool(registry.run_validate(int(type_id), span_dicts))
+                valids.append(valid)
                 if valid and navigate:
+                    if span_dicts is None:
+                        span_dicts = _span_dicts(spans)
                     out = registry.run_navigate(int(type_id), span_dicts)
                     links.append([{"url": u, "type_id": int(t)} for u, t in out])
                 else:
                     links.append([])
             pdf = pdf.copy()
             pdf["valid"], pdf["links"] = valids, links
-            yield pdf
+            yield pdf.drop(columns=["spans"])
 
     return fetched.mapInPandas(run, schema=PROCESSED)
 
@@ -254,15 +308,17 @@ def crawl(
     # - the Bloom is built once here (resume) and union()ed per epoch
     max_seq = -1
     seen_bloom = None
-    if store.exists("frontier"):
-        max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
-        if use_bloom:
-            seen_bloom = bloom_mod.build_bloom(
-                store.read("frontier"), "url_hash",
-                proto=bloom_mod.Bloom.sized_for(bloom_capacity),
-            )
-    elif use_bloom:
-        seen_bloom = bloom_mod.Bloom.sized_for(bloom_capacity)
+    if not store.exists("frontier"):
+        # nothing registered: the reference's first refill returns empty
+        # and the crawl completes immediately (crawler.rs:61-67)
+        stats.wall_sec = time.monotonic() - t0
+        return stats
+    max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
+    if use_bloom:
+        seen_bloom = bloom_mod.build_bloom(
+            store.read("frontier"), "url_hash",
+            proto=bloom_mod.Bloom.sized_for(bloom_capacity),
+        )
 
     def _tick(label, t_prev, timings):
         now = time.monotonic()
@@ -284,18 +340,65 @@ def crawl(
                 r["url"] for r in batch.orderBy("pos").select("url", "pos").collect()
             )
 
-        processed = _process_batch(fetcher.fetch(batch), registry, navigate).cache()
+        fetched_df = fetcher.fetch(batch)
+        if getattr(fetcher, "side_effects", False):
+            # side-effectful fetchers (HTTP, politeness sleeps) must not
+            # recompute: pin the fetch results
+            fetched_df = fetched_df.cache()
+        # JVM fast path: when every validator has an expression form,
+        # `valid` is computed in whole-stage codegen over the full span
+        # array — no Arrow crossing for validation at all
+        jvm_valid = registry.jvm_validator_chain()
+        base = fetched_df
+        has_valid = jvm_valid is not None
+        if has_valid:
+            base = fetched_df.withColumn("valid", F.col("ok") & jvm_valid)
+        # span-kind pushdown: prune the span array JVM-side to the kinds
+        # the Python functions still running declare they read — the
+        # Arrow crossing then ships links only, not page text
+        kinds = registry.needed_kinds(navigate)
+        to_python = base
+        if kinds is not None:
+            kind_arr = F.array(*[F.lit(k) for k in sorted(kinds)])
+            to_python = base.withColumn(
+                "spans",
+                F.filter("spans", lambda s: F.array_contains(kind_arr, s["kind"])),
+            )
+        if has_valid and not navigate:
+            # no Python at all this epoch: links are empty JVM-side
+            processed = base.withColumn(
+                "links",
+                F.array().cast("array<struct<url:string,type_id:int>>"),
+            ).select([f.name for f in PROCESSED.fields]).cache()
+        else:
+            processed = _process_batch(
+                to_python, registry, navigate, has_valid=has_valid
+            ).cache()
         good = processed.filter(F.col("ok") & F.col("valid"))
+        # Materialize the cache with a PARALLEL action (the metrics agg,
+        # needed anyway) BEFORE any coalesced write: coalesce(k) collapses
+        # its whole upstream stage to k tasks, so if the first action on
+        # `processed` were a coalesced write, the entire fetch + parse
+        # pipeline would run on k tasks (measured: flat scaling).
+        per_part = processed.groupBy("part").agg(
+            F.count("*").alias("requests"),
+            F.sum((F.col("ok") & F.col("valid")).cast("long")).alias("successful"),
+            F.sum((F.col("ok") & ~F.col("valid")).cast("long")).alias("invalid"),
+        ).collect()
         te = _tick("plan", te, timings)
 
-        # store content + flip status (S9: append documents, mark fetched)
-        docs = good.select(
-            F.col("url").alias("doc_id"),
-            F.col("spans"),
-            F.lit(epoch).alias("fetched_epoch"),
+        # store content + flip status (S9: append documents, mark
+        # fetched). The span payload flows JVM-side only: fetch join →
+        # semi-join against the validated flags → parquet.
+        docs = (
+            fetched_df.join(good.select("url_hash"), "url_hash", "left_semi")
+            .select(
+                F.col("url").alias("doc_id"),
+                F.col("spans"),
+                F.lit(epoch).alias("fetched_epoch"),
+            )
         )
-        store.append("documents", docs.coalesce(max(1, n // 100_000 + 1)),
-                     tag=f"docs-{epoch:06d}")
+        store.append("documents", docs, tag=f"docs-{epoch:06d}")
         te = _tick("docs_write", te, timings)
         mark_fetched(store, good, epoch)
         te = _tick("fetched_write", te, timings)
@@ -334,14 +437,8 @@ def crawl(
                     )
             te = _tick("bloom", te, timings)
 
-        # lineage/metrics per (epoch, frontier partition) + a summary row.
-        # ONE aggregation job: the per-part rows come back to the driver
-        # (≤ N_BUCKETS rows) and the totals are derived from them.
-        per_part = processed.groupBy("part").agg(
-            F.count("*").alias("requests"),
-            F.sum((F.col("ok") & F.col("valid")).cast("long")).alias("successful"),
-            F.sum((F.col("ok") & ~F.col("valid")).cast("long")).alias("invalid"),
-        ).collect()
+        # lineage/metrics per (epoch, frontier partition) + a summary row
+        # (per_part computed up front, doubling as cache materialization)
         n_good = sum(r["successful"] for r in per_part)
         n_invalid = sum(r["invalid"] for r in per_part)
         rows = [
@@ -363,7 +460,12 @@ def crawl(
         stats.invalid += n_invalid
         stats.new_links += n_new
         processed.unpersist()
+        if getattr(fetcher, "side_effects", False):
+            fetched_df.unpersist()
         batch.unpersist()
+        inner = getattr(batch, "df_ordered_cache", None)
+        if inner is not None:
+            inner.unpersist()
 
     stats.wall_sec = time.monotonic() - t0
     return stats

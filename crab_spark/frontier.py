@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from . import bloom as bloom_mod
 from .schemas import FRONTIER, N_BUCKETS, STATUS_NOT_DOWNLOADED
 from .store import TableStore
-from .urlnorm import canonicalize_udf, host_udf
+from .urlnorm import canonicalize_udf
+from .util import ordered_index
 
 
 def empty_frontier(spark: SparkSession) -> DataFrame:
@@ -105,14 +106,17 @@ def register(
         if max_seq is None:
             max_seq = -1
 
-    # Deterministic seq assignment. A single unpartitioned window is fine
-    # for one epoch's new links (bounded by batch_size × avg out-degree);
-    # the 10^10-scale variant assigns per-partition ranks + a driver-side
-    # cumulative offset (two narrow passes, no global sort of the table).
-    order_w = Window.orderBy("parent_pos", "link_idx")
+    # Deterministic seq assignment WITHOUT a global single-partition
+    # window: per-range-partition ranks + driver cumulative offsets
+    # (util.ordered_index) — the serial section would otherwise cap
+    # epoch scaling (measured: 0.37 → see BENCH.md history).
+    indexed = ordered_index(new, ["parent_pos", "link_idx"], "seq", start=max_seq + 1)
+    # host extraction stays JVM-side (parse_url, codegen'd) — the
+    # canonical URL already has a lowercased host, no Python needed
     new_rows = (
-        new.withColumn("seq", F.row_number().over(order_w).cast("long") + F.lit(max_seq))
-        .withColumn("host", host_udf(F.col("url")))
+        indexed.withColumn(
+            "host", F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
+        )
         .withColumn("status", F.lit(STATUS_NOT_DOWNLOADED))
         .withColumn("priority", F.col("depth").cast("double"))
         .withColumn("epoch_discovered", F.lit(epoch))
@@ -131,6 +135,7 @@ def register(
         n_files = max(1, n_new // 500_000 + (1 if n_new % 500_000 else 0))
         store.append("frontier", new_rows.coalesce(n_files), tag=f"reg-{epoch:06d}")
     new_rows.unpersist()
+    indexed.df_ordered_cache.unpersist()
     return n_new
 
 
@@ -155,9 +160,15 @@ def dequeue(store: TableStore, batch_size: int = 100, by_priority: bool = False)
     pending set by (depth, seq) so only the head partitions are scanned.
     """
     keys = ["priority", "seq"] if by_priority else ["depth", "seq"]
-    batch = pending(store).orderBy(*keys).limit(batch_size)
-    w = Window.orderBy(*keys)
-    return batch.withColumn("pos", F.row_number().over(w).cast("long"))
+    # Parallel top-k: dense-rank the pending set with the two-pass range
+    # index and keep pos ≤ k. orderBy().limit(k) would be a
+    # TakeOrderedAndProject — fine at k=100, but at epoch-scale k it
+    # merges k×partitions rows on the driver. At 10^10 rows you'd
+    # additionally range-prune to the head partitions before indexing.
+    indexed = ordered_index(pending(store), keys, "pos", start=1)
+    out = indexed.filter(F.col("pos") <= batch_size)
+    out.df_ordered_cache = indexed.df_ordered_cache
+    return out
 
 
 def mark_fetched(store: TableStore, done: DataFrame, epoch: int) -> None:

@@ -38,6 +38,19 @@ class SpanParser:
     navigate: Optional[Callable[[list[Span]], list[tuple[str, int]]]] = None
     parse: Optional[Callable[[list[Span]], dict]] = None
     validate: Optional[Callable[[list[Span]], bool]] = None
+    # Span-kind pushdown: the kinds navigate/validate actually read
+    # (None = all). Declaring e.g. ("link",) lets the engine filter the
+    # span array JVM-side before it crosses the Arrow boundary — the UDF
+    # analogue of column pruning. parse() always sees the full document.
+    span_kinds: Optional[tuple[str, ...]] = None
+    # Expression validator: a callable (spans Column) -> boolean Column.
+    # When EVERY parser with a validator provides one, validation runs
+    # entirely JVM-side (whole-stage codegen over the span array) and the
+    # Arrow boundary is skipped for it — the fast path for content
+    # gates like length/token-count/language checks. `validate` remains
+    # the general Python contract (and the semantic source of truth:
+    # tests assert expr ≡ python on the same docs).
+    validate_expr: Optional[Callable] = None
 
 
 class ParserRegistry:
@@ -57,6 +70,42 @@ class ParserRegistry:
 
     def has(self, type_id: int) -> bool:
         return type_id in self._by_type
+
+    def jvm_validator_chain(self):
+        """A boolean Column validating by type_id entirely JVM-side, or
+        None if any parser's validator lacks an expression form. Rows
+        whose type_id has no registered parser come out False (the
+        Python dispatch path raises instead, lib.rs:158-164 — the
+        navigate pass still raises for them when it runs)."""
+        from pyspark.sql import functions as F
+
+        chain = None
+        for p in self._by_type.values():
+            if p.validate is not None and p.validate_expr is None:
+                return None
+        for p in self._by_type.values():
+            expr = (
+                p.validate_expr(F.col("spans"))
+                if p.validate_expr is not None
+                else F.lit(True)
+            )
+            cond = F.col("type_id") == p.type_id
+            chain = F.when(cond, expr) if chain is None else chain.when(cond, expr)
+        return F.lit(True) if chain is None else chain.otherwise(F.lit(False))
+
+    def needed_kinds(self, navigate: bool) -> Optional[set]:
+        """Union of span kinds the crawl-path functions (validate +
+        optionally navigate) consume across all parsers; None if any
+        relevant parser needs the full document."""
+        kinds: set = set()
+        for p in self._by_type.values():
+            uses_spans = p.validate is not None or (navigate and p.navigate is not None)
+            if not uses_spans:
+                continue
+            if p.span_kinds is None:
+                return None
+            kinds.update(p.span_kinds)
+        return kinds
 
     def describe(self) -> list[dict]:
         """Registry report — mirrors `crab parsers` (main.rs:316-331)."""
@@ -102,6 +151,7 @@ def load_registry(modules: list) -> ParserRegistry:
     are shipped to executors via --py-files in cluster mode."""
     parsers = []
     for mod in modules:
+        kinds = getattr(mod, "SPAN_KINDS", None)
         parsers.append(
             SpanParser(
                 type_id=int(getattr(mod, "TYPE_ID")),
@@ -109,6 +159,7 @@ def load_registry(modules: list) -> ParserRegistry:
                 navigate=getattr(mod, "navigate", None),
                 parse=getattr(mod, "parse", None),
                 validate=getattr(mod, "validate", None),
+                span_kinds=tuple(kinds) if kinds is not None else None,
             )
         )
     return ParserRegistry(parsers)

@@ -14,6 +14,10 @@ from __future__ import annotations
 TYPE_ID: int = 1
 DATA_TYPE_ID: int = 2
 
+# navigate/validate only read link spans — lets the engine prune the
+# span array JVM-side before the Arrow crossing
+SPAN_KINDS: tuple[str, ...] = ("link",)
+
 
 def navigate(spans: list[dict]) -> list[tuple[str, int]]:
     pager = []

@@ -1,0 +1,131 @@
+"""Streaming windowed aggregation + stateful sessionization.
+
+Batch/stream duality: ``tumbling_counts`` is q18_tumbling_window as a
+streaming query (watermark + window agg, append-complete on
+availableNow); ``sessionize_stream`` is q19_sessionize as an
+``applyInPandasWithState`` operator (per-user session state with a
+30-min gap timeout). On a live crawl these run over the metrics/events
+feed; in tests they run over the events parquet as a file stream with
+Trigger.AvailableNow, so results are exact and comparable to the batch
+query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one parquet = one
+    micro-batch under availableNow; on a live pipeline this would be a
+    Kafka/file-drop source with the same downstream graph).
+
+    The streaming file source lists a DIRECTORY; the testdata ships one
+    parquet *file* per table, so we expose it through a symlinked dir."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
+        src = d
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling window (1h) per event_type with a watermark
+    for late data — the streaming dual of q18."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("win_start"),
+                 "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_ts", T.DoubleType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session counting with a 1800 s gap rule — the custom
+    stateful operator pattern (applyInPandasWithState). State carries
+    (n_sessions, n_events, last event time)."""
+    n_sessions, n_events, last_ts = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t in pdf["ts"]:
+            sec = t.timestamp() // 1
+            if last_ts is None or sec - last_ts > 1800:
+                n_sessions += 1
+            last_ts = sec
+            n_events += 1
+    state.update((int(n_sessions), int(n_events), float(last_ts)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUT,
+            stateStructType=SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(df: DataFrame, query_name: str, checkpoint: str,
+                      output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query to completion (Trigger.AvailableNow) into
+    an in-memory sink and return the result table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)

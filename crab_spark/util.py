@@ -3,8 +3,67 @@
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def ordered_index(
+    df: DataFrame,
+    order_cols: list[str],
+    name: str = "idx",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based index in (order_cols) order, WITHOUT a global
+    single-partition sort.
+
+    A plain ``row_number().over(Window.orderBy(...))`` funnels the whole
+    DataFrame through ONE task — the serial section that caps crawl-epoch
+    scaling (Amdahl). This is the classic two-pass replacement:
+
+    1. range-partition by the order keys (parallel sort),
+    2. count rows per partition (tiny driver-side collect → cumulative
+       offsets, in range order),
+    3. per-partition row_number (parallel) + offset.
+
+    Ties in order_cols must not exist (callers order by unique keys);
+    range partitioning keeps equal keys co-located so the result would
+    still be deterministic up to tie order.
+
+    Returns a DataFrame with the extra ``name`` column. The intermediate
+    is cached (two passes must see identical partitioning); caller
+    should ``.unpersist()`` the RETURNED frame's source when done — we
+    expose it via ``df_ordered_cache`` attribute for that.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = start
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(r["_pid"])] = acc
+        acc += int(r["count"])
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+    else:
+        # zero rows: any typed map keeps the analyzer happy (never read)
+        omap = F.create_map(F.lit(0), F.lit(start))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = ranged.withColumn(
+        name,
+        (F.row_number().over(w).cast("long") - 1 + omap[F.col("_pid")]).cast("long"),
+    ).drop("_pid")
+    out.df_ordered_cache = ranged  # handle for caller-side unpersist
+    return out
 
 
 def local_df(spark: SparkSession, rows: list[tuple], schema: T.StructType) -> DataFrame:

@@ -1,0 +1,195 @@
+"""robots / proxy / report / html-conversion tests.
+
+Proxy tests mirror the reference unit suite (proxy.rs:148-189):
+list parsing and the saturating −2..=2 counter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crab_spark import corpus as C
+from crab_spark import report
+from crab_spark.crawler import CorpusFetcher, crawl
+from crab_spark.frontier import seed_frontier
+from crab_spark.functions.html import html_to_spans
+from crab_spark.parsers import data as parser_data
+from crab_spark.parsers import listing as parser_listing
+from crab_spark.parsers import load_registry
+from crab_spark.proxy import ProxyPool
+from crab_spark.robots import filter_allowed, parse_robots_txt, robots_table
+from crab_spark.schemas import SEEDS
+from crab_spark.util import local_df, ordered_index
+
+
+# -- proxy (proxy.rs:148-189 semantics) --------------------------------------
+
+def test_proxy_list_parsing():
+    pool = ProxyPool.from_lines("http://p1:8080\n\n  http://p2:8080  \n")
+    assert pool.urls == ["http://p1:8080", "http://p2:8080"]
+
+
+def test_proxy_saturating_counter():
+    pool = ProxyPool(["a", "b"])
+    for _ in range(5):
+        pool.failed(0)
+    assert pool.stats[0].alive_counter == -2 and pool.stats[0].dead
+    pool.succeeded(0)
+    assert pool.stats[0].alive_counter == -1 and not pool.stats[0].dead
+    for _ in range(10):
+        pool.succeeded(0)
+    assert pool.stats[0].alive_counter == 2  # saturated up
+    assert pool.stats[0].requests == 16
+    assert pool.stats[0].successful_requests == 11
+
+
+def test_proxy_selection_avoids_dead():
+    pool = ProxyPool(["a", "b", "c"])
+    for _ in range(2):
+        pool.failed(1)
+    picks = {pool.next()[1] for _ in range(50)}
+    assert 1 not in picks and picks <= {0, 2}
+    # all dead → random over all (proxy.rs:97-109)
+    for i in (0, 2):
+        for _ in range(2):
+            pool.failed(i)
+    picks = {pool.next()[1] for _ in range(50)}
+    assert picks == {0, 1, 2}
+
+
+def test_proxy_fold_epoch_outcomes(spark):
+    import pyspark.sql.types as T
+
+    pool = ProxyPool(["a", "b"])
+    outcomes = local_df(
+        spark,
+        [(0, True), (0, True), (1, False), (1, False), (1, False)],
+        T.StructType([T.StructField("proxy_id", T.IntegerType()),
+                      T.StructField("ok", T.BooleanType())]),
+    )
+    pool.fold_epoch_outcomes(outcomes)
+    assert pool.stats[0].alive_counter == 2
+    assert pool.stats[1].alive_counter == -2 and pool.stats[1].dead
+
+
+# -- robots -------------------------------------------------------------------
+
+def test_parse_robots_txt():
+    body = """
+    # comment
+    User-agent: googlebot
+    Disallow: /google-only
+
+    User-agent: *
+    Disallow: /private
+    Disallow: /tmp
+    """
+    assert parse_robots_txt(body) == ["/private", "/tmp"]
+    assert parse_robots_txt("User-agent: *\nDisallow:") == []
+
+
+def test_filter_allowed(spark):
+    import pyspark.sql.types as T
+
+    batch = local_df(
+        spark,
+        [("http://h1/private/x", "h1"), ("http://h1/ok", "h1"),
+         ("http://h2/private/x", "h2")],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("host", T.StringType())]),
+    )
+    robots = robots_table(spark, {"h1": ["/private"]})
+    got = {r["url"] for r in filter_allowed(batch, robots).collect()}
+    # h1/private blocked; h2 not in cache → allowed
+    assert got == {"http://h1/ok", "http://h2/private/x"}
+
+
+# -- html → spans --------------------------------------------------------------
+
+def test_html_to_spans_fixture_page():
+    """The reference test-server page HTML (test-server.py:26-39) converts
+    to spans whose link order matches the span corpus convention."""
+    html = ("<html><body><p>Page number 3</p><ul>"
+            "<li><a href='/data/30'>Data 30</a></li></ul>"
+            "<section class='pager'><a href='/page/2'>Page 2</a></section>"
+            "<img src='/img/3.png'></body></html>")
+    spans = html_to_spans(html)
+    kinds = [(s["kind"], s["text"] or s["media_ref"]) for s in spans]
+    assert ("link", "/data/30") in kinds
+    assert ("link", "/page/2") in kinds
+    assert ("media", "/img/3.png") in kinds
+    assert kinds[0] == ("text", "Page number 3")
+    offs = [s["offset"] for s in spans]
+    assert offs == sorted(offs)
+
+
+def test_html_to_spans_class_marking():
+    spans = html_to_spans("<p>Data for <span class='input'>7</span> is "
+                          "<span class='output'>49</span></p>")
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    assert "input=7" in texts and "output=49" in texts
+
+
+def test_html_to_spans_malformed():
+    # unclosed tag: link captured AND trailing text salvaged
+    got = html_to_spans("<a href='/x'>ok")
+    assert [(s["kind"], s["text"]) for s in got] == [("link", "/x"), ("text", "ok")]
+    assert html_to_spans("") == []
+
+
+# -- ordered_index -------------------------------------------------------------
+
+def test_ordered_index_matches_global_sort(spark):
+    import pyspark.sql.types as T
+
+    rows = [((i * 37) % 101, i) for i in range(101)]
+    df = local_df(spark, rows, T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]))
+    out = ordered_index(df, ["k"], "idx", start=5, num_partitions=7)
+    got = {r["k"]: r["idx"] for r in out.collect()}
+    want = {k: 5 + rank for rank, (k, _) in enumerate(sorted(rows))}
+    assert got == want
+    out.df_ordered_cache.unpersist()
+
+
+def test_crawl_on_empty_store_completes(spark, store):
+    """No registered pages ⇒ empty first refill ⇒ done (crawler.rs:61-67)."""
+    registry = load_registry([parser_listing, parser_data])
+    stats = crawl(store, CorpusFetcher(C.corpus_df(spark, 3)), registry)
+    assert stats.epochs == 0 and stats.requests == 0
+
+
+def test_broadcast_join_in_plan(spark, sf_dir):
+    """q10 contract: the small dimension side broadcasts (no shuffle of
+    the fact table on the join key)."""
+    from crab_spark.queries import QUERIES
+
+    df = QUERIES["q10_broadcast_join"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# -- reports -------------------------------------------------------------------
+
+def test_reports_after_crawl(spark, store):
+    registry = load_registry([parser_listing, parser_data])
+    seed_frontier(store, local_df(spark, [(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    crawl(store, CorpusFetcher(C.corpus_df(spark, 6)), registry, batch_size=50)
+
+    rep = report.crawl_report(store)
+    assert rep["requests"] == rep["successful"] > 0
+    assert rep["pending"] == 0
+    assert rep["frontier_size"] == rep["requests"]
+
+    pages = report.list_pages(store, limit=10).collect()
+    assert pages[0]["url"] == C.page_url(1)
+    assert all(p["status_name"] == "Downloaded" for p in pages)
+
+    ts = report.epoch_timeseries(store).collect()
+    assert sum(r["requests"] for r in ts) == rep["requests"]
+
+    one = report.page_row(store, C.page_url(2)).collect()
+    assert len(one) == 1 and one[0]["depth"] == 1
+    spans = report.dump_content(store, C.data_url(10)).collect()[0]["spans"]
+    assert any("input=10" == s["text"] for s in spans)

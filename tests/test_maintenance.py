@@ -1,0 +1,65 @@
+"""navigate-all (F9) and validate --reset sweep (F8) vs the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crab_spark import corpus as C
+from crab_spark.crawler import CorpusFetcher, crawl
+from crab_spark.frontier import pending, seed_frontier
+from crab_spark.maintenance import navigate_all, validate_sweep
+from crab_spark.parsers import SpanParser, ParserRegistry, load_registry
+from crab_spark.parsers import data as parser_data
+from crab_spark.parsers import listing as parser_listing
+from crab_spark.schemas import SEEDS
+from crab_spark.util import local_df
+
+N = 8
+
+
+def _crawled_store(spark, store, navigate=False):
+    registry = load_registry([parser_listing, parser_data])
+    seed_frontier(store, local_df(spark, [(C.page_url(p), C.PAGE_TYPE)
+                                          for p in range(1, N)], SEEDS))
+    crawl(store, CorpusFetcher(C.corpus_df(spark, N)), registry,
+          navigate=navigate, batch_size=100)
+    return registry
+
+
+def test_navigate_all_discovers_links_at_parent_depth(spark, store):
+    """Crawl WITHOUT navigation (only seeds downloaded), then
+    navigate-all: every link of the downloaded pages gets registered at
+    the PARENT depth (main.rs:212,219-221 quirk)."""
+    registry = _crawled_store(spark, store, navigate=False)
+    before = store.read("frontier").count()
+    assert before == N - 1  # only seeds
+    n_new = navigate_all(store, registry)
+    # each seeded page p has 10 data links + pager pages (new ones only)
+    frontier = store.read("frontier")
+    assert n_new == frontier.count() - before
+    assert n_new > 10 * (N - 1) - 1  # all data links are new
+    # quirk: children carry the parent's depth (seeds depth 0)
+    assert frontier.agg(F.max("depth")).collect()[0][0] == 0
+    # second run is a no-op (idempotent registration)
+    assert navigate_all(store, registry) == 0
+
+
+def test_validate_sweep_resets_invalid(spark, store):
+    registry = _crawled_store(spark, store, navigate=False)
+    assert validate_sweep(store, registry) == 0  # everything valid
+
+    # a stricter validator: pages > 3 are "invalid" now
+    strict = ParserRegistry([
+        SpanParser(
+            type_id=C.PAGE_TYPE,
+            validate=lambda spans: any(
+                s["kind"] == "text" and int(s["text"].rsplit(" ", 1)[-1]) <= 3
+                for s in spans if s["text"].startswith("Page number")
+            ),
+        ),
+        SpanParser(type_id=C.DATA_TYPE),
+    ])
+    assert pending(store).count() == 0
+    n_bad = validate_sweep(store, strict, reset=True)
+    assert n_bad == (N - 1) - 3          # pages 4..N-1 reset
+    assert pending(store).count() == n_bad  # back to NotDownloaded
