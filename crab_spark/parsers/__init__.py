@@ -60,6 +60,14 @@ class ParserRegistry:
     def __init__(self, parsers: list[SpanParser]):
         self._by_type: dict[int, SpanParser] = {}
         for p in parsers:
+            if p.type_id in self._by_type:
+                # the reference's linear find would silently shadow the
+                # LATER parser (lib.rs:158-164); surfacing the conflict
+                # beats either silent behavior
+                raise ValueError(
+                    f"duplicate parser for page type {p.type_id}: "
+                    f"{self._by_type[p.type_id].name!r} and {p.name!r}"
+                )
             self._by_type[p.type_id] = p
 
     def get(self, type_id: int) -> SpanParser:

@@ -271,13 +271,13 @@ def q23_lsh_pairs(spark, sf):
 
 
 def q24_ngram_jaccard(spark, sf):
-    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 30)
-    a = docs.select(F.col("doc_id").alias("id_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return D.ngram_jaccard(t(spark, sf, "documents"), pairs, k=3).filter(
-        F.col("jaccard") > 0
-    )
+    """The production near-dup pipeline: LSH candidates (q23's banding)
+    → exact n-gram Jaccard verify. No cartesian product anywhere — the
+    only shuffles are the band groupBy and the two candidate joins."""
+    docs = t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=8, k=2)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+    return D.ngram_jaccard(docs, pairs, k=3)
 
 
 def q25_simhash(spark, sf):  # rows-only: bit math not in portable SQL
@@ -285,8 +285,10 @@ def q25_simhash(spark, sf):  # rows-only: bit math not in portable SQL
 
 
 def q26_simhash_pairs(spark, sf):  # rows-only
-    return D.simhash_neardup_pairs(D.simhash(t(spark, sf, "documents"))).filter(
-        F.col("hamming") <= 8
+    # hamming cap inside the join (pre-distinct) so over-full buckets
+    # are pruned before the dedup shuffle, not after
+    return D.simhash_neardup_pairs(
+        D.simhash(t(spark, sf, "documents")), max_hamming=8
     )
 
 
@@ -355,8 +357,19 @@ def q35_media_stats(spark, sf):
 
 
 def q36_media_features(spark, sf):  # rows-only: decoder stub, plumbing test
+    # Driver-facing wrapper stringifies the feature vector (the driver's
+    # canonicalizer sorts/hashes rows, and an array<float> column is
+    # unhashable in pandas); the library op in operators/multimodal.py
+    # keeps the array-valued API.
     media = M.media_from_documents(t(spark, sf, "documents"))
-    return M.extract_features(media)
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "width", "height", "n_frames",
+        F.concat_ws(
+            ",",
+            F.transform("feature", lambda x: F.round(x.cast("double"), 4).cast("string")),
+        ).alias("feature_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +477,8 @@ ORACLE_SQL: dict[str, str] = {
                          IS NULL
                       THEN 1 ELSE 0 END AS new_sess
           FROM events)
-        SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
         FROM g GROUP BY user_id""",
     "q20_json_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
@@ -498,14 +512,32 @@ ORACLE_SQL: dict[str, str] = {
          AND a.doc_id < b.doc_id"""
     ),
     "q24_ngram_jaccard": (
-        "WITH " + _SHINGLE_CTE.format(k=3, km1=2) + """,
-        sets AS (SELECT doc_id, list_distinct(list(s)) sh FROM sh GROUP BY doc_id)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        # same banded candidate set as q23, then exact 3-gram Jaccard
+        # verify on just those pairs (the LSH → verify composition)
+        "WITH " + _SHINGLE_CTE.format(k=2, km1=1) + """,
+        sigs AS (SELECT doc_id, """
+        + ", ".join(f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(8))
+        + """ FROM sh GROUP BY doc_id),
+        bands AS ("""
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, sig_{2*b} || '#' || sig_{2*b+1} AS band_key FROM sigs"
+            for b in range(4)
+        )
+        + """),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+        w3 AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') s
+                FROM w3, unnest(range(1, greatest(len(ws) - 3, 0) + 2)) t(i)),
+        sets AS (SELECT doc_id, list_distinct(list(s)) sh FROM sh3 GROUP BY doc_id)
+        SELECT c.id_a, c.id_b,
                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                      len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        WHERE a.doc_id < 30 AND b.doc_id < 30
-          AND len(list_intersect(a.sh, b.sh)) > 0"""
+        FROM cand c
+        JOIN sets a ON a.doc_id = c.id_a
+        JOIN sets b ON b.doc_id = c.id_b"""
     ),
     "q27_embedding_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0)
@@ -561,7 +593,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH m AS (SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
                           octet_length(encode(text)) AS n_bytes
                    FROM documents)
-        SELECT kind, count(*) AS n, sum(n_bytes) AS total_bytes,
+        SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
                round(avg(n_bytes), 4) AS avg_bytes
         FROM m GROUP BY kind""",
 }

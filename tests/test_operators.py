@@ -72,6 +72,39 @@ def test_simhash_neardup_banding(docs):
     assert (0, 1) in pairs
 
 
+def test_simhash_odd_token_count_not_all_ones(spark):
+    """Regression: uint64 vote underflow made every odd-token-count doc
+    hash to 0xffff... so unrelated docs collided at hamming 0. Two
+    unrelated docs with ODD token counts must stay far apart."""
+    d = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),            # 5 tokens
+         (1, "zebra quark mango violin sunset")],          # 5 tokens, unrelated
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(d).collect()}
+    assert sh[0] != -1 and sh[1] != -1  # not the all-ones signature
+    ham = bin((sh[0] ^ sh[1]) & (2**64 - 1)).count("1")
+    assert ham > 10
+
+
+def test_simhash_banding_prunes_candidates(spark, sf_dir):
+    """8×8-bit bands must not blow up on same-template text: candidate
+    pairs ≪ all pairs (the 100 TB contract — banding exists to avoid
+    O(n²)), while planted near-dups still surface."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    cands = D.simhash_neardup_pairs(D.simhash(docs), max_hamming=8)
+    n_cands = cands.count()
+    assert n_cands < 0.05 * n * (n - 1) / 2
+
+
+def test_hamming_cap_applied_before_distinct(docs):
+    got = D.simhash_neardup_pairs(D.simhash(docs), max_hamming=0).collect()
+    # 0/2/4 normalize identically (simhash lowercases + splits) — all
+    # three pairs at hamming 0, nothing else survives the cap
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 2), (0, 4), (2, 4)}
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.RandomState(7)
@@ -169,6 +202,25 @@ def test_media_stats_prunes_payload(docs):
         assert scan and all("payload" not in l for l in scan)
         got = {r["kind"]: r["n"] for r in stats.collect()}
         assert sum(got.values()) == 5
+
+
+def test_q24_plan_has_no_cartesian_product(spark, sf_dir):
+    """The LSH → Jaccard verify composition must never fall back to a
+    cartesian product (the anti-pattern banding exists to avoid)."""
+    from crab_spark.queries import QUERIES
+
+    df = QUERIES["q24_ngram_jaccard"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_duplicate_parser_type_id_raises(spark):
+    from crab_spark.parsers import ParserRegistry, SpanParser
+
+    with pytest.raises(ValueError, match="duplicate parser"):
+        ParserRegistry([SpanParser(type_id=1, name="a"), SpanParser(type_id=1, name="b")])
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
