@@ -2,18 +2,21 @@
 deterministic epoch loop whose per-epoch DAG is pure DataFrame code.
 
 Reference loop (threads=1 default): refill 100 from the frontier
-(depth-ASC, rowid tiebreak) → fetch each (politeness sleep after every
-request) → validate via Python → store content + flip status →
-navigate → absolutize → register new links at depth+1 → repeat until a
-refill returns nothing. Completion order == dispatch order at the
-default threads=1, which is what pins our determinism contract.
+(depth-ASC, rowid tiebreak) → dispatch via ``pages.swap_remove(0)``
+(crawler.rs:71 — so a refill of [p1..pn] dispatches as p1, pn, pn-1,
+..., p2) → fetch each (politeness sleep after every request) → validate
+via Python → store content + flip status → navigate → absolutize →
+register new links at depth+1 → repeat until a refill returns nothing.
+Completion order == dispatch order at the default threads=1, which is
+what pins our determinism contract.
 
 Epoch mapping: one refill = one epoch. Within an epoch the batch is
 processed as one distributed DAG; links are registered in
-(dispatch position, navigate-output index) order — byte-identical to
-the reference's sequential registration order. The frontier state at
-every refill boundary therefore matches the reference exactly, which is
-the BASELINE.json crawl-order + seen-set equality criterion.
+(dispatch position, navigate-output index) order, with dispatch
+position remapped to the swap_remove sequence — byte-identical to the
+reference's sequential registration order. The frontier state at every
+refill boundary therefore matches the reference exactly, which is the
+BASELINE.json crawl-order + seen-set equality criterion.
 
 Scale shape per north_rule: the dequeued batch is repartitioned by a
 *salted host* key so one hot host cannot serialise an epoch; politeness
@@ -54,6 +57,7 @@ FETCH_RESULT = T.StructType(
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("part", T.IntegerType(), False),
         T.StructField("pos", T.LongType(), False),
+        T.StructField("proxy_id", T.IntegerType(), False),  # -1 = direct
         T.StructField("ok", T.BooleanType(), False),
         T.StructField("spans", T.ArrayType(SPAN), True),
     ]
@@ -83,7 +87,15 @@ PROCESSED = T.StructType(
     ]
 )
 
-_BATCH_COLS = ["url_hash", "url", "host", "type_id", "depth", "part", "pos"]
+_BATCH_COLS = ["url_hash", "url", "host", "type_id", "depth", "part", "pos", "proxy_id"]
+
+
+def _with_proxy_col(batch: DataFrame) -> DataFrame:
+    """Standalone fetcher calls (tests, maintenance) may pass batches
+    without a proxy assignment — default to direct (-1)."""
+    if "proxy_id" not in batch.columns:
+        batch = batch.withColumn("proxy_id", F.lit(-1))
+    return batch
 
 
 class CorpusFetcher:
@@ -107,6 +119,7 @@ class CorpusFetcher:
         self.side_effects = delay_sec > 0
 
     def fetch(self, batch: DataFrame) -> DataFrame:
+        batch = _with_proxy_col(batch)
         joined = (
             batch.select(*_BATCH_COLS)
             .join(self.corpus, batch["url"] == F.col("c_url"), "left")
@@ -148,13 +161,18 @@ class CorpusFetcher:
 class HttpFetcher:
     """Real-network fetch path (unused in the sandbox — no network).
 
-    Mirrors crawler.rs:150-179: per-request GET with connect/read
-    timeouts, politeness sleep after every request, invalid-cert
-    tolerance. Distributed shape: the batch is grouped by salted host;
-    each group runs in one task with a sequential, token-bucketed
-    session — per-host politeness is then structurally guaranteed no
-    matter how Spark schedules tasks. HTML→span conversion is the
-    caller's parser concern; this returns one text span per page.
+    Mirrors crawler.rs:150-179: per-request GET, politeness sleep after
+    every request, invalid-cert tolerance (danger_accept_invalid_certs,
+    crawler.rs:160 → unverified SSL context), per-request proxy routing
+    (crawler.rs:72-74 → the row's ``proxy_id`` picks from ``proxies``).
+    reqwest has separate connect/read timeouts (crawler.rs:155-159);
+    urllib exposes ONE socket timeout, so we apply max(cto, rto) to the
+    whole request — documented approximation. Distributed shape: the
+    batch is grouped by salted host; each group runs in one task with a
+    sequential, token-bucketed session — per-host politeness is then
+    structurally guaranteed no matter how Spark schedules tasks.
+    HTML→span conversion is the caller's parser concern; this returns
+    one text span per page.
     """
 
     side_effects = True  # network I/O: crawl() must pin fetch results
@@ -168,15 +186,31 @@ class HttpFetcher:
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         delay, cto, rto = self.delay_sec, self.connect_timeout, self.read_timeout
+        proxies = list(self.proxies)
 
         def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            import ssl
             import urllib.request
+
+            ctx = ssl._create_unverified_context()  # accept invalid certs
+            openers: dict[int, urllib.request.OpenerDirector] = {}
+
+            def opener_for(pid: int):
+                if pid not in openers:
+                    handlers: list = [urllib.request.HTTPSHandler(context=ctx)]
+                    if 0 <= pid < len(proxies):
+                        p = proxies[pid]
+                        handlers.append(
+                            urllib.request.ProxyHandler({"http": p, "https": p})
+                        )
+                    openers[pid] = urllib.request.build_opener(*handlers)
+                return openers[pid]
 
             pdf = pdf.sort_values("pos")
             oks, spans = [], []
-            for url in pdf["url"]:
+            for url, pid in zip(pdf["url"], pdf["proxy_id"]):
                 try:
-                    with urllib.request.urlopen(url, timeout=max(cto, rto)) as resp:
+                    with opener_for(int(pid)).open(url, timeout=max(cto, rto)) as resp:
                         body = resp.read().decode("utf-8", errors="replace")
                     oks.append(True)
                     spans.append([{"kind": "text", "text": body, "media_ref": "", "offset": 0}])
@@ -188,7 +222,7 @@ class HttpFetcher:
             pdf["ok"], pdf["spans"] = oks, spans
             return pdf[[f.name for f in FETCH_RESULT.fields]]
 
-        salted = batch.select(*_BATCH_COLS).withColumn(
+        salted = _with_proxy_col(batch).select(*_BATCH_COLS).withColumn(
             "_hs",
             F.concat_ws(
                 "#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(HOST_SALT)).cast("string")
@@ -270,8 +304,24 @@ class CrawlStats:
     successful: int = 0
     invalid: int = 0
     new_links: int = 0
+    robots_denied: int = 0
     wall_sec: float = 0.0
     crawl_order: list[str] = field(default_factory=list)
+
+
+def _resume_epoch(store: TableStore) -> int:
+    """Last COMPLETED epoch. The authoritative record is the ``fetched``
+    manifest's done-tags — the epoch's single atomic commit point (one
+    os.replace). The state file is a human-readable mirror, also
+    consulted so maintenance commands (navigate-all) that consumed an
+    epoch number without fetching anything never get their tag reused."""
+    state_epoch = int(store.read_state("crawl", {"epoch": 0})["epoch"])
+    done = [
+        int(t.split("-", 1)[1])
+        for t in store.tags("fetched")
+        if t.startswith("done-")
+    ] if store.exists("fetched") else []
+    return max([state_epoch] + done)
 
 
 def crawl(
@@ -286,6 +336,8 @@ def crawl(
     bloom_capacity: int = 1_000_000,
     record_order: bool = False,
     profile: bool = False,
+    robots: DataFrame | None = None,
+    proxy_pool=None,
 ) -> CrawlStats:
     """Run the crawl to completion (or max_epochs). Mirrors
     `crab run-crawler [--navigate]` (main.rs:156-184, crawler.rs:52-125).
@@ -294,12 +346,29 @@ def crawl(
     crawler.rs:138); depth_offset=0 reproduces the reference's
     navigate-all quirk (children registered at the PARENT's depth,
     main.rs:212,219-221).
+
+    ``robots``: optional robots cache DataFrame (see robots.robots_table)
+    broadcast-joined into every dequeued batch; disallowed rows are never
+    dispatched and are marked resolved so they don't retry (north_rule:
+    robots cache in the dispatch path — the reference itself has none).
+
+    ``proxy_pool``: optional proxy.ProxyPool. Each dispatched row gets a
+    deterministic proxy among the epoch's non-dead ids (seq % n_alive —
+    the seeded stand-in for the reference's per-request thread_rng pick,
+    crawler.rs:72, proxy.rs:79-111); per-epoch outcomes are folded back
+    into the saturating counters (proxy.rs:116-122 at epoch granularity).
+
+    Crash-resume contract: an epoch's writes commit in the order
+    documents → register → metrics → fetched; the fetched append is the
+    atomic commit point the resume epoch derives from. A crash anywhere
+    before it re-runs the SAME epoch number against the IDENTICAL batch
+    (dequeue excludes the crashed epoch's own registrations) and every
+    write is an idempotent tagged overwrite, so resume is exactly-once.
     """
     spark = store.spark
     stats = CrawlStats()
     t0 = time.monotonic()
-    state = store.read_state("crawl", {"epoch": 0})
-    epoch = int(state["epoch"])
+    epoch = _resume_epoch(store)
 
     # Incremental seen-set state, maintained driver-side across epochs so
     # no per-epoch full frontier rescan is needed (at 10^10 URLs a rescan
@@ -329,18 +398,64 @@ def crawl(
         epoch += 1
         timings: dict[str, float] = {}
         te = time.monotonic()
-        batch = dequeue(store, batch_size=batch_size).cache()
-        n = batch.count()
+        # exclude_epoch: on a crashed-epoch re-run the frontier already
+        # holds this epoch's registrations; hiding them reproduces the
+        # original batch byte-for-byte (no-op on a clean run)
+        batch0 = dequeue(store, batch_size=batch_size, exclude_epoch=epoch).cache()
+        batch = batch0
+        n_total = batch.count()
         te = _tick("dequeue", te, timings)
-        if n == 0:
-            batch.unpersist()
+        if n_total == 0:
+            batch0.unpersist()
             break
-        if record_order:
-            stats.crawl_order.extend(
-                r["url"] for r in batch.orderBy("pos").select("url", "pos").collect()
+        # dispatch order: the reference pops via pages.swap_remove(0)
+        # (crawler.rs:71), so a refill of [p1..pn] in (depth, seq) order
+        # dispatches as p1, pn, pn-1, ..., p2 — remap rank → dispatch pos
+        if n_total > 1:
+            batch = batch.withColumn(
+                "pos",
+                F.when(F.col("pos") == 1, F.lit(1).cast("long")).otherwise(
+                    (F.lit(n_total + 2) - F.col("pos")).cast("long")
+                ),
             )
 
-        fetched_df = fetcher.fetch(batch)
+        # robots gate (north_rule): broadcast the per-host rule cache
+        # into the batch; disallowed rows are never dispatched and are
+        # marked resolved at the epoch commit so they never retry
+        denied = None
+        flagged = None
+        n = n_total
+        if robots is not None:
+            from .robots import with_robots_flag
+
+            flagged = with_robots_flag(batch, robots).cache()
+            denied = flagged.filter(~F.col("robots_ok"))
+            dispatch = flagged.filter(F.col("robots_ok")).drop("robots_ok")
+            n = dispatch.count()
+            stats.robots_denied += n_total - n
+        else:
+            dispatch = batch
+
+        # proxy assignment at dispatch (crawler.rs:72-74): deterministic
+        # pick among this epoch's non-dead ids, carried through fetch
+        if proxy_pool is not None and proxy_pool.urls:
+            alive = proxy_pool.alive_ids()
+            id_arr = F.array(*[F.lit(int(i)) for i in alive])
+            dispatch = dispatch.withColumn(
+                "proxy_id",
+                F.element_at(
+                    id_arr, (F.pmod(F.col("seq"), F.lit(len(alive))) + 1).cast("int")
+                ).cast("int"),
+            )
+        else:
+            dispatch = dispatch.withColumn("proxy_id", F.lit(-1))
+
+        if record_order:
+            stats.crawl_order.extend(
+                r["url"] for r in dispatch.orderBy("pos").select("url", "pos").collect()
+            )
+
+        fetched_df = fetcher.fetch(dispatch)
         if getattr(fetcher, "side_effects", False):
             # side-effectful fetchers (HTTP, politeness sleeps) must not
             # recompute: pin the fetch results
@@ -387,9 +502,22 @@ def crawl(
         ).collect()
         te = _tick("plan", te, timings)
 
-        # store content + flip status (S9: append documents, mark
-        # fetched). The span payload flows JVM-side only: fetch join →
-        # semi-join against the validated flags → parquet.
+        # fold this epoch's per-proxy outcomes into the saturating
+        # counters (proxy.rs:116-122; success = fetched AND valid,
+        # crawler.rs:93-115)
+        if proxy_pool is not None and proxy_pool.urls:
+            proxy_pool.fold_epoch_outcomes(
+                processed.filter(F.col("proxy_id") >= 0).select(
+                    "proxy_id", (F.col("ok") & F.col("valid")).alias("ok")
+                )
+            )
+
+        # EPOCH COMMIT SEQUENCE — documents, register, metrics commit
+        # first (all idempotent tagged overwrites); the fetched append
+        # goes LAST as the epoch's atomic commit point. A crash anywhere
+        # before it leaves the batch pending, so the resumed run re-runs
+        # the same epoch against the identical batch and every re-write
+        # lands on the same tags.
         docs = (
             fetched_df.join(good.select("url_hash"), "url_hash", "left_semi")
             .select(
@@ -400,8 +528,6 @@ def crawl(
         )
         store.append("documents", docs, tag=f"docs-{epoch:06d}")
         te = _tick("docs_write", te, timings)
-        mark_fetched(store, good, epoch)
-        te = _tick("fetched_write", te, timings)
 
         n_new = 0
         if navigate:
@@ -429,13 +555,21 @@ def crawl(
                 max_seq += n_new
                 if seen_bloom is not None:
                     # fold ONLY this epoch's new keys into the filter
-                    new_rows = store.read("frontier").filter(
-                        F.col("epoch_discovered") == epoch
-                    )
                     seen_bloom = seen_bloom.union(
-                        bloom_mod.build_bloom(new_rows, "url_hash", proto=seen_bloom)
+                        bloom_mod.build_bloom(
+                            store.read_tag("frontier", f"reg-{epoch:06d}"),
+                            "url_hash", proto=seen_bloom,
+                        )
                     )
             te = _tick("bloom", te, timings)
+
+        # crashed-epoch re-run: register() finds 0 new (its previous
+        # output is already committed and seen) — recover the metric from
+        # the epoch's own committed delta so lineage stays truthful.
+        # max_seq must NOT be bumped: the resume scan already counted them.
+        n_new_logged = n_new
+        if n_new == 0 and navigate and f"reg-{epoch:06d}" in store.tags("frontier"):
+            n_new_logged = store.read_tag("frontier", f"reg-{epoch:06d}").count()
 
         # lineage/metrics per (epoch, frontier partition) + a summary row
         # (per_part computed up front, doubling as cache materialization)
@@ -444,11 +578,16 @@ def crawl(
         rows = [
             (epoch, r["part"], r["requests"], r["successful"], r["invalid"], 0)
             for r in per_part
-        ] + [(epoch, -1, n, n_good, n_invalid, n_new)]
+        ] + [(epoch, -1, n, n_good, n_invalid, n_new_logged)]
         store.append("metrics", local_df(spark, rows, METRICS).coalesce(1),
                      tag=f"metrics-{epoch:06d}")
-        store.write_state("crawl", {"epoch": epoch})  # commit point: epoch done
         te = _tick("metrics", te, timings)
+
+        # ATOMIC COMMIT POINT: one manifest swap marks the whole epoch
+        # done (downloaded rows + robots-skipped rows resolve together)
+        mark_fetched(store, good, epoch, skipped=denied)
+        te = _tick("fetched_write", te, timings)
+        store.write_state("crawl", {"epoch": epoch})  # observability mirror
         if profile:
             total = sum(timings.values())
             print(f"[epoch {epoch}] n={n} new={n_new} total={total:.1f}s "
@@ -458,12 +597,14 @@ def crawl(
         stats.requests += n
         stats.successful += n_good
         stats.invalid += n_invalid
-        stats.new_links += n_new
+        stats.new_links += n_new_logged
         processed.unpersist()
         if getattr(fetcher, "side_effects", False):
             fetched_df.unpersist()
-        batch.unpersist()
-        inner = getattr(batch, "df_ordered_cache", None)
+        if flagged is not None:
+            flagged.unpersist()
+        batch0.unpersist()
+        inner = getattr(batch0, "df_ordered_cache", None)
         if inner is not None:
             inner.unpersist()
 

@@ -139,20 +139,37 @@ def register(
     return n_new
 
 
-def pending(store: TableStore) -> DataFrame:
-    """frontier rows not yet downloaded (status=1 view)."""
+def pending(store: TableStore, exclude_epoch: int | None = None) -> DataFrame:
+    """frontier rows not yet resolved (status=1 view). A row is resolved
+    once it appears in the ``fetched`` log — either actually downloaded
+    (reason='fetched') or permanently skipped by a robots rule
+    (reason='robots').
+
+    ``exclude_epoch`` hides rows discovered by that epoch's own register
+    — used when re-running a crashed epoch so the re-dequeued batch is
+    byte-identical to the original even when the crash landed after the
+    register commit (a same-depth child could otherwise enter the
+    batch's tail)."""
     frontier = store.read("frontier")
+    if exclude_epoch is not None:
+        frontier = frontier.filter(F.col("epoch_discovered") != exclude_epoch)
     if store.exists("fetched"):
         fetched = store.read("fetched").select("url_hash")
         return frontier.join(fetched, "url_hash", "left_anti")
     return frontier
 
 
-def dequeue(store: TableStore, batch_size: int = 100, by_priority: bool = False) -> DataFrame:
+def dequeue(
+    store: TableStore,
+    batch_size: int = 100,
+    by_priority: bool = False,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
     """Top-k batch in reference order: depth ASC, seq ASC, LIMIT k
     (storage.rs:110-123; batch hardcoded 100 at crawler.rs:63). Adds a
-    ``pos`` column (the within-batch dispatch position, used for
-    deterministic child registration order).
+    ``pos`` column — the rank in (depth, seq) order, 1-based. The crawl
+    loop remaps rank → dispatch position (the reference dispatches via
+    swap_remove(0), crawler.rs:71).
 
     Physical note: orderBy+limit compiles to TakeOrderedAndProject —
     a per-partition top-k then a driver merge of k×partitions rows, no
@@ -165,18 +182,30 @@ def dequeue(store: TableStore, batch_size: int = 100, by_priority: bool = False)
     # TakeOrderedAndProject — fine at k=100, but at epoch-scale k it
     # merges k×partitions rows on the driver. At 10^10 rows you'd
     # additionally range-prune to the head partitions before indexing.
-    indexed = ordered_index(pending(store), keys, "pos", start=1)
+    indexed = ordered_index(pending(store, exclude_epoch), keys, "pos", start=1)
     out = indexed.filter(F.col("pos") <= batch_size)
     out.df_ordered_cache = indexed.df_ordered_cache
     return out
 
 
-def mark_fetched(store: TableStore, done: DataFrame, epoch: int) -> None:
-    """Append completion rows — the status-flip of storage.rs:137-143
-    without an UPDATE. done: DataFrame[url_hash]."""
+def mark_fetched(
+    store: TableStore,
+    done: DataFrame,
+    epoch: int,
+    skipped: DataFrame | None = None,
+) -> None:
+    """Append resolution rows — the status-flip of storage.rs:137-143
+    without an UPDATE. done: DataFrame[url_hash, depth] (downloaded);
+    skipped: rows a robots rule permanently excluded. Both land in ONE
+    tagged append so the epoch has a single atomic commit point."""
+    rows = done.select("url_hash", "depth").withColumn("reason", F.lit("fetched"))
+    if skipped is not None:
+        rows = rows.unionByName(
+            skipped.select("url_hash", "depth").withColumn("reason", F.lit("robots"))
+        )
     store.append(
         "fetched",
-        done.select("url_hash").withColumn("epoch", F.lit(epoch)).coalesce(1),
+        rows.withColumn("epoch", F.lit(epoch)).coalesce(1),
         tag=f"done-{epoch:06d}",
     )
 

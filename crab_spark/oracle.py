@@ -7,6 +7,9 @@ crawl order and URL-seen set byte-for-byte:
 
 - frontier rows carry (url, type_id, depth, status, seq=rowid)
 - refill: status=1, ORDER BY depth ASC then seq ASC, LIMIT batch
+- dispatch: ``pages.swap_remove(0)`` (crawler.rs:71) — a refill of
+  [p1..pn] dispatches as p1, pn, pn-1, ..., p2; registration (hence
+  rowid/seq and later depth-tie dequeue order) follows dispatch order
 - per page: fetch from the corpus dict → validate → mark downloaded →
   navigate → absolutize each link → register (first wins) at depth+1
 - fetch miss ⇒ page stays status=1 (retried next refill)
@@ -70,6 +73,10 @@ def run_oracle(
         )[:batch_size]
         if not batch:
             break
+        if len(batch) > 1:
+            # swap_remove(0) dispatch order (crawler.rs:71): first
+            # element, then the remainder back-to-front
+            batch = [batch[0]] + batch[:0:-1]
         for page in batch:
             res.requests += 1
             res.crawl_order.append(page["url"])

@@ -71,6 +71,15 @@ class ProxyPool:
         s.requests += 1
         s.alive_counter = max(ALIVE_MIN, s.alive_counter - 1)
 
+    def alive_ids(self) -> list[int]:
+        """Ids eligible for dispatch this epoch: the non-dead proxies, or
+        ALL of them when everything is dead (never give up,
+        proxy.rs:79-111). The crawl assigns batch rows to these ids
+        deterministically (hash(seq) % n_alive — the engine's seeded
+        stand-in for the reference's thread_rng choice)."""
+        alive = [i for i, s in enumerate(self.stats) if not s.dead]
+        return alive if alive else list(range(len(self.urls)))
+
     def next(self) -> tuple[str, int] | None:
         """Random non-dead proxy; if all dead, random over all
         (proxy.rs:79-111)."""

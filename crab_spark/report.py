@@ -26,16 +26,16 @@ def list_pages(store: TableStore, limit: int = 1000) -> DataFrame:
     (the reference reads it off the pages row, storage.rs:71-79)."""
     frontier = store.read("frontier")
     if store.exists("fetched"):
-        fetched = store.read("fetched").select("url_hash").withColumn(
-            "_dl", F.lit(True)
-        )
+        fetched = store.read("fetched").select("url_hash", F.col("reason").alias("_rsn"))
         frontier = frontier.join(fetched, "url_hash", "left")
     else:
-        frontier = frontier.withColumn("_dl", F.lit(None).cast("boolean"))
+        frontier = frontier.withColumn("_rsn", F.lit(None).cast("string"))
     return (
         frontier.withColumn(
             "status_name",
-            F.when(F.col("_dl").isNotNull(), "Downloaded").otherwise("NotDownloaded"),
+            F.when(F.col("_rsn") == "fetched", "Downloaded")
+            .when(F.col("_rsn") == "robots", "RobotsSkipped")
+            .otherwise("NotDownloaded"),
         )
         .select("seq", "url", "type_id", "depth", "status_name")
         .orderBy("seq")

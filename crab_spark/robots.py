@@ -69,13 +69,18 @@ def allowed_udf():
     return allowed
 
 
-def filter_allowed(batch: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop batch rows whose URL a robots rule disallows. The robots
-    cache is tiny (one row per host) → broadcast join, no shuffle of the
-    batch."""
+def with_robots_flag(batch: DataFrame, robots: DataFrame, flag: str = "robots_ok") -> DataFrame:
+    """Add a boolean ``flag`` column: True iff no robots rule disallows
+    the row's URL. The robots cache is tiny (one row per host) →
+    broadcast join, no shuffle of the batch; rule evaluation is one
+    Arrow crossing over the batch."""
     r = robots.select(F.col("host").alias("r_host"), "disallow")
     joined = batch.join(F.broadcast(r), batch["host"] == F.col("r_host"), "left")
-    return (
-        joined.filter(allowed_udf()(F.col("url"), F.col("disallow")))
-        .drop("r_host", "disallow")
+    return joined.withColumn(flag, allowed_udf()(F.col("url"), F.col("disallow"))).drop(
+        "r_host", "disallow"
     )
+
+
+def filter_allowed(batch: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop batch rows whose URL a robots rule disallows."""
+    return with_robots_flag(batch, robots).filter(F.col("robots_ok")).drop("robots_ok")

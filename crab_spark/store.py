@@ -63,6 +63,19 @@ class TableStore:
     def exists(self, name: str) -> bool:
         return bool(self._read_manifest(name)["dirs"])
 
+    def tags(self, name: str) -> list[str]:
+        """Committed append tags, in commit order (e.g. ['reg-000001',
+        'reg-000002']). The crawl derives its resume epoch from these —
+        the manifest commit IS the checkpoint."""
+        return [d[len("snap-"):] for d in self._read_manifest(name)["dirs"]]
+
+    def read_tag(self, name: str, tag: str) -> DataFrame:
+        """Read ONE committed append delta (e.g. a single epoch's
+        registrations) without scanning the whole table."""
+        if tag not in self.tags(name):
+            raise FileNotFoundError(f"table {name!r} has no committed tag {tag!r}")
+        return self.spark.read.parquet(str(self.root / name / f"snap-{tag}"))
+
     def read(self, name: str) -> DataFrame:
         dirs = self._read_manifest(name)["dirs"]
         if not dirs:

@@ -1,0 +1,170 @@
+"""Dispatch-path wiring tests: robots rules and proxy rotation INSIDE
+crawl() (north_rule: per-host politeness + robots cache + proxy health
+in the dispatch phase, reference crawler.rs:69-84, proxy.rs:116-137),
+plus crash-resume atomicity (an epoch's fetched-append is the single
+commit point; a crash in ANY earlier window re-runs the identical batch
+exactly-once)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crab_spark import corpus as C
+from crab_spark.crawler import CorpusFetcher, crawl
+from crab_spark.frontier import pending, seed_frontier
+from crab_spark.oracle import run_oracle
+from crab_spark.parsers import load_registry
+from crab_spark.parsers import data as parser_data
+from crab_spark.parsers import listing as parser_listing
+from crab_spark.proxy import ProxyPool
+from crab_spark.robots import robots_table
+from crab_spark.schemas import SEEDS
+
+N_PAGES = 6
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_registry([parser_listing, parser_data])
+
+
+def _seed(spark, store):
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+
+
+def _corpus(spark):
+    return C.corpus_df(spark, N_PAGES)
+
+
+def test_robots_excludes_urls_inside_crawl(spark, store, registry):
+    """A Disallow: /data/ rule for the fixture host must keep every data
+    URL out of the fetch path: no data documents, rows marked resolved
+    as robots-skipped (never retried), pages still crawled."""
+    _seed(spark, store)
+    robots = robots_table(spark, {"localhost": ["/data/"]})
+    stats = crawl(
+        store, CorpusFetcher(_corpus(spark)), registry,
+        batch_size=25, robots=robots,
+    )
+    docs = {r["doc_id"] for r in store.read("documents").select("doc_id").collect()}
+    assert docs == {C.page_url(p) for p in range(1, N_PAGES)}  # pages only
+    n_data = 10 * (N_PAGES - 1)
+    assert stats.robots_denied == n_data
+    skipped = store.read("fetched").filter(F.col("reason") == "robots")
+    assert skipped.count() == n_data
+    # nothing left pending — denied rows are resolved, not retried
+    assert pending(store).count() == 0
+
+
+def test_robots_allows_everything_when_no_rule_matches(spark, store, registry):
+    _seed(spark, store)
+    robots = robots_table(spark, {"otherhost.example.com": ["/"]})
+    stats = crawl(
+        store, CorpusFetcher(_corpus(spark)), registry,
+        batch_size=25, robots=robots,
+    )
+    assert stats.robots_denied == 0
+    assert store.read("documents").count() == (N_PAGES - 1) * 11
+
+
+class ProxyFailingFetcher(CorpusFetcher):
+    """Corpus fetch with injected per-proxy failures: any row dispatched
+    through a proxy id in ``fail_ids`` fails, simulating a dead proxy."""
+
+    def __init__(self, corpus, fail_ids: list[int]):
+        super().__init__(corpus)
+        self.fail_ids = list(fail_ids)
+
+    def fetch(self, batch):
+        out = super().fetch(batch)
+        bad = F.col("proxy_id").isin(self.fail_ids)
+        return out.withColumn("ok", F.col("ok") & ~bad).withColumn(
+            "spans", F.when(~bad, F.col("spans"))
+        )
+
+
+def test_proxy_counter_saturates_and_pool_fails_over(spark, store, registry):
+    """Proxy 1 always fails: its alive counter must saturate at -2
+    (proxy.rs:11 SaturatedDown) inside the crawl loop, after which
+    dispatch routes everything through proxy 0 and the crawl completes —
+    failed pages stay pending and are retried on the surviving proxy."""
+    _seed(spark, store)
+    pool = ProxyPool(["http://proxy0:3128", "http://proxy1:3128"])
+    stats = crawl(
+        store, ProxyFailingFetcher(_corpus(spark), fail_ids=[1]), registry,
+        batch_size=25, proxy_pool=pool,
+    )
+    assert pool.stats[1].dead and pool.stats[1].alive_counter == -2
+    assert pool.stats[1].successful_requests == 0
+    assert pool.stats[1].requests > 0
+    assert not pool.stats[0].dead and pool.stats[0].alive_counter == 2
+    assert pool.stats[0].successful_requests == pool.stats[0].requests
+    # failover completed the crawl: every reachable page downloaded
+    assert store.read("documents").count() == (N_PAGES - 1) * 11
+    assert pending(store).count() == 0
+    assert stats.successful == (N_PAGES - 1) * 11
+
+
+def test_proxy_all_alive_splits_traffic(spark, store, registry):
+    _seed(spark, store)
+    pool = ProxyPool(["http://proxy0:3128", "http://proxy1:3128"])
+    crawl(store, CorpusFetcher(_corpus(spark)), registry,
+          batch_size=25, proxy_pool=pool)
+    assert all(s.requests > 0 for s in pool.stats)
+    assert all(s.alive_counter == 2 for s in pool.stats)  # saturated up
+
+
+@pytest.mark.parametrize("crash_tag", ["docs-000002", "reg-000002", "done-000002"])
+def test_crash_mid_epoch_resumes_exactly_once(spark, store, registry, crash_tag):
+    """Kill the crawl mid-epoch-2 at three different commit windows
+    (before documents, before register, before the fetched commit-point)
+    — the resumed crawl must re-run epoch 2 against the identical batch
+    and converge to the uninterrupted run's exact state. The
+    done-000002 window is the regression: documents + register are
+    already committed when the crash hits, and the old commit ordering
+    permanently lost that batch."""
+    corpus = {}
+    for p in range(1, N_PAGES + 1):
+        corpus[C.page_url(p)] = C.page_spans(p, N_PAGES)
+        for d in range(10):
+            corpus[C.data_url(p * 10 + d)] = C.data_spans(p * 10 + d)
+    golden = run_oracle(
+        seeds=[(C.page_url(1), C.PAGE_TYPE)], corpus=corpus,
+        registry=registry, batch_size=10,
+    )
+
+    _seed(spark, store)
+    fetcher = CorpusFetcher(_corpus(spark))
+    orig_append = store.append
+    armed = {"on": True}
+
+    def boom(name, df, tag):
+        if armed["on"] and tag == crash_tag:
+            armed["on"] = False
+            raise RuntimeError("injected crash")
+        return orig_append(name, df, tag)
+
+    store.append = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crawl(store, fetcher, registry, batch_size=10)
+    store.append = orig_append
+
+    stats2 = crawl(store, fetcher, registry, batch_size=10, record_order=True)
+    got = {
+        r["url"]: (r["seq"], r["depth"], r["type_id"])
+        for r in store.read("frontier").collect()
+    }
+    assert got == golden.seen
+    docs = store.read("documents")
+    assert docs.count() == len(golden.documents)
+    assert docs.select("doc_id").distinct().count() == docs.count()
+    # the resumed run starts from epoch 2's batch: its dispatch order is
+    # the tail of the golden order (epoch 1 = first 10 dispatches... the
+    # seed epoch fetched 1 page; epoch boundaries at batch_size=10 give
+    # golden order segments [1], [10], ... — resume replays from the
+    # crashed epoch's segment onward)
+    assert stats2.crawl_order == golden.crawl_order[len(golden.crawl_order) - len(stats2.crawl_order):]
+    # lineage: metrics new_links over all epochs still adds up
+    m = store.read("metrics").filter(F.col("part") == -1)
+    assert m.agg(F.sum("new_links")).collect()[0][0] == golden.new_links
