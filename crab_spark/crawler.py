@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import bloom as bloom_mod
-from .frontier import dequeue, mark_fetched, register
+from .frontier import dequeue, mark_fetched, pending_depth_counts, register
 from .parsers import ParserRegistry
 from .schemas import METRICS, SPAN
 from .store import TableStore
@@ -383,6 +383,10 @@ def crawl(
         stats.wall_sec = time.monotonic() - t0
         return stats
     max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
+    # Driver-side per-depth pending counts: computed once at resume, then
+    # maintained incrementally (−resolved, +registered per epoch) so
+    # steady-state dequeue never scans the frontier to pick its cutoff.
+    depth_counts = pending_depth_counts(store)
     if use_bloom:
         seen_bloom = bloom_mod.build_bloom(
             store.read("frontier"), "url_hash",
@@ -400,8 +404,14 @@ def crawl(
         te = time.monotonic()
         # exclude_epoch: on a crashed-epoch re-run the frontier already
         # holds this epoch's registrations; hiding them reproduces the
-        # original batch byte-for-byte (no-op on a clean run)
-        batch0 = dequeue(store, batch_size=batch_size, exclude_epoch=epoch).cache()
+        # original batch byte-for-byte (no-op on a clean run). On a
+        # re-run the incremental counts include the crashed epoch's rows
+        # → recompute them under the exclusion instead.
+        rerun = f"reg-{epoch:06d}" in store.tags("frontier")
+        batch0 = dequeue(
+            store, batch_size=batch_size, exclude_epoch=epoch,
+            depth_counts=None if rerun else depth_counts,
+        ).cache()
         batch = batch0
         n_total = batch.count()
         te = _tick("dequeue", te, timings)
@@ -588,6 +598,28 @@ def crawl(
         mark_fetched(store, good, epoch, skipped=denied)
         te = _tick("fetched_write", te, timings)
         store.write_state("crawl", {"epoch": epoch})  # observability mirror
+
+        # maintain the driver-side pending counts: −resolved +registered
+        # (tiny aggs over the epoch's cached/delta frames, O(batch))
+        if rerun:
+            depth_counts = pending_depth_counts(store)
+        else:
+            resolved = good.groupBy("depth").agg(F.count("*").alias("c")).collect()
+            if denied is not None:
+                resolved += denied.groupBy("depth").agg(F.count("*").alias("c")).collect()
+            for r in resolved:
+                d = int(r["depth"])
+                depth_counts[d] = depth_counts.get(d, 0) - int(r["c"])
+                if depth_counts[d] <= 0:
+                    del depth_counts[d]
+            if n_new:
+                for r in (
+                    store.read_tag("frontier", f"reg-{epoch:06d}")
+                    .groupBy("depth").agg(F.count("*").alias("c")).collect()
+                ):
+                    d = int(r["depth"])
+                    depth_counts[d] = depth_counts.get(d, 0) + int(r["c"])
+        te = _tick("counts", te, timings)
         if profile:
             total = sum(timings.values())
             print(f"[epoch {epoch}] n={n} new={n_new} total={total:.1f}s "

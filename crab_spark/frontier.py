@@ -159,11 +159,53 @@ def pending(store: TableStore, exclude_epoch: int | None = None) -> DataFrame:
     return frontier
 
 
+def pending_depth_counts(
+    store: TableStore, exclude_epoch: int | None = None
+) -> dict[int, int]:
+    """Per-depth PENDING counts without touching the anti-join:
+    count(frontier) − count(fetched) per depth — two map-side-combinable
+    aggregations (the fetched log records each row's depth precisely so
+    this subtraction works). The result is O(max crawl depth) rows on
+    the driver; the crawl loop keeps it incrementally updated so the
+    steady-state epoch never runs these scans at all."""
+    f = store.read("frontier")
+    if exclude_epoch is not None:
+        f = f.filter(F.col("epoch_discovered") != exclude_epoch)
+    counts = {
+        int(r["depth"]): int(r["n"])
+        for r in f.groupBy("depth").agg(F.count("*").alias("n")).collect()
+    }
+    if store.exists("fetched"):
+        for r in (
+            store.read("fetched").groupBy("depth").agg(F.count("*").alias("n")).collect()
+        ):
+            d = int(r["depth"])
+            counts[d] = counts.get(d, 0) - int(r["n"])
+    return {d: n for d, n in counts.items() if n > 0}
+
+
+# above this batch size the driver-merge of TakeOrderedAndProject
+# (k rows × partitions) costs more than a parallel two-pass rank
+TAKE_ORDERED_MAX_K = 10_000
+
+
+def head_cutoff(depth_counts: dict[int, int], batch_size: int) -> int:
+    """Smallest depth whose cumulative pending count covers the batch."""
+    cum = 0
+    cutoff = max(depth_counts)
+    for d in sorted(depth_counts):
+        cum += depth_counts[d]
+        if cum >= batch_size:
+            return d
+    return cutoff
+
+
 def dequeue(
     store: TableStore,
     batch_size: int = 100,
     by_priority: bool = False,
     exclude_epoch: int | None = None,
+    depth_counts: dict[int, int] | None = None,
 ) -> DataFrame:
     """Top-k batch in reference order: depth ASC, seq ASC, LIMIT k
     (storage.rs:110-123; batch hardcoded 100 at crawler.rs:63). Adds a
@@ -171,18 +213,58 @@ def dequeue(
     loop remaps rank → dispatch position (the reference dispatches via
     swap_remove(0), crawler.rs:71).
 
-    Physical note: orderBy+limit compiles to TakeOrderedAndProject —
-    a per-partition top-k then a driver merge of k×partitions rows, no
-    global sort. At 10^10 rows you additionally range-partition the
-    pending set by (depth, seq) so only the head partitions are scanned.
+    Scale shape (the 10^10-frontier contract): the pending set is never
+    dense-ranked. Per-depth pending counts (driver-side dict, maintained
+    incrementally by the crawl loop or recomputed by two cheap aggs)
+    pick the head-depth cutoff; ONLY the ``depth <= cutoff`` slice of
+    frontier AND fetched is scanned (the predicate reaches both parquet
+    scans), the anti-join shuffles just that slice, and the top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of
+    k×partitions rows). The pos rank is a window over the k result rows
+    only. Per-epoch work is O(batch + head-depth slice), independent of
+    total frontier size.
     """
-    keys = ["priority", "seq"] if by_priority else ["depth", "seq"]
-    # Parallel top-k: dense-rank the pending set with the two-pass range
-    # index and keep pos ≤ k. orderBy().limit(k) would be a
-    # TakeOrderedAndProject — fine at k=100, but at epoch-scale k it
-    # merges k×partitions rows on the driver. At 10^10 rows you'd
-    # additionally range-prune to the head partitions before indexing.
-    indexed = ordered_index(pending(store, exclude_epoch), keys, "pos", start=1)
+    if by_priority:
+        # priority is a float score (depth-valued today); no per-key log
+        # subtraction — fall back to one agg over the pending view
+        pend = pending(store, exclude_epoch)
+        keys = ["priority", "seq"]
+        counts = {
+            r["priority"]: int(r["n"])
+            for r in pend.groupBy("priority").agg(F.count("*").alias("n")).collect()
+        }
+        if not counts:
+            return pend.limit(0).withColumn("pos", F.lit(0).cast("long"))
+        cutoff = head_cutoff(counts, batch_size)
+        head = pend.filter(F.col("priority") <= cutoff)
+    else:
+        keys = ["depth", "seq"]
+        if depth_counts is None:
+            depth_counts = pending_depth_counts(store, exclude_epoch)
+        if not depth_counts:
+            return pending(store, exclude_epoch).limit(0).withColumn(
+                "pos", F.lit(0).cast("long")
+            )
+        cutoff = head_cutoff(depth_counts, batch_size)
+        frontier = store.read("frontier").filter(F.col("depth") <= cutoff)
+        if exclude_epoch is not None:
+            frontier = frontier.filter(F.col("epoch_discovered") != exclude_epoch)
+        head = frontier
+        if store.exists("fetched"):
+            done = (
+                store.read("fetched")
+                .filter(F.col("depth") <= cutoff)  # prunes the fetched scan too
+                .select("url_hash")
+            )
+            head = frontier.join(done, "url_hash", "left_anti")
+    if batch_size <= TAKE_ORDERED_MAX_K:
+        topk = head.orderBy(*keys).limit(batch_size)
+        w = Window.orderBy(*keys)  # over ≤ batch_size rows — one tiny task
+        return topk.withColumn("pos", F.row_number().over(w).cast("long"))
+    # epoch-scale k: TakeOrderedAndProject would merge k×partitions rows
+    # on the driver — use the two-pass range index over the (already
+    # depth-pruned) head slice instead, fully parallel
+    indexed = ordered_index(head, keys, "pos", start=1)
     out = indexed.filter(F.col("pos") <= batch_size)
     out.df_ordered_cache = indexed.df_ordered_cache
     return out

@@ -85,6 +85,47 @@ def test_mark_fetched_excludes_from_pending(spark, store):
     assert fr.pending(store).count() == 2
 
 
+def test_dequeue_scans_only_head_depths(spark, store):
+    """Scale contract: dequeue must not rank the whole pending set. The
+    depth cutoff predicate has to reach BOTH parquet scans (frontier and
+    fetched log) and the top-k must compile to TakeOrderedAndProject —
+    per-epoch work O(batch + head-depth slice), not O(frontier)."""
+    rows = [
+        (f"http://h/{d}/{i}", 1, d, 0, d * 100 + i)
+        for d in range(6) for i in range(10)
+    ]
+    fr.register(store, _cands(spark, rows), epoch=1)
+    # resolve ALL of depth 0 → the head is depth 1
+    done = store.read("frontier").filter(F.col("depth") == 0)
+    fr.mark_fetched(store, done, epoch=1)
+
+    batch = fr.dequeue(store, batch_size=5)
+    got = [(r["depth"], r["pos"]) for r in batch.orderBy("pos").collect()]
+    assert [d for d, _ in got] == [1] * 5 and [p for _, p in got] == [1, 2, 3, 4, 5]
+
+    plan = batch._sc._jvm.PythonSQLUtils.explainString(
+        batch._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    # cutoff is depth 1 (10 pending rows at depth 1 ≥ batch 5); the
+    # pushed predicate must appear on every parquet scan in the plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert len(pushed) >= 2  # frontier scan + fetched scan
+    assert all("LessThanOrEqual(depth,1)" in l for l in pushed), pushed
+
+
+def test_pending_depth_counts_subtraction(spark, store):
+    rows = [(f"http://h/{d}/{i}", 1, d, 0, d * 10 + i) for d in range(3) for i in range(4)]
+    fr.register(store, _cands(spark, rows), epoch=1)
+    fr.mark_fetched(
+        store, store.read("frontier").filter("depth = 1 and url_hash % 2 = 0"), epoch=1
+    )
+    counts = fr.pending_depth_counts(store)
+    n1 = store.read("fetched").count()
+    assert counts[0] == 4 and counts[2] == 4
+    assert counts.get(1, 0) == 4 - n1
+
+
 def test_register_bloom_equivalence(spark, store):
     """Bloom pre-filter is a pure optimization: identical results on/off
     (SURVEY §7 step 7 equivalence requirement)."""
