@@ -387,11 +387,26 @@ def crawl(
     # maintained incrementally (−resolved, +registered per epoch) so
     # steady-state dequeue never scans the frontier to pick its cutoff.
     depth_counts = pending_depth_counts(store)
+    bloom_path = store.root / "_manifests" / "bloom-frontier.npz"
+    bloom_covered: set[str] = set()
     if use_bloom:
-        seen_bloom = bloom_mod.build_bloom(
-            store.read("frontier"), "url_hash",
-            proto=bloom_mod.Bloom.sized_for(bloom_capacity),
-        )
+        committed = set(store.tags("frontier"))
+        sidecar = bloom_mod.load_sidecar(bloom_path)
+        if sidecar is not None and sidecar[1] <= committed:
+            # resume path: fold in only the register deltas committed
+            # after the last save — O(delta), no full frontier rescan
+            seen_bloom, bloom_covered = sidecar
+            for tag in sorted(committed - bloom_covered):
+                seen_bloom = seen_bloom.union(bloom_mod.build_bloom(
+                    store.read_tag("frontier", tag), "url_hash", proto=seen_bloom,
+                ))
+        else:
+            seen_bloom = bloom_mod.build_bloom(
+                store.read("frontier"), "url_hash",
+                proto=bloom_mod.BucketedBloom.sized_for(bloom_capacity),
+            )
+        bloom_covered = set(committed)
+        bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered)
 
     def _tick(label, t_prev, timings):
         now = time.monotonic()
@@ -564,13 +579,18 @@ def crawl(
             if n_new:
                 max_seq += n_new
                 if seen_bloom is not None:
-                    # fold ONLY this epoch's new keys into the filter
+                    # fold ONLY this epoch's new keys into the filter and
+                    # persist the sidecar (lags the manifest at worst —
+                    # resume catch-up unions the gap, never misses keys)
+                    tag = f"reg-{epoch:06d}"
                     seen_bloom = seen_bloom.union(
                         bloom_mod.build_bloom(
-                            store.read_tag("frontier", f"reg-{epoch:06d}"),
+                            store.read_tag("frontier", tag),
                             "url_hash", proto=seen_bloom,
                         )
                     )
+                    bloom_covered.add(tag)
+                    bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered)
             te = _tick("bloom", te, timings)
 
         # crashed-epoch re-run: register() finds 0 new (its previous

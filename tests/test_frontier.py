@@ -8,7 +8,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from crab_spark import frontier as fr
-from crab_spark.bloom import Bloom, build_bloom, might_contain_udf
+from crab_spark.bloom import (
+    Bloom,
+    BucketedBloom,
+    build_bloom,
+    load_sidecar,
+    might_contain_udf,
+    save_sidecar,
+)
 from crab_spark.schemas import SEEDS, STATUS_NOT_DOWNLOADED
 
 
@@ -153,6 +160,75 @@ def test_bloom_no_false_negatives(spark):
     other = np.arange(50_000, 60_000, dtype=np.uint64) * np.uint64(2654435761)
     fpr = b.might_contain(other).mean()
     assert fpr < 0.05
+
+
+def test_bucketed_bloom_no_false_negatives_and_routes(spark):
+    import numpy as np
+
+    keys = (np.arange(20_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    b = BucketedBloom.sized_for(20_000)
+    b.add(keys)
+    assert b.might_contain(keys).all()
+    other = np.arange(1, 10_001, dtype=np.uint64) * np.uint64(2654435761) + np.uint64(7)
+    fresh = other[~np.isin(other, keys)]
+    assert b.might_contain(fresh).mean() < 0.05
+
+
+def test_bucketed_bloom_udf_and_build(spark):
+    df = spark.createDataFrame([(int(i) * 7919,) for i in range(500)], "url_hash long")
+    b = build_bloom(df, "url_hash", proto=BucketedBloom.sized_for(500))
+    import numpy as np
+
+    keys = (np.arange(500, dtype=np.int64) * 7919).view(np.uint64)
+    assert b.might_contain(keys).all()
+    probe = might_contain_udf(spark, b)
+    got = df.select(probe("url_hash").alias("m")).collect()
+    assert all(r["m"] for r in got)
+
+
+def test_bloom_sidecar_roundtrip(tmp_path):
+    import numpy as np
+
+    b = BucketedBloom.sized_for(1000)
+    keys = np.arange(100, dtype=np.uint64) * np.uint64(31)
+    b.add(keys)
+    p = tmp_path / "bloom.npz"
+    save_sidecar(p, b, {"reg-000001", "reg-000002"})
+    loaded, covered = load_sidecar(p)
+    assert covered == {"reg-000001", "reg-000002"}
+    assert loaded.might_contain(keys).all()
+    assert (loaded.bits == b.bits).all()
+    assert load_sidecar(tmp_path / "missing.npz") is None
+
+
+def test_crawl_persists_and_reuses_bloom_sidecar(spark, store):
+    """crawl() saves the sidecar per epoch; a resumed crawl must load it
+    (covered == committed reg tags) and still converge identically."""
+    from crab_spark import corpus as C
+    from crab_spark.bloom import load_sidecar as _load
+    from crab_spark.crawler import CorpusFetcher, crawl
+    from crab_spark.parsers import load_registry
+    from crab_spark.parsers import data as pd_
+    from crab_spark.parsers import listing as pl_
+
+    registry = load_registry([pl_, pd_])
+    fr.seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    fetcher = CorpusFetcher(C.corpus_df(spark, 4))
+    crawl(store, fetcher, registry, batch_size=10, max_epochs=2)
+    side = _load(store.root / "_manifests" / "bloom-frontier.npz")
+    assert side is not None
+    bloom, covered = side
+    assert covered == set(store.tags("frontier"))
+    # resume completes on the sidecar (equivalence: same final state as
+    # the bloom-off path)
+    crawl(store, fetcher, registry, batch_size=10)
+    on = {r["url"]: r["seq"] for r in store.read("frontier").collect()}
+
+    store2 = type(store)(store.root.parent / "wh-nobloom", spark)
+    fr.seed_frontier(store2, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    crawl(store2, fetcher, registry, batch_size=10, use_bloom=False)
+    off = {r["url"]: r["seq"] for r in store2.read("frontier").collect()}
+    assert on == off
 
 
 def test_bloom_udf_matches_local(spark):
