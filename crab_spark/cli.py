@@ -4,15 +4,21 @@ subcommands) over the Spark engine.
     python -m crab_spark.cli new <dir>            # scaffold workspace (S10)
     python -m crab_spark.cli register <url> <type_id>
     python -m crab_spark.cli run-crawler [--navigate] [--batch N]
+    python -m crab_spark.cli navigate <url>         # print outgoing links
     python -m crab_spark.cli navigate-all
     python -m crab_spark.cli validate [--reset]
-    python -m crab_spark.cli list-pages
+    python -m crab_spark.cli list-pages [-n|--no-header]
     python -m crab_spark.cli parsers
     python -m crab_spark.cli dump <url>
-    python -m crab_spark.cli parse <url>
+    python -m crab_spark.cli parse <url> [-n col ...]
+    python -m crab_spark.cli reset <url>            # flip back to pending
     python -m crab_spark.cli export-table <name> [-n col ...]
     python -m crab_spark.cli export-csv <name> <out_dir> [-n col ...]
     python -m crab_spark.cli migrate                # no-op: schema lives in code
+
+The 13-command surface mirrors the reference's clap enum
+(main.rs:36-104); page ids are canonical URLs here (the engine's key)
+instead of SQLite rowids.
 
 Workspace config (crab.toml analogue) is ``crab_spark.toml`` JSON-ish
 via tomllib: [crawler] threads/delay_sec/timeouts map to batch size and
@@ -101,12 +107,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--navigate", action="store_true")
     p.add_argument("--batch", type=int, default=None)
     sub.add_parser("navigate-all")
+    p = sub.add_parser("navigate"); p.add_argument("url")
+    p = sub.add_parser("reset"); p.add_argument("url")
     p = sub.add_parser("validate"); p.add_argument("--reset", action="store_true")
-    sub.add_parser("list-pages")
+    p = sub.add_parser("list-pages")
+    p.add_argument("-n", "--no-header", action="store_true")
     sub.add_parser("parsers")
     sub.add_parser("migrate")
     p = sub.add_parser("dump"); p.add_argument("url")
     p = sub.add_parser("parse"); p.add_argument("url")
+    p.add_argument("-n", "--columns", action="append", default=[])
     for name in ("export-table", "export-csv"):
         p = sub.add_parser(name)
         p.add_argument("table")
@@ -140,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
         from .crawler import CorpusFetcher, HttpFetcher, crawl
 
         c = cfg["crawler"]
+        pool = None
         if c.get("corpus_parquet"):
             # offline mode: fetch from a corpus table instead of HTTP
             # (deterministic testing / replay of a stored mirror)
@@ -148,13 +159,63 @@ def main(argv: list[str] | None = None) -> int:
                 delay_sec=0.0,
             )
         else:
+            # optional proxy list file (lib.rs:82-83 `proxies` path;
+            # proxy.rs from_file) — pool drives per-request routing
+            pool = None
+            if c.get("proxies"):
+                from .proxy import ProxyPool
+
+                with open(os.path.join(args.workdir, c["proxies"])) as f:
+                    pool = ProxyPool.from_lines(f.read())
             fetcher = HttpFetcher(delay_sec=c["delay_sec"],
                                   connect_timeout=c["connect_timeout_sec"],
-                                  read_timeout=c["read_timeout_sec"])
+                                  read_timeout=c["read_timeout_sec"],
+                                  proxies=pool.urls if pool else None)
+        # optional robots cache: {"host": ["/prefix", ...]} JSON file —
+        # joined into the dispatch path (north_rule; no reference analogue)
+        robots = None
+        if c.get("robots"):
+            from .robots import robots_table
+
+            with open(os.path.join(args.workdir, c["robots"])) as f:
+                robots = robots_table(spark, json.load(f))
+        proxy_pool = pool
         stats = crawl(store, fetcher, registry, navigate=args.navigate,
-                      batch_size=args.batch or c["batch_size"])
+                      batch_size=args.batch or c["batch_size"],
+                      robots=robots, proxy_pool=proxy_pool)
         print(f"epochs={stats.epochs} requests={stats.requests} "
-              f"successful={stats.successful} new_links={stats.new_links}")
+              f"successful={stats.successful} new_links={stats.new_links}"
+              + (f" robots_denied={stats.robots_denied}" if robots is not None else ""))
+        if proxy_pool is not None:
+            for row in proxy_pool.report():
+                print(row)
+    elif args.cmd == "navigate":
+        # run navigation rules on ONE page, print outgoing links
+        # (main.rs:192-200: "{:3}  {}" per (type_id, link))
+        from .report import dump_content, page_row
+
+        meta = page_row(store, args.url).select("type_id").collect()
+        spans = dump_content(store, args.url).collect()
+        if not meta or not spans:
+            print(f"Page not found: {args.url}", file=sys.stderr)
+            return 1
+        for link, type_id in registry.run_navigate(
+            int(meta[0]["type_id"]), [s.asDict() for s in spans[0]["spans"]]
+        ):
+            print(f"{type_id:3}  {link}")
+    elif args.cmd == "reset":
+        # flip one page back to pending (main.rs:311-314, storage.rs
+        # reset_page)
+        from pyspark.sql import functions as F
+
+        from .frontier import reset_pages
+
+        hashes = store.read("frontier").filter(F.col("url") == args.url).select("url_hash")
+        if not hashes.count():
+            print(f"Page not found: {args.url}", file=sys.stderr)
+            return 1
+        reset_pages(store, hashes)
+        print(f"reset {args.url}")
     elif args.cmd == "navigate-all":
         from .maintenance import navigate_all
 
@@ -167,7 +228,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "list-pages":
         from .report import list_pages
 
-        list_pages(store).show(1000, truncate=False)
+        if not args.no_header:  # main.rs:263-268 header + rule
+            print(f"{'id':>7}  {'type_id':>7}  {'depth':>5}  {'status':<15}  {'url':<20}")
+            print("-" * 120)
+        for r in list_pages(store).collect():
+            print(f"{r['seq']:>7}  {r['type_id']:>7}  {r['depth']:>5}  "
+                  f"{r['status_name']:<15}  {r['url']:<20}")
     elif args.cmd == "parsers":
         from .report import parser_report
 
@@ -180,14 +246,35 @@ def main(argv: list[str] | None = None) -> int:
             for s in r["spans"]:
                 print(dict(s))
     elif args.cmd == "parse":
+        # pretty-print one page's parsed tables with the reference's
+        # layout (main.rs:237-256): table name, rule, "- col: val" for a
+        # row's first printed column, "  col: val" after; -n filters
+        # columns case-insensitively (column_contains, main.rs:392-398)
         from pyspark.sql import functions as F
 
         from .maintenance import _downloaded_docs
         from .tabulator import parse_documents
 
         one = _downloaded_docs(store).where(F.col("doc_id") == args.url)
-        for r in parse_documents(one, registry).collect():
-            print(r.asDict())
+        rows = parse_documents(one, registry).orderBy(
+            "table_name", "row_idx", "col_idx"
+        ).collect()
+        wanted = [c.lower() for c in args.columns]
+        by_table: dict[str, dict[int, list]] = {}
+        for r in rows:
+            if wanted and r["col"].lower() not in wanted:
+                continue
+            by_table.setdefault(r["table_name"], {}).setdefault(
+                r["row_idx"], []
+            ).append((r["col"], r["val"]))
+        for table_name, trows in by_table.items():
+            print(table_name)
+            print("------------------------")
+            for _, cols in sorted(trows.items()):
+                for idx, (col, val) in enumerate(cols):
+                    prefix = "-" if idx == 0 else " "
+                    print(f"{prefix} {col}: {val}")
+            print()
     elif args.cmd in ("export-table", "export-csv"):
         from .maintenance import _downloaded_docs
         from .tabulator import export_table, parse_documents, write_csv

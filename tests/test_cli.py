@@ -1,0 +1,95 @@
+"""CLI drive — the 13-subcommand surface (reference main.rs:36-104)
+over a scaffolded workspace with the offline corpus, exercised through
+``main(argv)`` exactly as a shell user would."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from crab_spark import corpus as C
+from crab_spark.cli import main
+
+LISTING_PARSER = """
+from crab_spark.parsers.listing import TYPE_ID, SPAN_KINDS, navigate, validate  # noqa
+"""
+DATA_PARSER = """
+from crab_spark.parsers.data import TYPE_ID, parse  # noqa
+"""
+
+
+@pytest.fixture(scope="module")
+def workspace(spark, tmp_path_factory):
+    ws = tmp_path_factory.mktemp("cliws")
+    assert main(["new", str(ws)]) == 0
+    # offline corpus + parsers for the fixture graph
+    C.corpus_df(spark, 4).write.parquet(str(ws / "corpus.parquet"))
+    cfg = json.loads((ws / "crab_spark.json").read_text())
+    cfg["crawler"]["corpus_parquet"] = "corpus.parquet"
+    cfg["crawler"]["batch_size"] = 10
+    (ws / "crab_spark.json").write_text(json.dumps(cfg))
+    (ws / "parser_example.py").unlink()  # would clash with TYPE_ID 1
+    (ws / "parser_listing.py").write_text(LISTING_PARSER)
+    (ws / "parser_data.py").write_text(DATA_PARSER)
+    assert main(["--workdir", str(ws), "register", C.page_url(1), "1"]) == 0
+    assert main(["--workdir", str(ws), "run-crawler", "--navigate"]) == 0
+    return ws
+
+
+def _run(capsys, argv) -> str:
+    assert main(argv) == 0
+    return capsys.readouterr().out
+
+
+def test_cli_list_pages_header_flag(workspace, capsys):
+    out = _run(capsys, ["--workdir", str(workspace), "list-pages"])
+    assert out.splitlines()[0].split() == ["id", "type_id", "depth", "status", "url"]
+    assert C.page_url(1) in out and "Downloaded" in out
+    no_h = _run(capsys, ["--workdir", str(workspace), "list-pages", "--no-header"])
+    assert "id" not in no_h.splitlines()[0]
+    assert len(no_h.splitlines()) == len(out.splitlines()) - 2
+
+
+def test_cli_navigate_prints_links(workspace, capsys):
+    out = _run(capsys, ["--workdir", str(workspace), "navigate", C.page_url(1)])
+    lines = out.splitlines()
+    # pager links (type 1) first, then the ten data links (type 2) —
+    # reference prints "{:3}  {}" per link (main.rs:197-199)
+    assert lines[0] == f"  1  /page/1"
+    assert sum(1 for l in lines if l.startswith("  2  /data/")) == 10
+
+
+def test_cli_parse_column_filter(workspace, capsys):
+    url = C.data_url(10)
+    out = _run(capsys, ["--workdir", str(workspace), "parse", url])
+    assert "default" in out and "- input: 10" in out and "  output: 100" in out
+    only = _run(capsys, ["--workdir", str(workspace), "parse", url, "-n", "INPUT"])
+    assert "- input: 10" in only and "output" not in only
+
+
+def test_cli_reset_flips_status(workspace, capsys):
+    url = C.data_url(11)
+    out = _run(capsys, ["--workdir", str(workspace), "reset", url])
+    assert f"reset {url}" in out
+    pages = _run(capsys, ["--workdir", str(workspace), "list-pages", "-n"])
+    row = next(l for l in pages.splitlines() if l.endswith(url))
+    assert "NotDownloaded" in row
+    # re-crawl refetches exactly the reset page
+    out = _run(capsys, ["--workdir", str(workspace), "run-crawler"])
+    assert "requests=1 " in out + " "
+
+
+def test_cli_missing_page_errors(workspace, capsys):
+    assert main(["--workdir", str(workspace), "navigate", "http://nope/x"]) == 1
+    assert main(["--workdir", str(workspace), "reset", "http://nope/x"]) == 1
+
+
+def test_cli_export_csv(workspace, capsys, tmp_path):
+    out_dir = tmp_path / "csv"
+    _run(capsys, ["--workdir", str(workspace), "export-csv", "default", str(out_dir)])
+    files = [f for f in os.listdir(out_dir) if f.endswith(".csv")]
+    assert files
+    body = "\n".join((out_dir / f).read_text() for f in files)
+    assert "input" in body and "100" in body

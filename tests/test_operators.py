@@ -191,15 +191,13 @@ def test_media_stats_prunes_payload(docs):
     stats over media tables are metadata-only scans)."""
     import tempfile
 
+    from crab_spark.plans import assert_read_schema_excludes
+
     media = M.media_from_documents(docs)
     with tempfile.TemporaryDirectory() as td:
         media.write.parquet(f"{td}/media")
         stats = M.media_stats(media.sparkSession.read.parquet(f"{td}/media"))
-        plan = stats._sc._jvm.PythonSQLUtils.explainString(
-            stats._jdf.queryExecution(), "formatted"
-        )
-        scan = [l for l in plan.splitlines() if "ReadSchema" in l]
-        assert scan and all("payload" not in l for l in scan)
+        assert_read_schema_excludes(stats, "payload")
         got = {r["kind"]: r["n"] for r in stats.collect()}
         assert sum(got.values()) == 5
 
@@ -207,13 +205,10 @@ def test_media_stats_prunes_payload(docs):
 def test_q24_plan_has_no_cartesian_product(spark, sf_dir):
     """The LSH → Jaccard verify composition must never fall back to a
     cartesian product (the anti-pattern banding exists to avoid)."""
+    from crab_spark.plans import assert_no_cartesian
     from crab_spark.queries import QUERIES
 
-    df = QUERIES["q24_ngram_jaccard"](spark, sf_dir)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert_no_cartesian(QUERIES["q24_ngram_jaccard"](spark, sf_dir))
 
 
 def test_duplicate_parser_type_id_raises(spark):
@@ -225,14 +220,30 @@ def test_duplicate_parser_type_id_raises(spark):
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     """q01 contract: predicate + projection reach the parquet scan."""
+    from crab_spark.plans import assert_pushed_filter, plan_lines
+
     df = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .filter(F.col("l_shipdate") < "1995-03-15")
         .select("l_orderkey", "l_quantity")
     )
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
-    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert_pushed_filter(df, "LessThan(l_shipdate")
+    read = plan_lines(df, "ReadSchema")[0]
     assert "l_extendedprice" not in read and "l_orderkey" in read
+
+
+def test_corpus_datasource_matches_generator(spark):
+    """The crab_corpus Python Data Source must yield exactly the
+    corpus_df rows (schema + values), partitioned by page chunks."""
+    from crab_spark.corpus import corpus_df
+    from crab_spark.sources import register_sources
+
+    register_sources(spark)
+    df = spark.read.format("crab_corpus").option("n_pages", 12).load()
+
+    def key(r):
+        return (r["url"], r["type_id"],
+                tuple((s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]))
+
+    assert {key(r) for r in df.collect()} == {key(r) for r in corpus_df(spark, 12).collect()}
