@@ -520,11 +520,19 @@ def crawl(
         # its whole upstream stage to k tasks, so if the first action on
         # `processed` were a coalesced write, the entire fetch + parse
         # pipeline would run on k tasks (measured: flat scaling).
-        per_part = processed.groupBy("part").agg(
+        # one collect serves the per-part lineage rows AND the per-depth
+        # resolved counts (for the driver-side pending-counts upkeep)
+        per_cell = processed.groupBy("part", "depth").agg(
             F.count("*").alias("requests"),
             F.sum((F.col("ok") & F.col("valid")).cast("long")).alias("successful"),
             F.sum((F.col("ok") & ~F.col("valid")).cast("long")).alias("invalid"),
         ).collect()
+        per_part: dict[int, list[int]] = {}
+        for r in per_cell:
+            acc = per_part.setdefault(int(r["part"]), [0, 0, 0])
+            acc[0] += int(r["requests"])
+            acc[1] += int(r["successful"])
+            acc[2] += int(r["invalid"])
         te = _tick("plan", te, timings)
 
         # fold this epoch's per-proxy outcomes into the saturating
@@ -574,6 +582,7 @@ def crawl(
                 store, cands, epoch,
                 seen_bloom=seen_bloom if (seen_bloom and max_seq >= 0) else None,
                 max_seq=max_seq,
+                depth_counts_out=None if rerun else depth_counts,
             )
             te = _tick("register", te, timings)
             if n_new:
@@ -602,12 +611,12 @@ def crawl(
             n_new_logged = store.read_tag("frontier", f"reg-{epoch:06d}").count()
 
         # lineage/metrics per (epoch, frontier partition) + a summary row
-        # (per_part computed up front, doubling as cache materialization)
-        n_good = sum(r["successful"] for r in per_part)
-        n_invalid = sum(r["invalid"] for r in per_part)
+        # (per_cell computed up front, doubling as cache materialization)
+        n_good = sum(v[1] for v in per_part.values())
+        n_invalid = sum(v[2] for v in per_part.values())
         rows = [
-            (epoch, r["part"], r["requests"], r["successful"], r["invalid"], 0)
-            for r in per_part
+            (epoch, part, v[0], v[1], v[2], 0)
+            for part, v in sorted(per_part.items())
         ] + [(epoch, -1, n, n_good, n_invalid, n_new_logged)]
         store.append("metrics", local_df(spark, rows, METRICS).coalesce(1),
                      tag=f"metrics-{epoch:06d}")
@@ -619,26 +628,26 @@ def crawl(
         te = _tick("fetched_write", te, timings)
         store.write_state("crawl", {"epoch": epoch})  # observability mirror
 
-        # maintain the driver-side pending counts: −resolved +registered
-        # (tiny aggs over the epoch's cached/delta frames, O(batch))
+        # maintain the driver-side pending counts: −resolved (from the
+        # per_cell collect; +registered was folded in by register()).
+        # Only robots denial needs its own tiny agg.
         if rerun:
             depth_counts = pending_depth_counts(store)
         else:
-            resolved = good.groupBy("depth").agg(F.count("*").alias("c")).collect()
-            if denied is not None:
-                resolved += denied.groupBy("depth").agg(F.count("*").alias("c")).collect()
-            for r in resolved:
+            for r in per_cell:
+                c = int(r["successful"])
+                if not c:
+                    continue
                 d = int(r["depth"])
-                depth_counts[d] = depth_counts.get(d, 0) - int(r["c"])
+                depth_counts[d] = depth_counts.get(d, 0) - c
                 if depth_counts[d] <= 0:
                     del depth_counts[d]
-            if n_new:
-                for r in (
-                    store.read_tag("frontier", f"reg-{epoch:06d}")
-                    .groupBy("depth").agg(F.count("*").alias("c")).collect()
-                ):
+            if denied is not None:
+                for r in denied.groupBy("depth").agg(F.count("*").alias("c")).collect():
                     d = int(r["depth"])
-                    depth_counts[d] = depth_counts.get(d, 0) + int(r["c"])
+                    depth_counts[d] = depth_counts.get(d, 0) - int(r["c"])
+                    if depth_counts[d] <= 0:
+                        del depth_counts[d]
         te = _tick("counts", te, timings)
         if profile:
             total = sum(timings.values())

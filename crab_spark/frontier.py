@@ -67,8 +67,9 @@ def register(
     store: TableStore,
     candidates: DataFrame,
     epoch: int,
-    seen_bloom: bloom_mod.Bloom | None = None,
+    seen_bloom=None,
     max_seq: int | None = None,
+    depth_counts_out: dict[int, int] | None = None,
 ) -> int:
     """Dedup-insert candidate URLs; returns the number of NEW rows.
 
@@ -76,12 +77,20 @@ def register(
     link_idx]. Registration order (⇒ seq) is (parent_pos, link_idx) —
     exactly the order the reference's sequential loop would call
     register_page in (crawler.rs:136-142 with threads=1).
+
+    ``depth_counts_out``: if given, the new rows' per-depth counts are
+    added into it (same action that materializes the cache — lets the
+    crawl loop maintain its pending counts without re-reading the delta).
     """
     spark = store.spark
     cands = candidates.withColumn("url_hash", F.xxhash64("url"))
 
-    # in-batch first-wins dedup, deterministic
-    w = Window.partitionBy("url_hash").orderBy("parent_pos", "link_idx")
+    # in-batch first-wins dedup, deterministic. Keyed on (url_hash, url):
+    # the hash is the partitioner, the full string is the identity — a
+    # 64-bit collision must not merge two distinct URLs (the reference's
+    # UNIQUE index compares strings; at 10^10 URLs a few 64-bit
+    # collisions are statistically expected)
+    w = Window.partitionBy("url_hash", "url").orderBy("parent_pos", "link_idx")
     cands = (
         cands.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -89,18 +98,22 @@ def register(
     )
 
     if store.exists("frontier"):
-        seen = store.read("frontier").select("url_hash")
+        seen = store.read("frontier").select("url_hash", "url")
         if max_seq is None:  # caller may track it to skip the full-scan agg
             max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
         if seen_bloom is not None:
             # Bloom split: definite-new rows skip the anti-join shuffle.
+            # (A colliding NEW url probes 'maybe' and falls through to
+            # the exact join — the hash prefilter stays sound.)
             probe = bloom_mod.might_contain_udf(spark, seen_bloom)
             cands = cands.withColumn("_maybe", probe(F.col("url_hash")))
             definite_new = cands.filter(~F.col("_maybe")).drop("_maybe")
             maybe = cands.filter(F.col("_maybe")).drop("_maybe")
-            new = definite_new.unionByName(maybe.join(seen, "url_hash", "left_anti"))
+            new = definite_new.unionByName(
+                maybe.join(seen, ["url_hash", "url"], "left_anti")
+            )
         else:
-            new = cands.join(seen, "url_hash", "left_anti")
+            new = cands.join(seen, ["url_hash", "url"], "left_anti")
     else:
         new = cands
         if max_seq is None:
@@ -125,7 +138,13 @@ def register(
     )
     # Two actions on one plan → cache the small new-rows set for the epoch.
     new_rows = new_rows.cache()
-    n_new = new_rows.count()
+    # one materializing action yields BOTH the total and per-depth counts
+    per_depth = new_rows.groupBy("depth").agg(F.count("*").alias("n")).collect()
+    n_new = sum(int(r["n"]) for r in per_depth)
+    if depth_counts_out is not None:
+        for r in per_depth:
+            d = int(r["depth"])
+            depth_counts_out[d] = depth_counts_out.get(d, 0) + int(r["n"])
     if n_new:
         # size-aware file count: appends are per-epoch deltas, so write
         # few large files — a steady drip of 32-file micro-appends makes
@@ -154,8 +173,10 @@ def pending(store: TableStore, exclude_epoch: int | None = None) -> DataFrame:
     if exclude_epoch is not None:
         frontier = frontier.filter(F.col("epoch_discovered") != exclude_epoch)
     if store.exists("fetched"):
-        fetched = store.read("fetched").select("url_hash")
-        return frontier.join(fetched, "url_hash", "left_anti")
+        fetched = store.read("fetched").select("url_hash", "url")
+        # anti-join on (hash, url): the hash partitions, the string is
+        # the identity — hash collisions must not hide a distinct URL
+        return frontier.join(fetched, ["url_hash", "url"], "left_anti")
     return frontier
 
 
@@ -254,9 +275,9 @@ def dequeue(
             done = (
                 store.read("fetched")
                 .filter(F.col("depth") <= cutoff)  # prunes the fetched scan too
-                .select("url_hash")
+                .select("url_hash", "url")
             )
-            head = frontier.join(done, "url_hash", "left_anti")
+            head = frontier.join(done, ["url_hash", "url"], "left_anti")
     if batch_size <= TAKE_ORDERED_MAX_K:
         topk = head.orderBy(*keys).limit(batch_size)
         w = Window.orderBy(*keys)  # over ≤ batch_size rows — one tiny task
@@ -277,13 +298,13 @@ def mark_fetched(
     skipped: DataFrame | None = None,
 ) -> None:
     """Append resolution rows — the status-flip of storage.rs:137-143
-    without an UPDATE. done: DataFrame[url_hash, depth] (downloaded);
+    without an UPDATE. done: DataFrame[url_hash, url, depth] (downloaded);
     skipped: rows a robots rule permanently excluded. Both land in ONE
     tagged append so the epoch has a single atomic commit point."""
-    rows = done.select("url_hash", "depth").withColumn("reason", F.lit("fetched"))
+    rows = done.select("url_hash", "url", "depth").withColumn("reason", F.lit("fetched"))
     if skipped is not None:
         rows = rows.unionByName(
-            skipped.select("url_hash", "depth").withColumn("reason", F.lit("robots"))
+            skipped.select("url_hash", "url", "depth").withColumn("reason", F.lit("robots"))
         )
     store.append(
         "fetched",

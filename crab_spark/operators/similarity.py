@@ -81,6 +81,51 @@ def ivf_assign(
     )
 
 
+def fit_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column with plain DataFrame
+    aggregations — makes the IVF path end-to-end instead of
+    caller-supplied centroids.
+
+    - init: the first ``n_centroids`` vectors by id (deterministic; at
+      corpus scale you'd k-means|| a sample, the update loop is
+      unchanged)
+    - assign: ``ivf_assign`` (cosine argmax, pure expressions)
+    - update: element-wise bucket means via posexplode → one
+      groupBy(bucket, dim) shuffle of C×D cells per iteration; empty
+      buckets keep their previous centroid
+
+    Driver state is O(C×D) floats; everything row-scale stays
+    distributed. Means are unnormalized (spherical k-means would
+    renormalize; cosine argmax is scale-invariant so assignment is
+    identical either way).
+    """
+    init_rows = (
+        emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+    for _ in range(max(iters, 0)):
+        assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+        cells = (
+            assigned.select("bucket", F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("bucket", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("mean"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        for r in cells:
+            nxt[int(r["bucket"])][int(r["dim"])] = float(r["mean"])
+        if nxt == cents:
+            break
+        cents = nxt
+    return cents
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

@@ -26,8 +26,10 @@ def list_pages(store: TableStore, limit: int = 1000) -> DataFrame:
     (the reference reads it off the pages row, storage.rs:71-79)."""
     frontier = store.read("frontier")
     if store.exists("fetched"):
-        fetched = store.read("fetched").select("url_hash", F.col("reason").alias("_rsn"))
-        frontier = frontier.join(fetched, "url_hash", "left")
+        fetched = store.read("fetched").select(
+            "url_hash", "url", F.col("reason").alias("_rsn")
+        )
+        frontier = frontier.join(fetched, ["url_hash", "url"], "left")
     else:
         frontier = frontier.withColumn("_rsn", F.lit(None).cast("string"))
     return (

@@ -44,6 +44,10 @@ def canonicalize(url: str) -> str | None:
     if scheme not in _ALLOWED_SCHEMES or not parts.hostname:
         return None
     host = parts.hostname.lower()
+    if ":" in host:
+        # urlsplit().hostname strips IPv6 brackets; the url crate
+        # serializes the bracketed form (http://[::1]:8080/)
+        host = f"[{host}]"
     try:
         port = parts.port
     except ValueError:

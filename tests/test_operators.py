@@ -138,6 +138,28 @@ def test_ivf_recall_vs_bruteforce(emb):
     assert 3 in approx and len(brute & approx) >= 3
 
 
+def test_fit_centroids_improves_recall(emb):
+    """Fitted centroids (k-means) must give IVF recall at least as good
+    as the naive first-C-vectors init at the same nprobe, and still find
+    the planted near-dup pair."""
+    df, vecs = emb
+    q = [float(x) for x in vecs[3]]
+    brute = {r["vec_id"] for r in S.cosine_topk(df, q, k=5).collect()}
+    naive = [[float(x) for x in vecs[i]] for i in range(8)]
+    fitted = S.fit_centroids(df, n_centroids=8, iters=4)
+    assert len(fitted) == 8 and fitted != naive
+
+    def recall(cents):
+        assigned = S.ivf_assign(df, cents)
+        got = {r["vec_id"] for r in S.ivf_topk(assigned, cents, q, k=5, nprobe=2).collect()}
+        return len(brute & got)
+
+    assert recall(fitted) >= recall(naive)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             S.embedding_neardup_pairs(S.ivf_assign(df, fitted), threshold=0.99).collect()}
+    assert (3, 5) in pairs
+
+
 def test_embedding_neardup_finds_planted_pair(emb):
     df, vecs = emb
     # centroids disjoint from the planted pair: near-identical vectors

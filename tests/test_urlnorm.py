@@ -20,6 +20,10 @@ from crab_spark.urlnorm import absolutize, canonicalize, host_of
         ("http://example.com/a/./b", "http://example.com/a/b"),
         ("http://example.com/a?q=1#f", "http://example.com/a?q=1#f"),
         ("http://localhost:8080/page/1", "http://localhost:8080/page/1"),
+        # IPv6 literals keep their brackets (url-crate serialization)
+        ("http://[::1]:8080/x", "http://[::1]:8080/x"),
+        ("http://[2001:DB8::1]/a", "http://[2001:db8::1]/a"),
+        ("http://[::1]:80/a", "http://[::1]/a"),
     ],
 )
 def test_canonicalize(raw, want):
