@@ -5,10 +5,12 @@
 - ``queries()``         — one entry per implemented operator from
   SURVEY.md §2 + the training-data operator suite
   (see crab_spark/queries.py for the full inventory).
-- ``oracle_sql()``      — matching DuckDB SQL. Entries absent here
-  (simhash, IVF probe, media feature extraction) are not expressible in
-  portable SQL; they are cross-validated in tests/ instead
-  (tests/test_operators.py) and get the driver's rows-only check.
+- ``oracle_sql()``      — matching DuckDB SQL for 35/36 queries
+  (including simhash via md5_number_upper bit math and the IVF
+  assign/probe pipeline). The single entry absent here
+  (q36_media_features) exercises the stubbed media decoder — no SQL
+  analogue exists; it is cross-validated in tests/test_operators.py and
+  gets the driver's rows-only check.
 """
 
 from __future__ import annotations

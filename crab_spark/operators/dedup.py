@@ -141,8 +141,10 @@ _SIMHASH_BITS = 64
 @F.pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
     """64-bit SimHash (Charikar 2002) over whitespace tokens, Arrow
-    batch at a time. Token hash = first 8 bytes of md5 (reproducible
-    anywhere); the signed bit-vote sum runs vectorized in numpy."""
+    batch at a time. Token hash = first 8 bytes of md5, little-endian —
+    exactly DuckDB's ``md5_number_upper``, so the signature is
+    reproducible in any engine and the driver's SQL oracle can verify it
+    bit-for-bit. The signed bit-vote sum runs vectorized in numpy."""
     import hashlib
 
     out = np.zeros(len(texts), dtype=np.int64)
@@ -155,7 +157,7 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
             continue
         hashes = np.fromiter(
             (
-                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
                 for t in tokens
             ),
             dtype=np.uint64,

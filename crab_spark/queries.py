@@ -8,9 +8,11 @@ Jaccard, embedding similarity, text analysis, multimodal plumbing).
 
 Every Spark query aliases its computed columns to the SAME names as its
 oracle SQL; the driver compares row counts, schemas and order-insensitive
-value hashes at sf=0.01 via DuckDB. Entries without SQL (simhash, IVF,
-feature extraction — not expressible in portable SQL) get a rows-only
-check and are cross-validated in tests/ instead.
+value hashes at sf=0.01 via DuckDB. 35/36 queries carry an oracle
+(simhash included — md5_number_upper reproduces the engine's per-token
+hash bit-for-bit; IVF via list_cosine_similarity + arg_max). Only the
+media-decode query (stubbed decoder, no SQL analogue) is rows-only,
+cross-validated in tests/ instead.
 
 Float policy: every float aggregate/score is round()ed (4-6 dp) on BOTH
 sides so accumulation-order noise can't flip the value hash; DuckDB
@@ -280,11 +282,11 @@ def q24_ngram_jaccard(spark, sf):
     return D.ngram_jaccard(docs, pairs, k=3)
 
 
-def q25_simhash(spark, sf):  # rows-only: bit math not in portable SQL
+def q25_simhash(spark, sf):
     return D.simhash(t(spark, sf, "documents"))
 
 
-def q26_simhash_pairs(spark, sf):  # rows-only
+def q26_simhash_pairs(spark, sf):
     # hamming cap inside the join (pre-distinct) so over-full buckets
     # are pruned before the dedup shuffle, not after
     return D.simhash_neardup_pairs(
@@ -308,13 +310,13 @@ def _centroids(spark, sf, n=8) -> list[list[float]]:
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
-def q28_ivf_topk(spark, sf):  # rows-only: recall vs q27 is tested in pytest
+def q28_ivf_topk(spark, sf):
     cents = _centroids(spark, sf)
     assigned = S.ivf_assign(t(spark, sf, "embeddings"), cents)
     return S.ivf_topk(assigned, cents, _query_vec(spark, sf), k=10, nprobe=3)
 
 
-def q29_embedding_neardup(spark, sf):  # rows-only
+def q29_embedding_neardup(spark, sf):
     cents = _centroids(spark, sf)
     assigned = S.ivf_assign(t(spark, sf, "embeddings"), cents)
     return S.embedding_neardup_pairs(assigned, threshold=0.35)
@@ -383,6 +385,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+# SimHash in SQL: per-token 64-bit hash = md5_number_upper (first 8
+# md5 bytes little-endian, matching the engine UDF), ±1 votes per bit,
+# unsigned signature assembled in HUGEINT (docs with no tokens → 0)
+_SIMHASH_CTE = """
+ toks AS (SELECT doc_id, t
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                FROM documents)
+          WHERE t <> ''),
+ votes AS (SELECT doc_id, i.range AS bit,
+                  sum(CASE WHEN (md5_number_upper(t) >> i.range) & 1 = 1
+                           THEN 1 ELSE -1 END) AS vote
+           FROM toks, range(64) i GROUP BY doc_id, i.range),
+ usig AS (SELECT d.doc_id, coalesce(s.u, 0::HUGEINT) AS u
+          FROM documents d LEFT JOIN (
+            SELECT doc_id,
+                   sum(CASE WHEN vote > 0 THEN 1::HUGEINT << bit
+                            ELSE 0::HUGEINT END) AS u
+            FROM votes GROUP BY doc_id) s USING (doc_id))
+"""
 _SHINGLE_CTE = """
  w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
  sh AS (SELECT doc_id, array_to_string(ws[i:i+{km1}], ' ') s
@@ -544,6 +567,58 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) AS score
         FROM embeddings, q
         ORDER BY score DESC, vec_id LIMIT 10""",
+    "q25_simhash": (
+        "WITH " + _SIMHASH_CTE + """
+        SELECT doc_id,
+               CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                         THEN u - 18446744073709551616::HUGEINT
+                         ELSE u END AS BIGINT) AS simhash
+        FROM usig"""
+    ),
+    "q26_simhash_pairs": (
+        "WITH " + _SIMHASH_CTE + """,
+        bands AS (SELECT doc_id, u, b.range AS band_idx,
+                         (u >> (b.range * 8)) & 255 AS band_key
+                  FROM usig, range(8) b)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.u, b.u)) <= 8"""
+    ),
+    # IVF assignment (cosine argmax over the first-8 centroids), probe
+    # the 3 closest buckets, exact top-10 within them — mirrors
+    # similarity.ivf_assign/ivf_topk
+    "q28_ivf_topk": """
+        WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                   FROM embeddings WHERE vec_id < 8),
+        q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        assign AS (
+          SELECT e.vec_id, any_value(e.embedding::DOUBLE[]) AS ve,
+                 arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce))
+                   AS bucket
+          FROM embeddings e, c GROUP BY e.vec_id),
+        probe AS (SELECT c.cid FROM c, q
+                  ORDER BY list_cosine_similarity(c.ce, q.qe) DESC LIMIT 3)
+        SELECT a.vec_id, round(list_cosine_similarity(a.ve, q.qe), 4) AS score
+        FROM assign a, q
+        WHERE a.bucket IN (SELECT cid FROM probe)
+        ORDER BY score DESC, a.vec_id LIMIT 10""",
+    # same-bucket candidate pairs + exact cosine verify ≥ threshold
+    "q29_embedding_neardup": """
+        WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                   FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT e.vec_id, any_value(e.embedding::DOUBLE[]) AS ve,
+                 arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce))
+                   AS bucket
+          FROM embeddings e, c GROUP BY e.vec_id)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.ve, b.ve), 4) AS score
+        FROM assign a JOIN assign b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.ve, b.ve), 4) >= 0.35""",
     "q30_token_count": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
