@@ -40,6 +40,15 @@ def test_minhash_identical_sets_equal_sigs(docs):
     assert sigs[0] != sigs[3]          # disjoint shingles ⇒ ≠ (w.h.p.)
 
 
+def test_minhash_signatures_shuffle_free(docs):
+    """Signatures must compute row-wise in codegen (array_min over the
+    in-row shingle array) — zero Exchange nodes. An explode+groupBy
+    formulation would shuffle every shingle for the identical result."""
+    from crab_spark.plans import formatted_plan
+
+    assert "Exchange" not in formatted_plan(D.minhash_signatures(docs, n_hashes=4, k=2))
+
+
 def test_lsh_finds_neardups(docs):
     sigs = D.minhash_signatures(docs, n_hashes=8, k=2)
     pairs = {(r["id_a"], r["id_b"]) for r in
