@@ -193,3 +193,29 @@ def test_reports_after_crawl(spark, store):
     assert len(one) == 1 and one[0]["depth"] == 1
     spans = report.dump_content(store, C.data_url(10)).collect()[0]["spans"]
     assert any("input=10" == s["text"] for s in spans)
+
+
+def test_hot_host_salting_spreads_partitions(spark):
+    """north_rule skew contract: ONE hot host must not serialize an
+    epoch. The fetchers' salted-host repartition has to spread a
+    single-host batch over HOST_SALT distinct partitions so politeness
+    sleeps overlap across executor slots."""
+    from crab_spark.crawler import HOST_SALT, CorpusFetcher
+
+    corpus = spark.createDataFrame(
+        [(f"http://hot/{i}", [{"kind": "text", "text": "x", "media_ref": "",
+                               "offset": 0}]) for i in range(200)],
+        "url string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    batch = spark.createDataFrame(
+        [(i * 7919, f"http://hot/{i}", "hot", 1, 0, 0, i + 1) for i in range(200)],
+        "url_hash long, url string, host string, type_id int, depth int, part int, pos long",
+    )
+    fetched = CorpusFetcher(corpus, delay_sec=0.001).fetch(batch)
+    # count distinct physical partitions the hot host's rows land in
+    n_parts = (
+        fetched.select(F.spark_partition_id().alias("pid"))
+        .distinct().count()
+    )
+    assert n_parts >= min(HOST_SALT, 4) - 1  # ≥3 of 4 salt groups populated
+    assert fetched.count() == 200

@@ -38,3 +38,34 @@ def test_streaming_sessionize_equals_batch(spark, sf_dir, tmp_path):
     g = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
     w = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_streaming_register_dedups_across_microbatches(spark, tmp_path):
+    """Streaming first-wins dedup: two link-feed drops with overlap —
+    every URL comes out exactly once, across micro-batch boundaries."""
+    import pandas as pd
+
+    from crab_spark.streaming.frontier_stream import (
+        LINK_FEED_SCHEMA,
+        dedup_links_stream,
+        stream_link_feed,
+    )
+    from crab_spark.streaming.windows import run_available_now
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    batch1 = [(f"http://h/{i}", 1, 0) for i in range(50)]
+    batch2 = [(f"http://h/{i}", 1, 1) for i in range(25, 75)]  # 25 dups
+    spark.createDataFrame(batch1, LINK_FEED_SCHEMA).coalesce(1).write.parquet(
+        str(feed / "drop1.parquet")
+    )
+    spark.createDataFrame(batch2, LINK_FEED_SCHEMA).coalesce(1).write.parquet(
+        str(feed / "drop2.parquet")
+    )
+    out = run_available_now(
+        dedup_links_stream(stream_link_feed(spark, str(feed))),
+        "register_stream", str(tmp_path / "ckpt"), output_mode="append",
+    )
+    urls = [r["url"] for r in out.collect()]
+    assert sorted(urls) == sorted({f"http://h/{i}" for i in range(75)})
+    assert len(urls) == len(set(urls)) == 75
