@@ -64,23 +64,22 @@ def minhash_signatures(
     reproducible in any engine (the DuckDB oracle runs the same md5).
     Returns (id, sig_0..sig_{n-1}).
 
-    Physical shape: the min over shingles is ``array_min(transform(...))``
-    over the in-row shingle array — the whole signature computes
-    row-wise inside whole-stage codegen, ZERO shuffles (an
-    explode + groupBy(min) formulation pays a full shuffle of every
-    shingle for the identical result; duplicates can't change a min)."""
-    shingles = word_shingles(F.col(text_col), k)
-
-    def seeded_md5(i: int):
-        # single-arg lambda: a 2-arg one would receive transform()'s
-        # element INDEX as its second parameter
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-
-    sigs = [
-        F.array_min(F.transform(shingles, seeded_md5(i))).alias(f"sig_{i}")
+    Physical shape — explode + groupBy(min), deliberately: the
+    shuffle-free alternative (``array_min(transform(shingles, md5))``
+    row-wise) looks cheaper on paper but higher-order functions are
+    INTERPRETED expressions in Spark, outside whole-stage codegen —
+    measured 7× slower end-to-end at sf0.1 (15 s vs 2 s for the same
+    2.2M md5 calls). Exploding keeps md5 inside codegen; the groupBy's
+    min is map-side combinable, so the shuffle carries one partial
+    signature per (doc × map task), not the shingles."""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(n_hashes)
     ]
-    return docs.select(F.col(id_col), *sigs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
