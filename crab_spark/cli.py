@@ -114,6 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-n", "--no-header", action="store_true")
     sub.add_parser("parsers")
     sub.add_parser("migrate")
+    p = sub.add_parser("compact")  # maintenance: fold append deltas
+    p.add_argument("table")
+    p.add_argument("--files", type=int, default=None)
     p = sub.add_parser("dump"); p.add_argument("url")
     p = sub.add_parser("parse"); p.add_argument("url")
     p.add_argument("-n", "--columns", action="append", default=[])
@@ -234,6 +237,10 @@ def main(argv: list[str] | None = None) -> int:
         for r in list_pages(store).collect():
             print(f"{r['seq']:>7}  {r['type_id']:>7}  {r['depth']:>5}  "
                   f"{r['status_name']:<15}  {r['url']:<20}")
+    elif args.cmd == "compact":
+        n = store.compact(args.table, n_files=args.files)
+        print(f"compacted {n} snapshot dir(s) of {args.table}" if n
+              else f"{args.table}: nothing to compact")
     elif args.cmd == "parsers":
         from .report import parser_report
 

@@ -313,6 +313,27 @@ def mark_fetched(
     )
 
 
+def score_host_budget(
+    pending_df: DataFrame, host_budget: int = 100
+) -> DataFrame:
+    """Priority frontier with depth/host-budget scoring (north_rule):
+    rewrite ``priority`` so each host contributes at most ``host_budget``
+    rows per priority level — the (budget+1)-th pending row of a host
+    scores as if it were one level deeper, the (2·budget+1)-th two
+    deeper, and so on. ``dequeue(by_priority=True)`` over the scored set
+    then interleaves hosts instead of draining one hot host's shallow
+    pages first.
+
+    One shuffle on host (the within-host rank window); scoring is a
+    periodic maintenance pass over the pending slice, not per-epoch
+    work."""
+    w = Window.partitionBy("host").orderBy("depth", "seq")
+    overflow = F.floor((F.row_number().over(w) - 1) / host_budget)
+    return pending_df.withColumn(
+        "priority", F.col("depth").cast("double") + overflow.cast("double")
+    )
+
+
 def reset_pages(store: TableStore, url_hashes: DataFrame) -> None:
     """Force re-download (mirrors `UPDATE pages SET status=1`,
     storage.rs:125-132, and the validate --reset sweep main.rs:279-300):

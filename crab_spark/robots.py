@@ -50,6 +50,59 @@ def robots_table(spark, entries: dict[str, list[str]], epoch: int = 0) -> DataFr
     )
 
 
+ROBOTS_BODY = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("body", T.StringType(), True),  # NULL = unreachable
+    ]
+)
+
+
+def fetch_robots_http(hosts: DataFrame, scheme: str = "http",
+                      timeout: float = 5.0) -> DataFrame:
+    """Fetch ``{scheme}://{host}/robots.txt`` for every host — one GET
+    per host, distributed over host partitions (the robots refresh is
+    O(#hosts), tiny next to the crawl itself). Unreachable hosts yield
+    NULL bodies (⇒ allow-all, the crawl-friendly default)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import ssl
+        import urllib.request
+
+        ctx = ssl._create_unverified_context()
+        for pdf in batches:
+            bodies = []
+            for h in pdf["host"]:
+                try:
+                    with urllib.request.urlopen(
+                        f"{scheme}://{h}/robots.txt", timeout=timeout, context=ctx
+                    ) as resp:
+                        bodies.append(resp.read().decode("utf-8", errors="replace"))
+                except Exception:
+                    bodies.append(None)
+            yield pd.DataFrame({"host": pdf["host"], "body": bodies})
+
+    n = max(hosts.sparkSession.sparkContext.defaultParallelism, 4)
+    return hosts.select("host").distinct().repartition(n, "host").mapInPandas(
+        run, schema=ROBOTS_BODY
+    )
+
+
+def robots_from_bodies(bodies: DataFrame, epoch: int = 0) -> DataFrame:
+    """Parse fetched robots.txt bodies into the broadcastable cache
+    table — rule extraction runs vectorized (one Arrow batch per task).
+    bodies: DataFrame[host, body]."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def parse(bod: pd.Series) -> pd.Series:
+        return bod.map(lambda b: parse_robots_txt(b) if b else [])
+
+    return bodies.select(
+        "host", parse("body").alias("disallow"),
+        F.lit(epoch).alias("fetched_epoch"),
+    )
+
+
 def allowed_udf():
     """Vectorized path-vs-disallow check. Join shape: batch ⋈ broadcast
     robots on host → filter. NULL disallow (host absent from the cache)

@@ -103,6 +103,27 @@ class TableStore:
         df.write.mode("overwrite").parquet(str(target))
         return dirname
 
+    def compact(self, name: str, n_files: int | None = None) -> int:
+        """Rewrite a table's accumulated per-epoch append dirs into ONE
+        directory (the Iceberg rewrite_data_files analogue): long crawls
+        drip hundreds of tagged deltas and every subsequent scan pays
+        the file-listing + tiny-file cost. Snapshot semantics hold — the
+        rewrite lands in a fresh dir and one manifest swap publishes it;
+        readers see the old or the new table, never a blend. Returns the
+        number of dirs compacted away."""
+        dirs = self._read_manifest(name)["dirs"]
+        if len(dirs) <= 1:
+            return 0
+        df = self.read(name)
+        if n_files:
+            df = df.coalesce(n_files)
+        version = self._read_manifest(name)["version"]
+        d = self._write_dir(name, df, f"compact-{version:06d}")
+        self._commit(name, [d])
+        # old dirs stay on disk until a vacuum — readers mid-scan keep
+        # working off the previous snapshot (same as Iceberg's expire)
+        return len(dirs)
+
     # -- checkpoint state (the epoch counter) ---------------------------------
 
     def read_state(self, key: str, default: dict | None = None) -> dict:

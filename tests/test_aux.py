@@ -219,3 +219,28 @@ def test_hot_host_salting_spreads_partitions(spark):
     )
     assert n_parts >= min(HOST_SALT, 4) - 1  # ≥3 of 4 salt groups populated
     assert fetched.count() == 200
+
+
+def test_robots_from_bodies_roundtrip(spark):
+    """robots.txt refresh flow: bodies → vectorized parse → cache table
+    → dispatch filter, end to end."""
+    from crab_spark.robots import ROBOTS_BODY, robots_from_bodies, with_robots_flag
+
+    bodies = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n"),
+         ("b.com", "User-agent: bot\nDisallow: /\n"),   # other agent: ignored
+         ("c.com", None)],                               # unreachable: allow
+        ROBOTS_BODY,
+    )
+    robots = robots_from_bodies(bodies, epoch=3)
+    got = {r["host"]: list(r["disallow"]) for r in robots.collect()}
+    assert got == {"a.com": ["/private/", "/tmp"], "b.com": [], "c.com": []}
+
+    batch = spark.createDataFrame(
+        [("http://a.com/private/x", "a.com"), ("http://a.com/ok", "a.com"),
+         ("http://b.com/anything", "b.com"), ("http://c.com/x", "c.com")],
+        "url string, host string",
+    )
+    flags = {r["url"]: r["robots_ok"] for r in with_robots_flag(batch, robots).collect()}
+    assert flags == {"http://a.com/private/x": False, "http://a.com/ok": True,
+                     "http://b.com/anything": True, "http://c.com/x": True}

@@ -242,3 +242,36 @@ def test_bloom_udf_matches_local(spark):
     got = {r["url_hash"]: r["m"] for r in df.select("url_hash", probe("url_hash").alias("m")).collect()}
     local = b.might_contain(np.arange(20, dtype=np.uint64))
     assert all(got[i] == bool(local[i]) for i in range(20))
+
+
+def test_score_host_budget_interleaves_hosts(spark, store):
+    """north_rule priority frontier: a hot host's overflow beyond the
+    budget must sink a level, so a priority-ordered dequeue interleaves
+    hosts instead of draining the hot host first."""
+    rows = (
+        [(f"http://hot/{i}", 1, 0, 0, i) for i in range(10)]        # hot: 10 rows
+        + [(f"http://cold/{i}", 1, 0, 0, 100 + i) for i in range(2)]  # cold: 2
+    )
+    fr.register(store, _cands(spark, rows), epoch=1)
+    scored = fr.score_host_budget(fr.pending(store), host_budget=4)
+    got = [
+        (r["host"], r["priority"])
+        for r in scored.orderBy("priority", "seq").limit(6).collect()
+    ]
+    # first 6 by (priority, seq): hot's first 4 (prio 0) + cold's 2 (prio 0)
+    assert sorted(h for h, _ in got) == ["cold", "cold", "hot", "hot", "hot", "hot"]
+    assert all(p == 0.0 for _, p in got)
+    over = {r["host"]: max(r2["priority"] for r2 in scored.filter(
+        scored.host == r["host"]).collect()) for r in scored.select("host").distinct().collect()}
+    assert over["hot"] == 2.0 and over["cold"] == 0.0  # 10 rows / budget 4
+
+
+def test_store_compact_preserves_rows(spark, store):
+    for e in range(1, 6):
+        fr.register(store, _cands(spark, [(f"http://h/{e}", 1, 0, 0, e)]), epoch=e)
+    before = {(r["url"], r["seq"]) for r in store.read("frontier").collect()}
+    assert len(store.tags("frontier")) == 5
+    n = store.compact("frontier", n_files=1)
+    assert n == 5 and len(store.tags("frontier")) == 1
+    assert {(r["url"], r["seq"]) for r in store.read("frontier").collect()} == before
+    assert store.compact("frontier") == 0  # idempotent: single dir already
