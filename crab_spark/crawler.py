@@ -29,6 +29,7 @@ re-run of a half-committed epoch exactly-once).
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Iterator
 from dataclasses import dataclass, field
@@ -550,7 +551,11 @@ def crawl(
         # goes LAST as the epoch's atomic commit point. A crash anywhere
         # before it leaves the batch pending, so the resumed run re-runs
         # the same epoch against the identical batch and every re-write
-        # lands on the same tags.
+        # lands on the same tags. The documents write and the register
+        # pipeline are independent Spark jobs (different tables, commit
+        # order between them doesn't matter — only fetched-last does),
+        # so they run CONCURRENTLY: the docs append overlaps register's
+        # shuffles instead of serializing the epoch's two biggest jobs.
         docs = (
             fetched_df.join(good.select("url_hash"), "url_hash", "left_semi")
             .select(
@@ -559,8 +564,16 @@ def crawl(
                 F.lit(epoch).alias("fetched_epoch"),
             )
         )
-        store.append("documents", docs, tag=f"docs-{epoch:06d}")
-        te = _tick("docs_write", te, timings)
+        docs_exc: list[BaseException] = []
+
+        def _write_docs() -> None:
+            try:
+                store.append("documents", docs, tag=f"docs-{epoch:06d}")
+            except BaseException as e:  # surfaced after join()
+                docs_exc.append(e)
+
+        docs_thread = threading.Thread(target=_write_docs, name=f"docs-{epoch}")
+        docs_thread.start()
 
         n_new = 0
         if navigate:
@@ -601,6 +614,13 @@ def crawl(
                     bloom_covered.add(tag)
                     bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered)
             te = _tick("bloom", te, timings)
+
+        # documents must be committed before the epoch's commit point
+        # (and before we report the epoch done)
+        docs_thread.join()
+        if docs_exc:
+            raise docs_exc[0]
+        te = _tick("docs_write", te, timings)
 
         # crashed-epoch re-run: register() finds 0 new (its previous
         # output is already committed and seen) — recover the metric from
