@@ -334,6 +334,20 @@ def score_host_budget(
     )
 
 
+def apply_host_budget(store: TableStore, host_budget: int = 100) -> None:
+    """Maintenance pass: rewrite the frontier's ``priority`` column with
+    host-budget scoring so subsequent ``dequeue(by_priority=True)``
+    calls interleave hosts. One snapshot overwrite (the scoring window
+    shuffles on host — run this periodically, not per epoch)."""
+    scored = score_host_budget(store.read("frontier"), host_budget)
+    version = store._read_manifest("frontier")["version"]
+    store.overwrite(
+        "frontier",
+        scored.select([f.name for f in FRONTIER.fields]),
+        tag=f"rescore-{version:06d}",
+    )
+
+
 def reset_pages(store: TableStore, url_hashes: DataFrame) -> None:
     """Force re-download (mirrors `UPDATE pages SET status=1`,
     storage.rs:125-132, and the validate --reset sweep main.rs:279-300):

@@ -275,3 +275,27 @@ def test_store_compact_preserves_rows(spark, store):
     assert n == 5 and len(store.tags("frontier")) == 1
     assert {(r["url"], r["seq"]) for r in store.read("frontier").collect()} == before
     assert store.compact("frontier") == 0  # idempotent: single dir already
+
+
+def test_by_priority_dequeue_after_host_budget_rescore(spark, store):
+    """Integration: apply_host_budget rewrites priorities, then a
+    priority dequeue interleaves hosts (hot host capped per level)
+    while the depth dequeue would drain the hot host first."""
+    rows = (
+        [(f"http://hot/{i}", 1, 0, 0, i) for i in range(8)]
+        + [(f"http://cold/{i}", 1, 0, 0, 100 + i) for i in range(3)]
+    )
+    fr.register(store, _cands(spark, rows), epoch=1)
+    # depth dequeue: pure (depth, seq) order → hot's 8 rows come first
+    depth_first = [r["host"] for r in
+                   fr.dequeue(store, batch_size=8).orderBy("pos").collect()]
+    assert depth_first == ["hot"] * 8
+
+    fr.apply_host_budget(store, host_budget=3)
+    got = [(r["host"], r["priority"]) for r in
+           fr.dequeue(store, batch_size=6, by_priority=True).orderBy("pos").collect()]
+    # priority 0: hot's first 3 + cold's 3 — hosts interleaved
+    assert sorted(h for h, _ in got) == ["cold"] * 3 + ["hot"] * 3
+    assert all(p == 0.0 for _, p in got)
+    # seq stays intact through the rescore (identity preserved)
+    assert sorted(r["seq"] for r in store.read("frontier").collect()) == list(range(11))
