@@ -154,6 +154,10 @@ class BucketedBloom:
 
 
 def bloom_from_state(state: dict):
+    if state["kind"] == "cuckoo":
+        from .cuckoo import CuckooFilter  # lazy: cuckoo imports our _mix
+
+        return CuckooFilter.from_state(state)
     raw = np.frombuffer(state["bits"], dtype=np.uint8)
     if state["kind"] == "bucketed":
         return BucketedBloom(

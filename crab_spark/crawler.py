@@ -310,6 +310,25 @@ class CrawlStats:
     crawl_order: list[str] = field(default_factory=list)
 
 
+def _fold_delta(store: TableStore, seen_filter, tag: str):
+    """Fold one committed register delta into the seen-set filter.
+    Bloom layouts OR-merge distributed partials; the cuckoo filter has
+    no merge, so the (delta-sized) key column is collected and
+    inserted — O(delta) driver memory either way."""
+    delta = store.read_tag("frontier", tag)
+    if hasattr(seen_filter, "union"):
+        return seen_filter.union(
+            bloom_mod.build_bloom(delta, "url_hash", proto=seen_filter)
+        )
+    import numpy as np
+
+    keys = delta.select("url_hash").toPandas()["url_hash"].to_numpy(
+        dtype=np.int64
+    ).view(np.uint64)
+    seen_filter.add(keys)
+    return seen_filter
+
+
 def _resume_epoch(store: TableStore) -> int:
     """Last COMPLETED epoch. The authoritative record is the ``fetched``
     manifest's done-tags — the epoch's single atomic commit point (one
@@ -333,7 +352,7 @@ def crawl(
     batch_size: int = 100,
     max_epochs: int | None = None,
     depth_offset: int = 1,
-    use_bloom: bool = True,
+    use_bloom: bool | str = True,
     bloom_capacity: int = 1_000_000,
     record_order: bool = False,
     profile: bool = False,
@@ -390,17 +409,31 @@ def crawl(
     depth_counts = pending_depth_counts(store)
     bloom_path = store.root / "_manifests" / "bloom-frontier.npz"
     bloom_covered: set[str] = set()
+    # use_bloom: True/'bloom' = bucketed Bloom bitmaps (OR-mergeable
+    # partials); 'cuckoo' = partitioned cuckoo filter (deletable, per
+    # the north_rule's 'bloom/cuckoo' seen set — delta folds insert the
+    # epoch's keys instead of OR-ing bitmaps)
+    filter_kind = "cuckoo" if use_bloom == "cuckoo" else "bloom"
     if use_bloom:
         committed = set(store.tags("frontier"))
         sidecar = bloom_mod.load_sidecar(bloom_path)
-        if sidecar is not None and sidecar[1] <= committed:
+        if (sidecar is not None and sidecar[1] <= committed
+                and sidecar[0].to_state()["kind"].startswith(
+                    "cuckoo" if filter_kind == "cuckoo" else "")):
             # resume path: fold in only the register deltas committed
             # after the last save — O(delta), no full frontier rescan
             seen_bloom, bloom_covered = sidecar
             for tag in sorted(committed - bloom_covered):
-                seen_bloom = seen_bloom.union(bloom_mod.build_bloom(
-                    store.read_tag("frontier", tag), "url_hash", proto=seen_bloom,
-                ))
+                seen_bloom = _fold_delta(
+                    store, seen_bloom, tag
+                )
+        elif filter_kind == "cuckoo":
+            from . import cuckoo as cuckoo_mod
+
+            seen_bloom = cuckoo_mod.build_cuckoo(
+                store.read("frontier"), "url_hash",
+                proto=cuckoo_mod.CuckooFilter.sized_for(bloom_capacity),
+            )
         else:
             seen_bloom = bloom_mod.build_bloom(
                 store.read("frontier"), "url_hash",
@@ -605,12 +638,7 @@ def crawl(
                     # persist the sidecar (lags the manifest at worst —
                     # resume catch-up unions the gap, never misses keys)
                     tag = f"reg-{epoch:06d}"
-                    seen_bloom = seen_bloom.union(
-                        bloom_mod.build_bloom(
-                            store.read_tag("frontier", tag),
-                            "url_hash", proto=seen_bloom,
-                        )
-                    )
+                    seen_bloom = _fold_delta(store, seen_bloom, tag)
                     bloom_covered.add(tag)
                     bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered)
             te = _tick("bloom", te, timings)
