@@ -118,6 +118,29 @@ def navigate_all(
     return n_new
 
 
+def recrawl_older_than(store: TableStore, max_age_epochs: int) -> int:
+    """TTL recrawl policy (beyond the reference, which only has per-page
+    reset): flip every page fetched more than ``max_age_epochs`` epochs
+    ago back to pending, so the next crawl refreshes stale content.
+    Returns the number of pages re-queued.
+
+    Works entirely on the fetched log: one filter + overwrite (a
+    row-level DELETE on Iceberg). Robots-skipped rows are NOT revived —
+    a disallow is not staleness. Note for the cuckoo seen-set: recrawl
+    does not unregister URLs (they stay seen — re-fetching, not
+    re-discovering), so the filter needs no deletes here; cuckoo.delete
+    exists for policies that truly forget URLs."""
+    if not store.exists("fetched"):
+        return 0
+    fetched = store.read("fetched")
+    cur = fetched.agg(F.max("epoch")).collect()[0][0] or 0
+    stale = (F.col("epoch") <= cur - max_age_epochs) & (F.col("reason") == "fetched")
+    n = fetched.filter(stale).count()
+    if n:
+        store.overwrite("fetched", fetched.filter(~stale), tag="recrawl")
+    return n
+
+
 def validate_sweep(
     store: TableStore, registry: ParserRegistry, reset: bool = False
 ) -> int:

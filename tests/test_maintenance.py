@@ -63,3 +63,34 @@ def test_validate_sweep_resets_invalid(spark, store):
     n_bad = validate_sweep(store, strict, reset=True)
     assert n_bad == (N - 1) - 3          # pages 4..N-1 reset
     assert pending(store).count() == n_bad  # back to NotDownloaded
+
+
+def test_recrawl_older_than(spark, store):
+    """TTL recrawl: pages fetched ≤ (max_epoch - age) flip back to
+    pending; fresher pages and robots-skipped rows stay resolved."""
+    from crab_spark import corpus as C
+    from crab_spark.crawler import CorpusFetcher, crawl
+    from crab_spark.frontier import pending, seed_frontier
+    from crab_spark.maintenance import recrawl_older_than
+    from crab_spark.parsers import data as pd_
+    from crab_spark.parsers import listing as pl_
+    from crab_spark.parsers import load_registry
+    from crab_spark.schemas import SEEDS
+    from pyspark.sql import functions as F
+
+    registry = load_registry([pl_, pd_])
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    crawl(store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10)
+    assert pending(store).count() == 0
+    epochs = store.read("fetched").select("epoch").distinct().count()
+    assert epochs >= 3
+    cur = store.read("fetched").agg(F.max("epoch")).collect()[0][0]
+    old = store.read("fetched").filter(F.col("epoch") <= cur - 2).count()
+    n = recrawl_older_than(store, max_age_epochs=2)
+    assert n == old and n > 0
+    assert pending(store).count() == n  # exactly the stale rows re-queued
+    assert recrawl_older_than(store, max_age_epochs=2) == 0  # idempotent
+
+    # and the crawl picks them back up to completion
+    crawl(store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10)
+    assert pending(store).count() == 0
