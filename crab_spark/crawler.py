@@ -417,9 +417,12 @@ def crawl(
     if use_bloom:
         committed = set(store.tags("frontier"))
         sidecar = bloom_mod.load_sidecar(bloom_path)
+        sidecar_kind = (
+            None if sidecar is None
+            else ("cuckoo" if hasattr(sidecar[0], "shards") else "bloom")
+        )
         if (sidecar is not None and sidecar[1] <= committed
-                and sidecar[0].to_state()["kind"].startswith(
-                    "cuckoo" if filter_kind == "cuckoo" else "")):
+                and sidecar_kind == filter_kind):
             # resume path: fold in only the register deltas committed
             # after the last save — O(delta), no full frontier rescan
             seen_bloom, bloom_covered = sidecar
@@ -609,43 +612,44 @@ def crawl(
         docs_thread.start()
 
         n_new = 0
-        if navigate:
-            exploded = good.select(
-                "url", "depth", "pos", F.posexplode_outer("links").alias("link_idx", "link")
-            ).filter(F.col("link").isNotNull())
-            cands = (
-                exploded.withColumn("abs_url", absolutize_udf(F.col("link.url"), F.col("url")))
-                .filter(F.col("abs_url").isNotNull())
-                .select(
-                    F.col("abs_url").alias("url"),
-                    F.col("link.type_id").alias("type_id"),
-                    (F.col("depth") + F.lit(depth_offset)).cast("int").alias("depth"),
-                    F.col("pos").alias("parent_pos"),
-                    F.col("link_idx").cast("int").alias("link_idx"),
+        try:
+            if navigate:
+                exploded = good.select(
+                    "url", "depth", "pos", F.posexplode_outer("links").alias("link_idx", "link")
+                ).filter(F.col("link").isNotNull())
+                cands = (
+                    exploded.withColumn("abs_url", absolutize_udf(F.col("link.url"), F.col("url")))
+                    .filter(F.col("abs_url").isNotNull())
+                    .select(
+                        F.col("abs_url").alias("url"),
+                        F.col("link.type_id").alias("type_id"),
+                        (F.col("depth") + F.lit(depth_offset)).cast("int").alias("depth"),
+                        F.col("pos").alias("parent_pos"),
+                        F.col("link_idx").cast("int").alias("link_idx"),
+                    )
                 )
-            )
-            n_new = register(
-                store, cands, epoch,
-                seen_bloom=seen_bloom if (seen_bloom and max_seq >= 0) else None,
-                max_seq=max_seq,
-                depth_counts_out=None if rerun else depth_counts,
-            )
-            te = _tick("register", te, timings)
-            if n_new:
-                max_seq += n_new
-                if seen_bloom is not None:
-                    # fold ONLY this epoch's new keys into the filter and
-                    # persist the sidecar (lags the manifest at worst —
-                    # resume catch-up unions the gap, never misses keys)
-                    tag = f"reg-{epoch:06d}"
-                    seen_bloom = _fold_delta(store, seen_bloom, tag)
-                    bloom_covered.add(tag)
-                    bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered)
-            te = _tick("bloom", te, timings)
-
-        # documents must be committed before the epoch's commit point
-        # (and before we report the epoch done)
-        docs_thread.join()
+                n_new = register(
+                    store, cands, epoch,
+                    seen_bloom=seen_bloom if (seen_bloom and max_seq >= 0) else None,
+                    max_seq=max_seq,
+                    depth_counts_out=None if rerun else depth_counts,
+                )
+                te = _tick("register", te, timings)
+                if n_new:
+                    max_seq += n_new
+                    if seen_bloom is not None:
+                        # fold ONLY this epoch's new keys into the filter and
+                        # persist the sidecar (lags the manifest at worst —
+                        # resume catch-up unions the gap, never misses keys)
+                        tag = f"reg-{epoch:06d}"
+                        seen_bloom = _fold_delta(store, seen_bloom, tag)
+                        bloom_covered.add(tag)
+                        bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered)
+                te = _tick("bloom", te, timings)
+        finally:
+            # documents must be committed before the epoch's commit
+            # point (and joined even when register raises mid-epoch)
+            docs_thread.join()
         if docs_exc:
             raise docs_exc[0]
         te = _tick("docs_write", te, timings)
