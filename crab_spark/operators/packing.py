@@ -1,0 +1,71 @@
+"""Sequence packing — concatenating documents into fixed token budgets
+(the sample-packing step of LLM pretraining data prep).
+
+Semantics: documents in a deterministic order (``order_col`` ascending)
+fill packs greedily; a document lands in pack ``floor(cum_before /
+budget)`` where ``cum_before`` is the token count of everything before
+it. A pack may overflow by at most one document — the standard
+"don't split documents" packing rule, and exactly expressible as a
+running sum, so the DuckDB oracle is one window function.
+
+Distributed shape: a naive ``sum() OVER (ORDER BY ...)`` funnels the
+corpus through ONE task. This implementation is the two-level cumsum:
+range-partition by the order key, per-partition window cumsum
+(parallel), per-partition totals cumsum'd on a #partitions-row frame
+(tiny), broadcast back as offsets. The ranged frame is cached because
+both levels must observe the identical partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_pack_ids(
+    docs: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds (n_tokens, pack_id) to each document."""
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tokens = F.size(F.split(F.col(text_col), " "))
+    ranged = (
+        docs.withColumn("n_tokens", tokens.cast("long"))
+        .repartitionByRange(num_partitions, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    # level 2: one row per partition, cumsum over ≤ num_partitions rows
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    w_tot = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_tot), F.lit(0))
+    ).select("_pid", "_off")
+    # level 1: parallel per-partition running sum + broadcast offset
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_off"),
+        )
+        .withColumn("pack_id", F.floor(F.col("_cum_before") / budget))
+        .drop("_pid", "_off", "_cum_before")
+    )
+    out.df_ordered_cache = ranged  # caller may unpersist after its action
+    return out
+
+
+def pack_stats(packed: DataFrame) -> DataFrame:
+    """Per-pack rollup: document count + token fill."""
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )

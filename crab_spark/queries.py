@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as D
 from .operators import multimodal as M
+from .operators import packing as P
+from .operators import sampling as SA
 from .operators import similarity as S
 from .operators import text as X
 
@@ -374,6 +376,32 @@ def q36_media_features(spark, sf):  # rows-only: decoder stub, plumbing test
     )
 
 
+def q37_hash_sample(spark, sf):
+    """Deterministic 10% corpus sample (md5-threshold, reproducible on
+    any engine/run/retry — df.sample never is)."""
+    return SA.hash_sample(t(spark, sf, "documents"), rate=0.1).select("doc_id")
+
+
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+
+
+def q38_stratified_sample(spark, sf):
+    """Language rebalancing: per-stratum deterministic keep-rates over
+    the corpus's lang column (one codegen'd CASE, zero shuffles)."""
+    out = SA.stratified_sample(
+        t(spark, sf, "documents"), _STRAT_RATES, strat_col="lang",
+        default_rate=0.05,
+    )
+    return out.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+def q39_pack_sequences(spark, sf):
+    """Sequence packing: docs in id order fill 512-token packs greedily
+    (two-level distributed cumsum, not a single-task global window)."""
+    packed = P.with_pack_ids(t(spark, sf, "documents"), budget=512)
+    return P.pack_stats(packed)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -664,6 +692,29 @@ ORACLE_SQL: dict[str, str] = {
         WITH w AS (SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents)
         SELECT word, count(*) AS n FROM w WHERE word != ''
         GROUP BY word HAVING count(*) >= 5""",
+    "q37_hash_sample": (
+        "SELECT doc_id FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '"
+        + SA._hex_threshold(0.1) + "'"
+    ),
+    "q38_stratified_sample": (
+        "SELECT lang, count(*) AS n_kept FROM documents "
+        "WHERE md5(CAST(doc_id AS VARCHAR)) < CASE "
+        + " ".join(
+            f"WHEN lang = '{v}' THEN '{SA._hex_threshold(r)}'"
+            for v, r in sorted(_STRAT_RATES.items())
+        )
+        + f" ELSE '{SA._hex_threshold(0.05)}' END GROUP BY lang"
+    ),
+    "q39_pack_sequences": """
+        WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        c AS (SELECT doc_id, n,
+                     sum(n) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n AS cum_before
+              FROM t)
+        SELECT CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+               count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS pack_tokens
+        FROM c GROUP BY 1""",
     "q35_media_stats": """
         WITH m AS (SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
                           octet_length(encode(text)) AS n_bytes

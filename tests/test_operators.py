@@ -286,3 +286,64 @@ def test_corpus_datasource_matches_generator(spark):
                       for s in r["spans"]))
 
     assert {key(r) for r in df.collect()} == {key(r) for r in corpus_df(spark, 12).collect()}
+
+
+def test_hash_sample_deterministic_and_nested(spark, docs):
+    from crab_spark.operators import sampling as SA
+
+    big = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in SA.hash_sample(big, 0.2).collect()}
+    s2 = {r["doc_id"] for r in SA.hash_sample(big, 0.2).collect()}
+    assert s1 == s2                      # reproducible, unlike df.sample
+    s_small = {r["doc_id"] for r in SA.hash_sample(big, 0.05).collect()}
+    assert s_small <= s1                 # thresholds nest: rate↑ ⇒ superset
+    assert 0.1 < len(s1) / 2000 < 0.3    # close to the nominal rate
+    salted = {r["doc_id"] for r in SA.hash_sample(big, 0.2, salt="b").collect()}
+    assert salted != s1                  # salt decorrelates samples
+
+
+def test_stratified_sample_rates(spark):
+    from crab_spark.operators import sampling as SA
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = SA.stratified_sample(df, {"de": 1.0, "en": 0.1}, strat_col="lang")
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 1000          # rate 1.0 keeps the whole stratum
+    assert 40 < counts.get("en", 0) < 220
+    none_kept = SA.stratified_sample(df, {}, strat_col="lang", default_rate=0.0)
+    assert none_kept.count() == 0
+
+
+def test_pack_sequences_matches_global_cumsum(spark):
+    """The two-level distributed cumsum must equal the single-window
+    definition, and packs must respect the don't-split-documents rule."""
+    from pyspark.sql import Window as W2
+
+    from crab_spark.operators import packing as P
+
+    rows = [(i, " ".join(["w"] * (7 + (i * 13) % 90))) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = P.with_pack_ids(docs, budget=256, num_partitions=8)
+    got = {r["doc_id"]: (r["pack_id"], r["n_tokens"]) for r in packed.collect()}
+
+    w = W2.orderBy("doc_id").rowsBetween(W2.unboundedPreceding, -1)
+    ref = (
+        docs.withColumn("n", F.size(F.split("text", " ")).cast("long"))
+        .withColumn("cb", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .withColumn("pid", F.floor(F.col("cb") / 256))
+    )
+    want = {r["doc_id"]: (r["pid"], r["n"]) for r in ref.collect()}
+    assert got == want
+    # fill invariant: through pack k (non-last) the cumulative token
+    # count reaches (k+1)·budget — each pack closes only once the budget
+    # line is crossed (an individual pack may undershoot when its
+    # predecessor overflowed past its line; that overflow counts)
+    stats = {r["pack_id"]: r["pack_tokens"] for r in P.pack_stats(packed).collect()}
+    running = 0
+    for k in sorted(stats):
+        running += stats[k]
+        if k != max(stats):
+            assert running >= 256 * (k + 1), (k, running)
+    packed.df_ordered_cache.unpersist()
