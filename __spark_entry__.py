@@ -5,7 +5,7 @@
 - ``queries()``         — one entry per implemented operator from
   SURVEY.md §2 + the training-data operator suite
   (see crab_spark/queries.py for the full inventory).
-- ``oracle_sql()``      — matching DuckDB SQL for 35/36 queries
+- ``oracle_sql()``      — matching DuckDB SQL for 38/39 queries
   (including simhash via md5_number_upper bit math and the IVF
   assign/probe pipeline). The single entry absent here
   (q36_media_features) exercises the stubbed media decoder — no SQL

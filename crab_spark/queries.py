@@ -8,7 +8,7 @@ Jaccard, embedding similarity, text analysis, multimodal plumbing).
 
 Every Spark query aliases its computed columns to the SAME names as its
 oracle SQL; the driver compares row counts, schemas and order-insensitive
-value hashes at sf=0.01 via DuckDB. 35/36 queries carry an oracle
+value hashes at sf=0.01 via DuckDB. 38/39 queries carry an oracle
 (simhash included — md5_number_upper reproduces the engine's per-token
 hash bit-for-bit; IVF via list_cosine_similarity + arg_max). Only the
 media-decode query (stubbed decoder, no SQL analogue) is rows-only,
