@@ -172,22 +172,33 @@ class HttpFetcher:
     batch is grouped by salted host; each group runs in one task with a
     sequential, token-bucketed session — per-host politeness is then
     structurally guaranteed no matter how Spark schedules tasks.
-    HTML→span conversion is the caller's parser concern; this returns
-    one text span per page.
+    Fetched bodies convert to interleaved span documents in-task
+    (functions.html.html_to_spans by default; ``to_spans`` plugs in
+    other content types), so downstream parsing is identical to the
+    offline path. Tested end-to-end over file:// URLs (urllib serves
+    them through the same opener machinery — no network needed).
     """
 
     side_effects = True  # network I/O: crawl() must pin fetch results
 
     def __init__(self, delay_sec: float = 5.0, connect_timeout: float = 5.0,
-                 read_timeout: float = 5.0, proxies: list[str] | None = None):
+                 read_timeout: float = 5.0, proxies: list[str] | None = None,
+                 to_spans=None):
+        from .functions.html import html_to_spans
+
         self.delay_sec = delay_sec
         self.connect_timeout = connect_timeout
         self.read_timeout = read_timeout
         self.proxies = proxies or []
+        # fetched bodies become interleaved span documents (input_hint)
+        # — html.parser extraction by default, pluggable for other
+        # content types
+        self.to_spans = to_spans if to_spans is not None else html_to_spans
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         delay, cto, rto = self.delay_sec, self.connect_timeout, self.read_timeout
         proxies = list(self.proxies)
+        to_spans = self.to_spans
 
         def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
             import ssl
@@ -213,8 +224,12 @@ class HttpFetcher:
                 try:
                     with opener_for(int(pid)).open(url, timeout=max(cto, rto)) as resp:
                         body = resp.read().decode("utf-8", errors="replace")
+                    parsed = to_spans(body)
+                    if not parsed:  # non-HTML payload: one raw text span
+                        parsed = [{"kind": "text", "text": body,
+                                   "media_ref": "", "offset": 0}]
                     oks.append(True)
-                    spans.append([{"kind": "text", "text": body, "media_ref": "", "offset": 0}])
+                    spans.append(parsed)
                 except Exception:
                     oks.append(False)
                     spans.append(None)
