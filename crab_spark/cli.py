@@ -14,6 +14,7 @@ subcommands) over the Spark engine.
     python -m crab_spark.cli reset <url>            # flip back to pending
     python -m crab_spark.cli export-table <name> [-n col ...]
     python -m crab_spark.cli export-csv <name> <out_dir> [-n col ...]
+    python -m crab_spark.cli compact <table> [--files N]  # fold append deltas
     python -m crab_spark.cli migrate                # no-op: schema lives in code
 
 The 13-command surface mirrors the reference's clap enum

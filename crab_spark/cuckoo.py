@@ -77,8 +77,13 @@ class CuckooShard:
         i1s = _index1(keys.astype(np.uint64), self.n_bkts)
         for fp, i1 in zip(fps, i1s):
             i2 = int(_index2(np.array([i1]), np.array([fp]), self.n_bkts)[0])
-            if fp in self.table[i1] or fp in self.table[i2]:
-                continue  # already present (idempotent seen-set insert)
+            # NO presence-dedup here, deliberately: if key B skipped its
+            # insert because key A's colliding fingerprint was visible in
+            # one of B's buckets, a later kick chain could migrate A's
+            # copy to A's OTHER bucket (not one of B's) — a false
+            # negative, which the seen-set contract forbids. Duplicate
+            # fingerprints are allowed (Fan et al. §3) and cost slots
+            # only on 2^-16 collisions.
             placed = False
             for idx in (i1, i2):
                 empty = np.flatnonzero(self.table[idx] == 0)
