@@ -244,3 +244,21 @@ def test_robots_from_bodies_roundtrip(spark):
     flags = {r["url"]: r["robots_ok"] for r in with_robots_flag(batch, robots).collect()}
     assert flags == {"http://a.com/private/x": False, "http://a.com/ok": True,
                      "http://b.com/anything": True, "http://c.com/x": True}
+
+
+def test_fetch_robots_http_via_file_urls(spark, tmp_path):
+    """The distributed robots.txt refresh driven end-to-end: urllib
+    serves file:// hosts through the same opener machinery as http."""
+    from crab_spark.robots import fetch_robots_http, robots_from_bodies
+
+    site_a = tmp_path / "a"; site_a.mkdir()
+    (site_a / "robots.txt").write_text("User-agent: *\nDisallow: /private/\n")
+    site_b = tmp_path / "b"; site_b.mkdir()  # no robots.txt → unreachable
+    hosts = spark.createDataFrame(
+        [(str(site_a),), (str(site_b),)], "host string"
+    )
+    bodies = fetch_robots_http(hosts, scheme="file", timeout=2)
+    robots = robots_from_bodies(bodies, epoch=1)
+    got = {r["host"]: list(r["disallow"]) for r in robots.collect()}
+    assert got[str(site_a)] == ["/private/"]
+    assert got[str(site_b)] == []  # fetch failure ⇒ allow-all
