@@ -21,7 +21,8 @@ BASELINE.json crawl-order + seen-set equality criterion.
 Scale shape per north_rule: the dequeued batch is repartitioned by a
 *salted host* key so one hot host cannot serialise an epoch; politeness
 is enforced per host inside the fetch task (token bucket); the seen-set
-join is Bloom-pre-filtered; every epoch appends per-partition
+join is pre-filtered by a bucketed Bloom or partitioned cuckoo filter
+(sidecar-persisted); every epoch appends per-partition
 lineage/metrics rows and bumps a checkpoint so a killed crawl resumes
 from the last committed epoch (idempotent tagged appends make a
 re-run of a half-committed epoch exactly-once).
