@@ -352,9 +352,12 @@ def _resume_epoch(store: TableStore) -> int:
     consulted so maintenance commands (navigate-all) that consumed an
     epoch number without fetching anything never get their tag reused."""
     state_epoch = int(store.read_state("crawl", {"epoch": 0})["epoch"])
+    # historic_tags: a compact()/reset rewrite of the fetched log
+    # collapses the done-* dirs but must not rewind the resume epoch —
+    # the collapsed tags stay visible through the manifest history
     done = [
         int(t.split("-", 1)[1])
-        for t in store.tags("fetched")
+        for t in store.historic_tags("fetched")
         if t.startswith("done-")
     ] if store.exists("fetched") else []
     return max([state_epoch] + done)

@@ -340,11 +340,10 @@ def apply_host_budget(store: TableStore, host_budget: int = 100) -> None:
     calls interleave hosts. One snapshot overwrite (the scoring window
     shuffles on host — run this periodically, not per epoch)."""
     scored = score_host_budget(store.read("frontier"), host_budget)
-    version = store._read_manifest("frontier")["version"]
     store.overwrite(
         "frontier",
         scored.select([f.name for f in FRONTIER.fields]),
-        tag=f"rescore-{version:06d}",
+        tag="rescore",
     )
 
 

@@ -92,12 +92,15 @@ class ProxyPool:
 
     def fold_epoch_outcomes(self, outcomes: DataFrame) -> None:
         """Fold one epoch's (proxy_id, ok) fetch outcomes into the pool.
-        One tiny aggregation; ordering within the epoch doesn't change
-        the saturated endpoint because each epoch assigns a proxy at
-        most batch/n times and we apply successes then failures in
-        arrival-count form (documented divergence: the reference
-        interleaves per-request; endpoints match when an epoch's
-        outcomes for one proxy are single-signed, which the tests pin)."""
+        One tiny aggregation, then O(1) driver work per proxy: applying
+        k saturating +1s followed by m saturating −1s lands on
+        ``max(floor, min(cap, c + k) − m)`` — identical to the unit
+        loop, without O(epoch) iteration. Documented divergence from
+        proxy.rs:116-122: the reference interleaves per-request, so a
+        mixed-outcome epoch can end on a different counter; endpoints
+        match whenever a proxy's epoch outcomes are single-signed, and
+        the chosen successes-then-failures fold is pinned by
+        test_aux's mixed-outcome test."""
         rows = (
             outcomes.groupBy("proxy_id")
             .agg(
@@ -107,10 +110,16 @@ class ProxyPool:
             .collect()
         )
         for r in rows:
-            for _ in range(int(r["n_ok"])):
-                self.succeeded(int(r["proxy_id"]))
-            for _ in range(int(r["n_fail"])):
-                self.failed(int(r["proxy_id"]))
+            pid = int(r["proxy_id"])
+            if not (0 <= pid < len(self.stats)):
+                continue
+            n_ok, n_fail = int(r["n_ok"] or 0), int(r["n_fail"] or 0)
+            s = self.stats[pid]
+            s.requests += n_ok + n_fail
+            s.successful_requests += n_ok
+            s.alive_counter = max(
+                ALIVE_MIN, min(ALIVE_MAX, s.alive_counter + n_ok) - n_fail
+            )
 
     def report(self) -> list[dict]:
         return [

