@@ -5,12 +5,10 @@
 - ``queries()``         — one entry per implemented operator from
   SURVEY.md §2 + the training-data operator suite
   (see crab_spark/queries.py for the full inventory).
-- ``oracle_sql()``      — matching DuckDB SQL for 38/39 queries
-  (including simhash via md5_number_upper bit math and the IVF
-  assign/probe pipeline). The single entry absent here
-  (q36_media_features) exercises the stubbed media decoder — no SQL
-  analogue exists; it is cross-validated in tests/test_operators.py and
-  gets the driver's rows-only check.
+- ``oracle_sql()``      — matching DuckDB SQL for ALL 39 queries:
+  simhash via md5_number_upper bit math, the IVF assign/probe pipeline,
+  and the media decode pipeline via the stub decoder's md5-derived
+  contract (one SQL expression reproduces its widths/frames/features).
 """
 
 from __future__ import annotations

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,26 +46,33 @@ MEDIA_FEATURES = T.StructType(
 
 class FakeDecoder:
     """Deterministic stand-in for PIL/ffmpeg decode. Derives metadata
-    and an 8-dim feature purely from the payload bytes, so tests are
-    exact. Swap with a real decoder by replacing decode_batch — the
+    and an 8-dim feature from the md5 digest of the payload bytes —
+    deterministic AND reproducible by one SQL expression, so the driver
+    can oracle the full decode pipeline (q36) instead of a rows-only
+    check. Swap with a real decoder by replacing decode_batch — the
     engine contract (pandas in, pandas out, MEDIA_FEATURES schema) is
-    unchanged."""
+    unchanged.
+
+    Stub contract (digest = md5(payload), b_i = digest byte i):
+    width = 16 + b0 % 64, height = 16 + b1 % 64,
+    n_frames = 1 for images else 1 + b2 % 8, feature = float(b_0..b_7)
+    (integer-valued floats: exactly representable, no rounding-policy
+    coupling between engines)."""
 
     def decode_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         widths, heights, frames, feats = [], [], [], []
         for payload, kind in zip(pdf["payload"], pdf["kind"]):
             if payload is None:
                 widths.append(None); heights.append(None)
                 frames.append(None); feats.append(None)
                 continue
-            b = np.frombuffer(payload, dtype=np.uint8)
-            h = int(b[:4].sum()) if len(b) else 0
-            widths.append(16 + h % 64)
-            heights.append(16 + (h // 64) % 64)
-            frames.append(1 if kind == "image" else 1 + h % 8)
-            # 8-dim "feature": byte-histogram moments, deterministic
-            hist = np.bincount(b % 8, minlength=8).astype(np.float32)
-            feats.append((hist / max(len(b), 1)).round(4).tolist())
+            d = hashlib.md5(bytes(payload)).digest()
+            widths.append(16 + d[0] % 64)
+            heights.append(16 + d[1] % 64)
+            frames.append(1 if kind == "image" else 1 + d[2] % 8)
+            feats.append([float(b) for b in d[:8]])
         return pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
@@ -85,9 +91,14 @@ def media_from_documents(docs: DataFrame, text_col: str = "text",
     sandbox stand-in for real crawled bytes): payload = utf-8 bytes of
     the text, kind round-robins by id hash. Real crawls would append
     fetched bytes here instead."""
+    # kind routes by the first byte of md5(doc_id) — a hash any engine
+    # reproduces (xxhash64 would be Spark-only and un-oracle-able)
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(3)) + 1).cast("int"),
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10)
+            .cast("int") % 3 + 1
+        ).cast("int"),
     )
     return docs.select(
         F.concat(F.lit("m:"), F.col(id_col).cast("string")).alias("media_id"),

@@ -8,11 +8,12 @@ Jaccard, embedding similarity, text analysis, multimodal plumbing).
 
 Every Spark query aliases its computed columns to the SAME names as its
 oracle SQL; the driver compares row counts, schemas and order-insensitive
-value hashes at sf=0.01 via DuckDB. 38/39 queries carry an oracle
-(simhash included — md5_number_upper reproduces the engine's per-token
-hash bit-for-bit; IVF via list_cosine_similarity + arg_max). Only the
-media-decode query (stubbed decoder, no SQL analogue) is rows-only,
-cross-validated in tests/ instead.
+value hashes at sf=0.01 via DuckDB. ALL 39 queries carry an oracle:
+simhash via md5_number_upper (reproduces the engine's per-token hash
+bit-for-bit), IVF via list_cosine_similarity + arg_max, and the media
+decode pipeline via an md5-derived stub contract whose widths/frames/
+features one SQL expression reproduces (operators/multimodal.py
+FakeDecoder).
 
 Float policy: every float aggregate/score is round()ed (4-6 dp) on BOTH
 sides so accumulation-order noise can't flip the value hash; DuckDB
@@ -360,19 +361,22 @@ def q35_media_stats(spark, sf):
     )
 
 
-def q36_media_features(spark, sf):  # rows-only: decoder stub, plumbing test
-    # Driver-facing wrapper stringifies the feature vector (the driver's
-    # canonicalizer sorts/hashes rows, and an array<float> column is
-    # unhashable in pandas); the library op in operators/multimodal.py
-    # keeps the array-valued API.
+def q36_media_features(spark, sf):
+    """Full decode pipeline (mapInPandas Arrow batches through the
+    decoder), oracled: the stub decoder derives everything from
+    md5(payload), which one DuckDB expression reproduces. The feature
+    vector flattens to f0..f7 int columns (the driver's canonicalizer
+    sorts/hashes rows; array<float> is unhashable in pandas and would
+    couple the two engines' float-formatting — feature values are
+    integer-valued by the stub contract)."""
     media = M.media_from_documents(t(spark, sf, "documents"))
     feats = M.extract_features(media)
     return feats.select(
         "media_id", "kind", "width", "height", "n_frames",
-        F.concat_ws(
-            ",",
-            F.transform("feature", lambda x: F.round(x.cast("double"), 4).cast("string")),
-        ).alias("feature_csv"),
+        *[
+            F.element_at("feature", i + 1).cast("int").alias(f"f{i}")
+            for i in range(8)
+        ],
     )
 
 
@@ -413,6 +417,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+def _hexbyte(h: str, i: int) -> str:
+    """DuckDB expression for byte ``i`` of the hex digest string ``h``
+    (md5 returns lowercase hex; each byte is one hex pair)."""
+    p = 2 * i + 1
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, {p}, 1))-1)*16"
+        f" + strpos('0123456789abcdef', substr({h}, {p + 1}, 1))-1)"
+    )
 
 # SimHash in SQL: per-token 64-bit hash = md5_number_upper (first 8
 # md5 bytes little-endian, matching the engine UDF), ±1 votes per bit,
@@ -715,6 +729,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
                count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS pack_tokens
         FROM c GROUP BY 1""",
+    # the stub decoder's md5(payload)-derived metadata/features, as one
+    # SQL expression (payload = utf-8 bytes of text, so md5(text) in
+    # DuckDB hashes the identical bytes); kind routes by md5(doc_id)
+    "q36_media_features": f"""
+        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+                          md5(CAST(doc_id AS VARCHAR)) AS kh,
+                          md5(text) AS ph
+                   FROM documents)
+        SELECT 'm:' || did AS media_id,
+               ['image','audio','video'][({_hexbyte('kh', 0)} % 3) + 1] AS kind,
+               CAST(16 + {_hexbyte('ph', 0)} % 64 AS INT) AS width,
+               CAST(16 + {_hexbyte('ph', 1)} % 64 AS INT) AS height,
+               CAST(CASE WHEN {_hexbyte('kh', 0)} % 3 = 0 THEN 1
+                         ELSE 1 + {_hexbyte('ph', 2)} % 8 END AS INT) AS n_frames,
+               {', '.join(f"CAST({_hexbyte('ph', i)} AS INT) AS f{i}" for i in range(8))}
+        FROM m""",
     "q35_media_stats": """
         WITH m AS (SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
                           octet_length(encode(text)) AS n_bytes
