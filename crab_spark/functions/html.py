@@ -29,21 +29,27 @@ from pyspark.sql import types as T
 
 _MEDIA_TAGS = {"img", "video", "audio", "source"}
 
+# HTML5 void elements: no end tag ever arrives for these, so pushing
+# them onto the class stack would leak an entry and every later text
+# span could inherit a wrong `class=` prefix (real-web HTML hits
+# this constantly: <img>, <br>, <input>, ...).
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
 
 class _SpanExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.spans: list[dict] = []
-        self._class_stack: list[str] = []
+        self._stack: list[tuple[str, str]] = []  # (tag, class)
 
     def _offset(self) -> int:
         line, col = self.getpos()
         return line * 100_000 + col  # monotone in document order
 
-    def handle_starttag(self, tag: str, attrs: list) -> None:
-        d = dict(attrs)
-        cls = d.get("class")
-        self._class_stack.append(cls or "")
+    def _emit(self, tag: str, d: dict) -> None:
         if tag == "a" and d.get("href"):
             self.spans.append(
                 {"kind": "link", "text": d["href"], "media_ref": "", "offset": self._offset()}
@@ -53,15 +59,30 @@ class _SpanExtractor(HTMLParser):
                 {"kind": "media", "text": "", "media_ref": d["src"], "offset": self._offset()}
             )
 
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        d = dict(attrs)
+        self._emit(tag, d)
+        if tag not in _VOID_TAGS:
+            self._stack.append((tag, d.get("class") or ""))
+
+    def handle_startendtag(self, tag: str, attrs: list) -> None:
+        # self-closed (<br/>, <img/>, even <div/>): emit, never push —
+        # no matching end tag will come
+        self._emit(tag, dict(attrs))
+
     def handle_endtag(self, tag: str) -> None:
-        if self._class_stack:
-            self._class_stack.pop()
+        # pop to the nearest matching open tag; a stray end tag with no
+        # open match (</p> after <img>, say) must leave the stack alone
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                del self._stack[i:]
+                return
 
     def handle_data(self, data: str) -> None:
         text = data.strip()
         if not text:
             return
-        cls = next((c for c in reversed(self._class_stack) if c), "")
+        cls = next((c for _, c in reversed(self._stack) if c), "")
         if cls:
             text = f"{cls}={text}"
         self.spans.append(
