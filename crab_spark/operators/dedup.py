@@ -19,9 +19,37 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def cap_buckets(
+    keyed: DataFrame, keys: list[str], max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Drop candidate-generation buckets larger than ``max_bucket``.
+
+    In-bucket pairing is O(|bucket|²) *before* any similarity filter, so
+    one boilerplate mega-bucket (every page sharing a nav template, every
+    empty doc) turns a banded near-dup pass into an all-pairs stall at
+    corpus scale — AQE splits the shuffle, not the pair count. Standard
+    MinHashLSH practice: a bucket past the cap carries no information
+    ("these are all alike" — exact dedup already catches true dups), so
+    it is dropped WHOLE and reported, never silently.
+
+    One count window over the band shuffle (no extra join; no sort —
+    unbounded-frame count). Returns (kept, dropped) where dropped is the
+    distinct (keys..., n) of over-cap buckets for logging/auditing.
+    """
+    w = Window.partitionBy(*keys)
+    sized = keyed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    kept = sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    dropped = (
+        sized.filter(F.col("_bsz") > max_bucket)
+        .select(*keys, F.col("_bsz").alias("n"))
+        .distinct()
+    )
+    return kept, dropped
 
 
 def normalized(text: Column) -> Column:
@@ -87,14 +115,17 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows of `band_size` hashes); docs sharing any
     band key are candidate pairs. Returns distinct (id_a, id_b), a < b.
 
     Scale shape: one shuffle on (band_idx, band_key); within-bucket
-    pairing is a self-join per bucket — buckets are small by
-    construction (a huge bucket means near-identical boilerplate, which
-    AQE skew-split handles)."""
+    pairing is a self-join per bucket. ``max_bucket`` caps bucket size
+    (see cap_buckets — the self-join is O(|bucket|²), so ONE boilerplate
+    mega-bucket otherwise stalls the whole pass at corpus scale); the
+    dropped buckets are attached to the result as ``.dropped_buckets``
+    for logging — no silent caps."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -110,14 +141,19 @@ def lsh_candidate_pairs(
     keyed = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
+    dropped = None
+    if max_bucket is not None:
+        keyed, dropped = cap_buckets(keyed, ["band_idx", "band_key"], max_bucket)
     a = keyed.alias("a")
     b = keyed.alias("b")
-    return (
+    out = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    out.dropped_buckets = dropped
+    return out
 
 
 def ngram_jaccard(
@@ -191,6 +227,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     n_bands: int = 8,
     max_hamming: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Hamming-near pairs via bit-banding: split the 64-bit signature
     into n_bands chunks; ≤(n_bands-1)-bit-different docs share ≥1 exact
@@ -200,7 +237,9 @@ def simhash_neardup_pairs(
     bands collide massively (measured 81k candidate pairs from 500 docs
     at 16-bit bands); 8-bit bands guarantee detection of every pair with
     hamming ≤ 7 while keeping buckets small. ``max_hamming`` applies the
-    Hamming cap INSIDE the join output, before the distinct() shuffle."""
+    Hamming cap INSIDE the join output, before the distinct() shuffle.
+    ``max_bucket`` drops over-full band buckets before pairing (see
+    cap_buckets); dropped buckets attach as ``.dropped_buckets``."""
     width = _SIMHASH_BITS // n_bands
     chunks = F.array(
         *[
@@ -216,6 +255,9 @@ def simhash_neardup_pairs(
     keyed = sigs.select(id_col, "simhash", F.explode(chunks).alias("b")).select(
         id_col, "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
+    dropped = None
+    if max_bucket is not None:
+        keyed, dropped = cap_buckets(keyed, ["band_idx", "band_key"], max_bucket)
     a, b = keyed.alias("a"), keyed.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     joined = a.join(b, ["band_idx", "band_key"]).filter(
@@ -223,8 +265,10 @@ def simhash_neardup_pairs(
     )
     if max_hamming is not None:
         joined = joined.filter(hamming <= max_hamming)
-    return joined.select(
+    out = joined.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         hamming.alias("hamming"),
     ).distinct()
+    out.dropped_buckets = dropped
+    return out

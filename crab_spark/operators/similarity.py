@@ -161,19 +161,33 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: candidates = same IVF bucket (one
-    shuffle on bucket), verify = exact cosine ≥ threshold."""
+    shuffle on bucket), verify = exact cosine ≥ threshold.
+
+    ``max_bucket`` drops over-full buckets before pairing — the in-bucket
+    self-join is O(|bucket|²) and a degenerate centroid (all-zero
+    embeddings, one dominant cluster) otherwise turns this into
+    all-pairs at corpus scale. Dropped buckets attach to the result as
+    ``.dropped_buckets`` (no silent caps)."""
+    from .dedup import cap_buckets
+
+    dropped = None
+    if max_bucket is not None:
+        assigned, dropped = cap_buckets(assigned, ["bucket"], max_bucket)
     a = assigned.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = assigned.select(
         F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
-    return (
+    out = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), round_to))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+    out.dropped_buckets = dropped
+    return out

@@ -270,18 +270,26 @@ def q22_minhash_sig(spark, sf):
     return D.minhash_signatures(t(spark, sf, "documents"), n_hashes=4, k=3)
 
 
+# Band-bucket size cap for every near-dup candidate generator: a bucket
+# past this carries no pair information (near-identical boilerplate) and
+# its O(|bucket|²) self-join would stall at corpus scale. Mirrored in
+# the oracle SQL via QUALIFY so the driver verifies the cap semantics.
+_MAX_BUCKET = 100
+
+
 def q23_lsh_pairs(spark, sf):
     sigs = D.minhash_signatures(t(spark, sf, "documents"), n_hashes=8, k=2)
-    return D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+    return D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2, max_bucket=_MAX_BUCKET)
 
 
 def q24_ngram_jaccard(spark, sf):
-    """The production near-dup pipeline: LSH candidates (q23's banding)
-    → exact n-gram Jaccard verify. No cartesian product anywhere — the
-    only shuffles are the band groupBy and the two candidate joins."""
+    """The production near-dup pipeline: LSH candidates (q23's banding,
+    bucket-capped) → exact n-gram Jaccard verify. No cartesian product
+    anywhere — the only shuffles are the band groupBy and the two
+    candidate joins."""
     docs = t(spark, sf, "documents")
     sigs = D.minhash_signatures(docs, n_hashes=8, k=2)
-    pairs = D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2, max_bucket=_MAX_BUCKET)
     return D.ngram_jaccard(docs, pairs, k=3)
 
 
@@ -290,10 +298,11 @@ def q25_simhash(spark, sf):
 
 
 def q26_simhash_pairs(spark, sf):
-    # hamming cap inside the join (pre-distinct) so over-full buckets
-    # are pruned before the dedup shuffle, not after
+    # hamming cap inside the join (pre-distinct) so candidate pairs are
+    # pruned before the dedup shuffle; band buckets capped like q23
     return D.simhash_neardup_pairs(
-        D.simhash(t(spark, sf, "documents")), max_hamming=8
+        D.simhash(t(spark, sf, "documents")), max_hamming=8,
+        max_bucket=_MAX_BUCKET,
     )
 
 
@@ -322,7 +331,9 @@ def q28_ivf_topk(spark, sf):
 def q29_embedding_neardup(spark, sf):
     cents = _centroids(spark, sf)
     assigned = S.ivf_assign(t(spark, sf, "embeddings"), cents)
-    return S.embedding_neardup_pairs(assigned, threshold=0.35)
+    return S.embedding_neardup_pairs(
+        assigned, threshold=0.35, max_bucket=_MAX_BUCKET
+    )
 
 
 def q30_token_count(spark, sf):
@@ -565,12 +576,13 @@ ORACLE_SQL: dict[str, str] = {
         sigs AS (SELECT doc_id, """
         + ", ".join(f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(8))
         + """ FROM sh GROUP BY doc_id),
-        bands AS ("""
+        bands AS (SELECT * FROM ("""
         + " UNION ALL ".join(
             f"SELECT doc_id, {b} AS band_idx, sig_{2*b} || '#' || sig_{2*b+1} AS band_key FROM sigs"
             for b in range(4)
         )
-        + """)
+        + f""") QUALIFY count(*) OVER (PARTITION BY band_idx, band_key)
+                        <= {_MAX_BUCKET})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -583,12 +595,13 @@ ORACLE_SQL: dict[str, str] = {
         sigs AS (SELECT doc_id, """
         + ", ".join(f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(8))
         + """ FROM sh GROUP BY doc_id),
-        bands AS ("""
+        bands AS (SELECT * FROM ("""
         + " UNION ALL ".join(
             f"SELECT doc_id, {b} AS band_idx, sig_{2*b} || '#' || sig_{2*b+1} AS band_key FROM sigs"
             for b in range(4)
         )
-        + """),
+        + f""") QUALIFY count(*) OVER (PARTITION BY band_idx, band_key)
+                        <= {_MAX_BUCKET}),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b
                    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -618,10 +631,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM usig"""
     ),
     "q26_simhash_pairs": (
-        "WITH " + _SIMHASH_CTE + """,
+        "WITH " + _SIMHASH_CTE + f""",
         bands AS (SELECT doc_id, u, b.range AS band_idx,
                          (u >> (b.range * 8)) & 255 AS band_key
-                  FROM usig, range(8) b)
+                  FROM usig, range(8) b
+                  QUALIFY count(*) OVER (PARTITION BY b.range,
+                          (u >> (b.range * 8)) & 255) <= {_MAX_BUCKET})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
         FROM bands a JOIN bands b
@@ -647,15 +662,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM assign a, q
         WHERE a.bucket IN (SELECT cid FROM probe)
         ORDER BY score DESC, a.vec_id LIMIT 10""",
-    # same-bucket candidate pairs + exact cosine verify ≥ threshold
-    "q29_embedding_neardup": """
+    # same-bucket candidate pairs (bucket-capped) + exact cosine ≥ threshold
+    "q29_embedding_neardup": f"""
         WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                    FROM embeddings WHERE vec_id < 8),
         assign AS (
           SELECT e.vec_id, any_value(e.embedding::DOUBLE[]) AS ve,
                  arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce))
                    AS bucket
-          FROM embeddings e, c GROUP BY e.vec_id)
+          FROM embeddings e, c GROUP BY e.vec_id
+          QUALIFY count(*) OVER (PARTITION BY bucket) <= {_MAX_BUCKET})
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.ve, b.ve), 4) AS score
         FROM assign a JOIN assign b

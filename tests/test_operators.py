@@ -89,6 +89,59 @@ def test_simhash_neardup_banding(docs):
     assert (0, 1) in pairs
 
 
+@pytest.fixture(scope="module")
+def mega_docs(spark):
+    """300 identical boilerplate docs (one mega band-bucket in every
+    generator) + 2 docs with identical DISTINCTIVE text (the planted
+    pair a capped pass must still find)."""
+    rows = [(i, "same boilerplate nav header footer text on every page")
+            for i in range(300)]
+    rows += [(1000, "unique alpha beta gamma delta epsilon zeta payload"),
+             (1001, "unique alpha beta gamma delta epsilon zeta payload")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_bucket_cap_bounds_mega_buckets(mega_docs):
+    """100 TB contract: a boilerplate mega-bucket must not generate
+    O(|bucket|²) candidate pairs. With the cap, the 300-doc bucket is
+    dropped WHOLE (and reported via .dropped_buckets), the planted pair
+    in a small bucket survives."""
+    sigs = D.minhash_signatures(mega_docs, n_hashes=8, k=2)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2, max_bucket=50)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1000, 1001) in got
+    assert len(got) < 300              # vs 300·299/2 ≈ 45k uncapped
+    dropped = pairs.dropped_buckets.collect()
+    assert dropped and all(r["n"] > 50 for r in dropped)
+    # no silent caps: every dropped row names its bucket and size
+    assert {r["n"] for r in dropped} == {300}
+
+
+def test_simhash_bucket_cap_bounds_mega_buckets(mega_docs):
+    pairs = D.simhash_neardup_pairs(
+        D.simhash(mega_docs), max_hamming=3, max_bucket=50
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1000, 1001) in got
+    assert len(got) < 300
+    assert pairs.dropped_buckets.count() >= 1
+
+
+def test_embedding_bucket_cap_bounds_mega_buckets(spark):
+    """One degenerate IVF bucket with 300 vectors is dropped; the
+    planted near-dup pair in a small bucket survives the cap."""
+    rows = [(i, 0, [1.0, 0.0, 0.0]) for i in range(300)]
+    rows += [(1000, 1, [0.0, 1.0, 0.1]), (1001, 1, [0.0, 1.0, 0.11])]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, bucket int, embedding array<float>"
+    )
+    pairs = S.embedding_neardup_pairs(assigned, threshold=0.9, max_bucket=50)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1000, 1001)}
+    dropped = pairs.dropped_buckets.collect()
+    assert len(dropped) == 1 and dropped[0]["n"] == 300
+
+
 def test_simhash_odd_token_count_not_all_ones(spark):
     """Regression: uint64 vote underflow made every odd-token-count doc
     hash to 0xffff... so unrelated docs collided at hamming 0. Two
