@@ -153,18 +153,24 @@ class BucketedBloom:
                 "bits": self.bits.tobytes()}
 
 
-def bloom_from_state(state: dict):
+def bloom_from_state(state: dict, writable: bool = True):
+    """Rebuild a filter from its to_state() dict. ``writable=False``
+    wraps the serialized bytes zero-copy (frombuffer views) — the probe
+    path only reads, and skipping the copy matters when this runs once
+    per executor over a broadcast of a large filter."""
     if state["kind"] == "cuckoo":
         from .cuckoo import CuckooFilter  # lazy: cuckoo imports our _mix
 
-        return CuckooFilter.from_state(state)
+        return CuckooFilter.from_state(state, writable=writable)
     raw = np.frombuffer(state["bits"], dtype=np.uint8)
+    if writable:
+        raw = raw.copy()
     if state["kind"] == "bucketed":
         return BucketedBloom(
             state["n_buckets"], state["n_bits"], state["n_hashes"],
-            raw.reshape(state["n_buckets"], -1).copy(),
+            raw.reshape(state["n_buckets"], -1),
         )
-    return Bloom(state["n_bits"], state["n_hashes"], raw.copy())
+    return Bloom(state["n_bits"], state["n_hashes"], raw)
 
 
 def build_bloom(
@@ -206,15 +212,30 @@ def build_bloom(
     return bloom_from_state(out_state)
 
 
+# Executor-side memo of deserialized broadcast filters: one probe UDF
+# is created per register call, but the worker process survives across
+# Arrow batches AND epochs — without this, every batch re-materialized
+# the full filter from broadcast state (a whole-bitmap memcpy per batch
+# on large filters).
+_BC_FILTER_CACHE: dict[int, object] = {}
+
+
 def might_contain_udf(spark, bloom):
     """Arrow-vectorized membership probe over a long column (flat or
-    bucketed filter), with the bitmap(s) broadcast once per executor
-    (not per task)."""
+    bucketed filter), with the bitmap(s) broadcast once per executor and
+    the deserialized filter memoized per worker process (keyed on the
+    broadcast id; read-only zero-copy reconstruction)."""
     bc = spark.sparkContext.broadcast(bloom.to_state())
+    bc_id = uuid.uuid4().hex  # one deserialization per (UDF, worker)
 
     @F.pandas_udf(T.BooleanType())
     def probe(keys: pd.Series) -> pd.Series:
-        b = bloom_from_state(bc.value)
+        b = _BC_FILTER_CACHE.get(bc_id)
+        if b is None:
+            if len(_BC_FILTER_CACHE) > 8:  # old epochs' broadcasts
+                _BC_FILTER_CACHE.clear()
+            b = bloom_from_state(bc.value, writable=False)
+            _BC_FILTER_CACHE[bc_id] = b
         return pd.Series(b.might_contain(keys.to_numpy(dtype=np.int64).view(np.uint64)))
 
     return probe
@@ -222,36 +243,212 @@ def might_contain_udf(spark, bloom):
 
 # ---------------------------------------------------------------------------
 # Sidecar persistence — the seen-set filter lives NEXT TO the table
-# manifest so a resumed crawl loads it and folds in only the register
-# deltas committed after the last save (O(delta), not O(frontier)).
-# The sidecar may lag the manifest (crash between register-commit and
-# save) but never lead it, so a catch-up union can only ADD keys —
-# false negatives (the dangerous direction) are impossible.
+# manifest (i.e. on the same shared filesystem/object store as the
+# table's data files — where Iceberg keeps its metadata) so a resumed
+# crawl loads it and folds in only the register deltas committed after
+# the last save (O(delta), not O(frontier)).
+#
+# Layout is a DIRECTORY, one file per frontier `part` bucket plus a
+# meta.json committed last:
+#
+#   <name>.d/meta.json        {"version", "covered", kind+params}
+#   <name>.d/part-<n>.bin     raw bitmap row (bloom) / shard table (cuckoo)
+#
+# so (a) the per-epoch incremental save rewrites ONLY the parts the
+# delta touched, and (b) the executor-side probe loads ONLY the parts
+# present in its batch (sidecar_probe_udf) — the whole filter is NEVER
+# broadcast. bloom.py's own sizing math says a 10^10-key/1% FPR filter
+# is ~12 GiB: per-part files are the only layout that scales.
+#
+# Crash safety: part files are replaced atomically, meta last. A part
+# file newer than meta only ever contains a SUPERSET of the keys meta
+# covers (bloom bits only gain; cuckoo inserts keep existing
+# fingerprints, duplicates allowed), so a torn save can cause extra
+# 'maybe' probes but never a false negative.
 # ---------------------------------------------------------------------------
 
-def save_sidecar(path: str | Path, bloom, covered_tags: set[str]) -> None:
-    """Atomic write (os.replace) of the filter + the register tags it
-    covers."""
-    path = Path(path)
-    meta = {k: v for k, v in bloom.to_state().items() if k != "bits"}
-    meta["covered"] = sorted(covered_tags)
+def _atomic_write(path: Path, data: bytes) -> None:
     tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "wb") as f:
-        np.savez(f, meta=json.dumps(meta),
-                 bits=np.frombuffer(bloom.to_state()["bits"], dtype=np.uint8))
+    tmp.write_bytes(data)
     os.replace(tmp, path)
 
 
-def load_sidecar(path: str | Path):
-    """Returns (bloom, covered_tags) or None if absent/unreadable."""
-    path = Path(path)
-    if not path.exists():
+def save_sidecar(path: str | Path, filt, covered_tags: set[str],
+                 changed_parts: set[int] | None = None) -> None:
+    """Persist the filter. ``changed_parts`` limits the write to the
+    parts an epoch's delta touched (None = write everything — the
+    cold-build path). meta.json is committed last via os.replace."""
+    d = Path(path)
+    d.mkdir(parents=True, exist_ok=True)
+    state = filt.to_state()
+    meta = {k: v for k, v in state.items() if k != "bits"}
+    meta["covered"] = sorted(covered_tags)
+    old = _read_meta(d)
+    meta["version"] = (old.get("version", 0) if old else 0) + 1
+    if old is not None:
+        params = ("kind", "n_bits", "n_hashes", "n_buckets", "shard_bkts")
+        if any(old.get(k) != meta.get(k) for k in params):
+            # filter was rebuilt with different geometry: every existing
+            # part file is garbage — a partial save over them would mix
+            # layouts, so wipe and force a full rewrite
+            for f in d.glob("part-*.bin"):
+                f.unlink()
+            changed_parts = None
+
+    if state["kind"] == "flat":
+        _atomic_write(d / "part-flat.bin", state["bits"])
+    elif state["kind"] == "bucketed":
+        parts = (
+            range(filt.n_buckets) if changed_parts is None
+            else sorted(changed_parts)
+        )
+        for p in parts:
+            row = filt.bits[int(p)]
+            if changed_parts is None and not row.any():
+                continue  # all-zero bucket: absence means zeros
+            _atomic_write(d / f"part-{int(p)}.bin", row.tobytes())
+    else:  # cuckoo: one file per existing shard
+        parts = (
+            filt.shards.keys() if changed_parts is None
+            else (set(changed_parts) & set(filt.shards))
+        )
+        for p in parts:
+            _atomic_write(d / f"part-{int(p)}.bin", filt.shards[int(p)].table.tobytes())
+        meta["parts"] = sorted(filt.shards)
+        meta["sat_parts"] = sorted(
+            p for p, s in filt.shards.items() if getattr(s, "saturated", False)
+        )
+    _atomic_write(d / "meta.json", json.dumps(meta).encode())
+
+
+def _read_meta(d: Path) -> dict | None:
+    p = d / "meta.json"
+    if not p.exists():
         return None
     try:
-        with np.load(path, allow_pickle=False) as z:
-            meta = json.loads(str(z["meta"]))
-            state = {k: v for k, v in meta.items() if k != "covered"}
-            state["bits"] = z["bits"].tobytes()
+        return json.loads(p.read_text())
+    except Exception:
+        return None
+
+
+def load_sidecar(path: str | Path):
+    """Driver-side full reconstruction: (filter, covered_tags) or None
+    if absent/unreadable (caller rebuilds from the table)."""
+    d = Path(path)
+    meta = _read_meta(d)
+    if meta is None:
+        return None
+    try:
+        kind = meta["kind"]
+        if kind == "flat":
+            bits = (d / "part-flat.bin").read_bytes()
+            state = {"kind": "flat", "n_bits": meta["n_bits"],
+                     "n_hashes": meta["n_hashes"], "bits": bits}
             return bloom_from_state(state), set(meta["covered"])
+        if kind == "bucketed":
+            b = BucketedBloom(meta["n_buckets"], meta["n_bits"], meta["n_hashes"])
+            for p in range(b.n_buckets):
+                f = d / f"part-{p}.bin"
+                if f.exists():
+                    b.bits[p] = np.frombuffer(f.read_bytes(), dtype=np.uint8)
+            return b, set(meta["covered"])
+        # cuckoo
+        from .cuckoo import CuckooFilter, CuckooShard
+
+        filt = CuckooFilter({}, meta["n_buckets"], meta["shard_bkts"])
+        for p in meta.get("parts", []):
+            raw = np.frombuffer(
+                (d / f"part-{int(p)}.bin").read_bytes(), dtype=np.uint16
+            ).reshape(meta["shard_bkts"], -1).copy()
+            filt.shards[int(p)] = CuckooShard(meta["shard_bkts"], raw)
+        for p in meta.get("sat_parts", []):
+            filt.shards[int(p)].saturated = True
+        return filt, set(meta["covered"])
     except Exception:
         return None  # corrupt sidecar ⇒ caller rebuilds from the table
+
+
+# Worker-process cache of loaded part files, keyed (dir, version, part).
+# Bounded: old versions evicted wholesale when the cache grows.
+_PART_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _load_part(d: str, version: int, part: int, meta: dict):
+    """One part's probe-ready filter object, loaded lazily and memoized
+    per worker process. Missing file = no keys in that part (all-new)."""
+    key = (d, version, part)
+    got = _PART_CACHE.get(key)
+    if got is not None:
+        return got
+    if len(_PART_CACHE) > 256:
+        _PART_CACHE.clear()
+    kind = meta["kind"]
+    f = Path(d) / ("part-flat.bin" if kind == "flat" else f"part-{part}.bin")
+    if not f.exists():
+        _PART_CACHE[key] = False
+        return False
+    raw = f.read_bytes()
+    if kind == "cuckoo":
+        from .cuckoo import CuckooShard
+
+        obj = CuckooShard(
+            meta["shard_bkts"],
+            np.frombuffer(raw, dtype=np.uint16).reshape(meta["shard_bkts"], -1),
+        )
+        if part in set(meta.get("sat_parts", [])):
+            obj.saturated = True
+    else:
+        obj = Bloom(meta["n_bits"], meta["n_hashes"],
+                    np.frombuffer(raw, dtype=np.uint8))
+    _PART_CACHE[key] = obj
+    return obj
+
+
+def probe_sidecar(keys: np.ndarray, d: str, meta: dict) -> np.ndarray:
+    """Vectorized membership probe that touches ONLY the part files the
+    key batch routes to. Pure function (worker-side body of
+    sidecar_probe_udf; unit-testable for file selectivity)."""
+    out = np.zeros(len(keys), dtype=bool)
+    if len(keys) == 0:
+        return out
+    k = keys.astype(np.uint64)
+    version = int(meta.get("version", 0))
+    if meta["kind"] == "flat":
+        b = _load_part(d, version, -1, meta)
+        return b.might_contain(k) if b is not False else out
+    n_buckets = int(meta["n_buckets"])
+    parts = k.view(np.int64) % n_buckets
+    for p in np.unique(parts):
+        m = parts == p
+        b = _load_part(d, version, int(p), meta)
+        if b is False:
+            continue
+        if meta["kind"] == "cuckoo":
+            out[m] = True if getattr(b, "saturated", False) else b.contains(k[m])
+        else:
+            out[m] = b.might_contain(k[m])
+    return out
+
+
+def sidecar_probe_udf(spark, path: str | Path):
+    """Membership probe UDF backed by the per-part sidecar FILES: the
+    closure carries only (dir, meta) — a few hundred bytes — and each
+    worker lazily loads just the part files its batches route to. This
+    is the scale path: nothing filter-sized ever transits the driver→
+    executor broadcast channel. Returns None if no sidecar exists."""
+    d = Path(path)
+    meta = _read_meta(d)
+    if meta is None:
+        return None
+    meta = {k: v for k, v in meta.items() if k != "covered"}
+    ds = str(d)
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(keys: pd.Series) -> pd.Series:
+        return pd.Series(
+            probe_sidecar(
+                keys.to_numpy(dtype=np.int64).view(np.uint64), ds, meta
+            )
+        )
+
+    return probe

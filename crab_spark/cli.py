@@ -15,6 +15,7 @@ subcommands) over the Spark engine.
     python -m crab_spark.cli export-table <name> [-n col ...]
     python -m crab_spark.cli export-csv <name> <out_dir> [-n col ...]
     python -m crab_spark.cli compact <table> [--files N]  # fold append deltas
+    python -m crab_spark.cli vacuum <table>         # expire unreferenced dirs
     python -m crab_spark.cli migrate                # no-op: schema lives in code
 
 The 13-command surface mirrors the reference's clap enum
@@ -118,6 +119,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact")  # maintenance: fold append deltas
     p.add_argument("table")
     p.add_argument("--files", type=int, default=None)
+    p = sub.add_parser("vacuum")  # maintenance: expire unreferenced dirs
+    p.add_argument("table")
     p = sub.add_parser("dump"); p.add_argument("url")
     p = sub.add_parser("parse"); p.add_argument("url")
     p.add_argument("-n", "--columns", action="append", default=[])
@@ -242,6 +245,10 @@ def main(argv: list[str] | None = None) -> int:
         n = store.compact(args.table, n_files=args.files)
         print(f"compacted {n} snapshot dir(s) of {args.table}" if n
               else f"{args.table}: nothing to compact")
+    elif args.cmd == "vacuum":
+        n = store.vacuum(args.table)
+        print(f"vacuumed {n} unreferenced dir(s) of {args.table}" if n
+              else f"{args.table}: nothing to vacuum")
     elif args.cmd == "parsers":
         from .report import parser_report
 

@@ -30,8 +30,10 @@ re-run of a half-committed epoch exactly-once).
 
 from __future__ import annotations
 
+import sys
 import threading
 import time
+import warnings
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -327,22 +329,26 @@ class CrawlStats:
 
 
 def _fold_delta(store: TableStore, seen_filter, tag: str):
-    """Fold one committed register delta into the seen-set filter.
-    Bloom layouts OR-merge distributed partials; the cuckoo filter has
-    no merge, so the (delta-sized) key column is collected and
-    inserted — O(delta) driver memory either way."""
-    delta = store.read_tag("frontier", tag)
-    if hasattr(seen_filter, "union"):
-        return seen_filter.union(
-            bloom_mod.build_bloom(delta, "url_hash", proto=seen_filter)
-        )
+    """Fold one committed register delta into the seen-set filter
+    (mutates in place — Bloom and cuckoo both expose add()). The delta
+    is one epoch's registrations: its key column is collected and
+    inserted, O(delta) driver work. Returns the set of ``part`` buckets
+    the delta touched (None for an unbucketed flat filter) so the
+    sidecar save rewrites ONLY those part files."""
     import numpy as np
 
+    delta = store.read_tag("frontier", tag)
     keys = delta.select("url_hash").toPandas()["url_hash"].to_numpy(
         dtype=np.int64
     ).view(np.uint64)
     seen_filter.add(keys)
-    return seen_filter
+    if hasattr(seen_filter, "n_buckets"):
+        changed = {
+            int(p) for p in np.unique(keys.view(np.int64) % seen_filter.n_buckets)
+        }
+    else:
+        changed = None
+    return changed
 
 
 def _resume_epoch(store: TableStore) -> int:
@@ -426,7 +432,7 @@ def crawl(
     # maintained incrementally (−resolved, +registered per epoch) so
     # steady-state dequeue never scans the frontier to pick its cutoff.
     depth_counts = pending_depth_counts(store)
-    bloom_path = store.root / "_manifests" / "bloom-frontier.npz"
+    bloom_path = store.root / "_manifests" / "bloom-frontier.d"
     bloom_covered: set[str] = set()
     # use_bloom: True/'bloom' = bucketed Bloom bitmaps (OR-mergeable
     # partials); 'cuckoo' = partitioned cuckoo filter (deletable, per
@@ -440,29 +446,66 @@ def crawl(
             None if sidecar is None
             else ("cuckoo" if hasattr(sidecar[0], "shards") else "bloom")
         )
+        changed_parts: set[int] | None = None
         if (sidecar is not None and sidecar[1] <= committed
                 and sidecar_kind == filter_kind):
             # resume path: fold in only the register deltas committed
-            # after the last save — O(delta), no full frontier rescan
+            # after the last save — O(delta), no full frontier rescan.
+            # The incremental save rewrites only the touched part files.
             seen_bloom, bloom_covered = sidecar
+            changed_parts = set()
             for tag in sorted(committed - bloom_covered):
-                seen_bloom = _fold_delta(
-                    store, seen_bloom, tag
-                )
-        elif filter_kind == "cuckoo":
-            from . import cuckoo as cuckoo_mod
-
-            seen_bloom = cuckoo_mod.build_cuckoo(
-                store.read("frontier"), "url_hash",
-                proto=cuckoo_mod.CuckooFilter.sized_for(bloom_capacity),
-            )
+                delta_parts = _fold_delta(store, seen_bloom, tag)
+                if delta_parts is None:
+                    changed_parts = None  # flat filter: single file
+                elif changed_parts is not None:
+                    changed_parts |= delta_parts
         else:
-            seen_bloom = bloom_mod.build_bloom(
-                store.read("frontier"), "url_hash",
-                proto=bloom_mod.BucketedBloom.sized_for(bloom_capacity),
-            )
+            # cold build: size from the LARGER of the configured capacity
+            # and the actual frontier (max_seq+1 rows, known for free) so
+            # a resumed crawl over an outgrown frontier doesn't start
+            # degraded; growth DURING the crawl is handled by the cuckoo
+            # per-shard saturation fallback / bloom FPR creep.
+            capacity = max(bloom_capacity, 2 * (max_seq + 1))
+            if filter_kind == "cuckoo":
+                from . import cuckoo as cuckoo_mod
+
+                seen_bloom = cuckoo_mod.build_cuckoo(
+                    store.read("frontier"), "url_hash",
+                    proto=cuckoo_mod.CuckooFilter.sized_for(capacity),
+                )
+            else:
+                seen_bloom = bloom_mod.build_bloom(
+                    store.read("frontier"), "url_hash",
+                    proto=bloom_mod.BucketedBloom.sized_for(capacity),
+                )
         bloom_covered = set(committed)
-        bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered)
+        bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered,
+                               changed_parts=changed_parts)
+
+    warned_sat: set[int] = set()
+
+    def _warn_saturated() -> None:
+        """Surface cuckoo shard saturation ONCE per shard, with the knob
+        that fixes it — the filter has already degraded gracefully
+        (those shards answer 'maybe' for everything; register falls
+        through to the exact membership check)."""
+        sat = getattr(seen_bloom, "saturated_parts", None)
+        if sat is None:
+            return
+        fresh = set(seen_bloom.saturated_parts()) - warned_sat
+        if fresh:
+            warned_sat.update(fresh)
+            warnings.warn(
+                f"cuckoo seen-set shard(s) {sorted(fresh)} over capacity "
+                f"(bloom_capacity={bloom_capacity}); they now answer "
+                "'maybe' for all keys — correctness is preserved via the "
+                "exact membership check, at prefilter cost. Raise "
+                "bloom_capacity (or recreate the sidecar) to restore "
+                "full prefiltering.", stacklevel=2,
+            )
+
+    _warn_saturated()
 
     def _tick(label, t_prev, timings):
         now = time.monotonic()
@@ -647,9 +690,20 @@ def crawl(
                         F.col("link_idx").cast("int").alias("link_idx"),
                     )
                 )
+                # scale path: probe the seen-set via the per-part sidecar
+                # FILES — executors lazily load only the part files their
+                # batches route to; nothing filter-sized is broadcast.
+                # (Falls back to the broadcast probe if the sidecar dir
+                # is unreadable.)
+                seen_probe = None
+                if seen_bloom is not None and max_seq >= 0:
+                    seen_probe = (
+                        bloom_mod.sidecar_probe_udf(spark, bloom_path)
+                        or seen_bloom
+                    )
                 n_new = register(
                     store, cands, epoch,
-                    seen_bloom=seen_bloom if (seen_bloom and max_seq >= 0) else None,
+                    seen_bloom=seen_probe,
                     max_seq=max_seq,
                     depth_counts_out=None if rerun else depth_counts,
                 )
@@ -658,12 +712,16 @@ def crawl(
                     max_seq += n_new
                     if seen_bloom is not None:
                         # fold ONLY this epoch's new keys into the filter and
-                        # persist the sidecar (lags the manifest at worst —
-                        # resume catch-up unions the gap, never misses keys)
+                        # persist the touched part files (the sidecar lags
+                        # the manifest at worst — resume catch-up folds the
+                        # gap, never misses keys)
                         tag = f"reg-{epoch:06d}"
-                        seen_bloom = _fold_delta(store, seen_bloom, tag)
+                        delta_parts = _fold_delta(store, seen_bloom, tag)
+                        _warn_saturated()
                         bloom_covered.add(tag)
-                        bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered)
+                        bloom_mod.save_sidecar(bloom_path, seen_bloom,
+                                               bloom_covered,
+                                               changed_parts=delta_parts)
                 te = _tick("bloom", te, timings)
         finally:
             # documents must be committed before the epoch's commit
@@ -720,10 +778,23 @@ def crawl(
                     if depth_counts[d] <= 0:
                         del depth_counts[d]
         te = _tick("counts", te, timings)
+        # one progress line per epoch, always — the batch-world mapping
+        # of the reference's live dashboard (terminal.rs:28-157, 100 ms
+        # tick): a long crawl is never silent between commits. Goes to
+        # stderr (progress is a console artifact; stdout stays clean for
+        # piped output like bench.py's single JSON line); the same
+        # numbers land durably in the metrics table.
+        total = sum(timings.values())
+        print(
+            f"[epoch {epoch}] dequeued={n_total} fetched={n} ok={n_good} "
+            f"invalid={n_invalid} new={n_new_logged} "
+            f"denied={n_total - n} pending~{sum(depth_counts.values())} "
+            f"{total:.1f}s",
+            file=sys.stderr, flush=True,
+        )
         if profile:
-            total = sum(timings.values())
-            print(f"[epoch {epoch}] n={n} new={n_new} total={total:.1f}s "
-                  + " ".join(f"{k}={v:.1f}" for k, v in timings.items()))
+            print("  " + " ".join(f"{k}={v:.1f}" for k, v in timings.items()),
+                  file=sys.stderr, flush=True)
 
         stats.epochs += 1
         stats.requests += n

@@ -53,10 +53,18 @@ def _index2(i1: np.ndarray, fp: np.ndarray, n_bkts: int) -> np.ndarray:
 
 
 class CuckooShard:
-    """One part-bucket's filter: (n_bkts, 4) uint16 table."""
+    """One part-bucket's filter: (n_bkts, 4) uint16 table.
+
+    Over-capacity behavior: when a kick chain fails the shard flips to
+    ``saturated`` and from then on answers 'maybe' for EVERY key — the
+    seen-set contract (no false negatives) survives, register just pays
+    the exact membership check for that part. Crashing mid-crawl over a
+    mis-sized bloom_capacity (the r2 advice finding) is replaced by a
+    per-shard graceful degrade."""
 
     def __init__(self, n_bkts: int, table: np.ndarray | None = None):
         self.n_bkts = int(n_bkts)
+        self.saturated = False
         self.table = (
             table if table is not None
             else np.zeros((self.n_bkts, _SLOTS), dtype=np.uint16)
@@ -72,6 +80,8 @@ class CuckooShard:
     def insert(self, keys: np.ndarray, rng_seed: int = 7) -> None:
         """Sequential insert with kick chains (the write path is per-
         epoch delta-sized; lookups are the hot path)."""
+        if self.saturated:
+            return  # shard already answers 'maybe' for everything
         rng = np.random.RandomState(rng_seed)
         fps = _fingerprint(keys.astype(np.uint64))
         i1s = _index1(keys.astype(np.uint64), self.n_bkts)
@@ -105,15 +115,20 @@ class CuckooShard:
                     cur = None
                     break
             if cur is not None:
-                raise RuntimeError(
-                    f"cuckoo shard over capacity ({self.n_bkts * _SLOTS} slots)"
-                )
+                # kick chain exhausted: the shard is over capacity.
+                # Degrade, don't die — 'maybe' for all keys keeps the
+                # no-false-negative contract; the caller is warned to
+                # raise bloom_capacity (crawler.crawl).
+                self.saturated = True
+                return
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         """Vectorized lookup: two bucket probes per key."""
         k = keys.astype(np.uint64)
         if len(k) == 0:
             return np.zeros(0, dtype=bool)
+        if self.saturated:
+            return np.ones(len(k), dtype=bool)
         fp = _fingerprint(k)
         i1 = _index1(k, self.n_bkts)
         i2 = _index2(i1, fp, self.n_bkts)
@@ -126,6 +141,8 @@ class CuckooShard:
         Bloom lacks). Returns per-key removed flags."""
         k = keys.astype(np.uint64)
         out = np.zeros(len(k), dtype=bool)
+        if self.saturated:
+            return out  # membership unknowable; nothing safely deletable
         fps = _fingerprint(k)
         i1s = _index1(k, self.n_bkts)
         i2s = _index2(i1s, fps, self.n_bkts)
@@ -196,6 +213,9 @@ class CuckooFilter:
                 out[m] = shard.delete(k[m])
         return out
 
+    def saturated_parts(self) -> list[int]:
+        return sorted(p for p, s in self.shards.items() if s.saturated)
+
     def to_state(self) -> dict:
         parts = sorted(self.shards)
         stacked = (
@@ -204,18 +224,23 @@ class CuckooFilter:
         )
         return {"kind": "cuckoo", "n_buckets": self.n_buckets,
                 "shard_bkts": self.shard_bkts, "parts": parts,
+                "sat_parts": self.saturated_parts(),
                 "bits": stacked.tobytes()}
 
     @classmethod
-    def from_state(cls, state: dict) -> "CuckooFilter":
+    def from_state(cls, state: dict, writable: bool = True) -> "CuckooFilter":
         parts = list(state["parts"])
         raw = np.frombuffer(state["bits"], dtype=np.uint16).reshape(
             len(parts), state["shard_bkts"], _SLOTS
         )
         shards = {
-            int(p): CuckooShard(state["shard_bkts"], raw[n].copy())
+            int(p): CuckooShard(
+                state["shard_bkts"], raw[n].copy() if writable else raw[n]
+            )
             for n, p in enumerate(parts)
         }
+        for p in state.get("sat_parts", []):
+            shards[int(p)].saturated = True
         return cls(shards, state["n_buckets"], state["shard_bkts"])
 
 
@@ -234,7 +259,8 @@ def build_cuckoo(df: DataFrame, col: str, proto: CuckooFilter) -> CuckooFilter:
                 local.add(pdf[col].to_numpy(dtype=np.int64).view(np.uint64))
         if any_rows:
             for p, shard in local.shards.items():
-                yield pd.DataFrame({"part": [p], "table": [shard.table.tobytes()]})
+                yield pd.DataFrame({"part": [p], "table": [shard.table.tobytes()],
+                                    "sat": [bool(shard.saturated)]})
 
     shards_df = (
         df.select(F.col(col), F.pmod(F.col(col), F.lit(n_buckets)).cast("int").alias("_p"))
@@ -243,6 +269,7 @@ def build_cuckoo(df: DataFrame, col: str, proto: CuckooFilter) -> CuckooFilter:
         .mapInPandas(fold, schema=T.StructType([
             T.StructField("part", T.IntegerType(), False),
             T.StructField("table", T.BinaryType(), False),
+            T.StructField("sat", T.BooleanType(), False),
         ]))
     )
     out = CuckooFilter({}, n_buckets, shard_bkts)
@@ -252,4 +279,5 @@ def build_cuckoo(df: DataFrame, col: str, proto: CuckooFilter) -> CuckooFilter:
         if p in out.shards:  # two tasks produced the same part (shouldn't)
             raise RuntimeError(f"duplicate cuckoo shard for part {p}")
         out.shards[p] = CuckooShard(shard_bkts, table.copy())
+        out.shards[p].saturated = bool(row["sat"])
     return out

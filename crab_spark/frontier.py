@@ -21,12 +21,14 @@ Spark design (append-only, no row-level UPDATE needed):
   (crawler.rs:109-113 semantics).
 
 register = in-batch first-wins dedup → (optional Bloom definite-new
-split) → LEFT ANTI join vs seen → deterministic seq assignment → append.
-The anti-join broadcasts the *candidate* side when it is small (typical:
-one epoch's links vs a huge seen set ⇒ plan as a right-side broadcast
-via a left-anti with broadcast hint on the smaller input when possible);
-at 10^10 keys both sides are bucketed by ``part = pmod(url_hash, N)`` so
-the shuffle is bounded per bucket.
+split) → membership check vs seen → deterministic seq assignment →
+append. The frontier is written Hive-partitioned by ``part =
+pmod(url_hash, N_BUCKETS)``; the membership check reads only the part
+partitions the batch touches (seen_slice, file-level pruning) and
+STREAMS that slice against a broadcast of the candidate keys
+(antijoin_new) — the frontier is never shuffled, reproducing the
+reference's O(batch) UNIQUE-index probe (storage.rs:93-101) instead of
+an O(table) join.
 """
 
 from __future__ import annotations
@@ -63,6 +65,54 @@ def seed_frontier(store: TableStore, seeds: DataFrame) -> int:
     return register(store, cands, epoch=0)
 
 
+# Above this many candidate rows in one register call the double-
+# broadcast membership probe (see antijoin_new) would build too large a
+# driver-side hash relation — fall back to the shuffle anti-join.
+BROADCAST_CANDIDATE_LIMIT = 2_000_000
+
+
+def seen_slice(store: TableStore, parts: list[int]) -> DataFrame:
+    """Partition-pruned view of the seen set: ONLY the frontier ``part``
+    partitions a candidate batch actually touches are listed/scanned
+    (the frontier is written partitionBy('part'), so this is file-level
+    pruning, not row filtering — the 10^10-frontier contract that
+    register's membership check costs O(touched parts), never
+    O(frontier))."""
+    return (
+        store.read("frontier")
+        .filter(F.col("part").isin([int(p) for p in parts]))
+        .select("url_hash", "url")
+    )
+
+
+def antijoin_new(cands: DataFrame, seen: DataFrame,
+                 broadcast_probe: bool = True) -> DataFrame:
+    """candidates ∖ seen — with the seen side STREAMED, never shuffled.
+
+    A plain ``cands LEFT ANTI seen`` shuffles BOTH sides on the join key
+    — at 10^10 seen rows that is the epoch's dominant cost (the r2
+    verdict's top scale-killer). Inverting the probe keeps the frontier
+    scan-only:
+
+      hits = seen ⋉ broadcast(candidate keys)   -- BroadcastHashJoin:
+                                                   seen streams, no
+                                                   exchange on it
+      new  = cands ∖ broadcast(hits)            -- hits ≤ |candidates|,
+                                                   tiny broadcast
+
+    Zero exchanges on the seen side; the only frontier cost is the
+    (partition-pruned) scan itself. Reference analogue: the UNIQUE-index
+    point probe (storage.rs:93-101), O(batch) not O(table). For
+    candidate sets too big to broadcast (navigate-all over a whole
+    corpus) the caller sets broadcast_probe=False and pays the classic
+    shuffle join."""
+    if not broadcast_probe:
+        return cands.join(seen, ["url_hash", "url"], "left_anti")
+    keys = cands.select("url_hash", "url")
+    hits = seen.join(F.broadcast(keys), ["url_hash", "url"], "left_semi")
+    return cands.join(F.broadcast(hits), ["url_hash", "url"], "left_anti")
+
+
 def register(
     store: TableStore,
     candidates: DataFrame,
@@ -81,6 +131,13 @@ def register(
     ``depth_counts_out``: if given, the new rows' per-depth counts are
     added into it (same action that materializes the cache — lets the
     crawl loop maintain its pending counts without re-reading the delta).
+
+    Scale shape per epoch: candidates are deduped + cached (epoch-
+    sized), ONE tiny agg collects their per-part counts, the seen side
+    is the partition-pruned slice of the part-partitioned frontier
+    (seen_slice), and the membership check streams that slice against a
+    broadcast of the candidate keys (antijoin_new) — no frontier
+    shuffle, no full-frontier scan.
     """
     spark = store.spark
     cands = candidates.withColumn("url_hash", F.xxhash64("url"))
@@ -95,26 +152,48 @@ def register(
         cands.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .withColumn("part", F.pmod(F.col("url_hash"), F.lit(N_BUCKETS)).cast("int"))
     )
 
+    cached_cands = None
     if store.exists("frontier"):
-        seen = store.read("frontier").select("url_hash", "url")
+        # one action on the (cached) deduped candidates yields the part
+        # list for partition pruning AND the batch size for the
+        # broadcast-vs-shuffle decision
+        cached_cands = cands.cache()
+        cands = cached_cands
+        part_rows = cands.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
+        n_cands = sum(int(r["n"]) for r in part_rows)
+        if n_cands == 0:
+            cached_cands.unpersist()
+            return 0
+        seen = seen_slice(store, [int(r["part"]) for r in part_rows])
         if max_seq is None:  # caller may track it to skip the full-scan agg
             max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
+        use_broadcast = n_cands <= BROADCAST_CANDIDATE_LIMIT
         if seen_bloom is not None:
-            # Bloom split: definite-new rows skip the anti-join shuffle.
-            # (A colliding NEW url probes 'maybe' and falls through to
-            # the exact join — the hash prefilter stays sound.)
-            probe = bloom_mod.might_contain_udf(spark, seen_bloom)
+            # Bloom split: definite-new rows skip the membership check
+            # entirely. (A colliding NEW url probes 'maybe' and falls
+            # through to the exact check — the prefilter stays sound.)
+            # ``seen_bloom`` is either a filter object (broadcast probe)
+            # or an already-built probe UDF (callable) — the crawl
+            # passes bloom_mod.sidecar_probe_udf so executors load only
+            # the per-part filter files their batches touch instead of
+            # receiving the whole filter by broadcast.
+            probe = (
+                seen_bloom if callable(seen_bloom)
+                else bloom_mod.might_contain_udf(spark, seen_bloom)
+            )
             cands = cands.withColumn("_maybe", probe(F.col("url_hash")))
             definite_new = cands.filter(~F.col("_maybe")).drop("_maybe")
             maybe = cands.filter(F.col("_maybe")).drop("_maybe")
             new = definite_new.unionByName(
-                maybe.join(seen, ["url_hash", "url"], "left_anti")
+                antijoin_new(maybe, seen, broadcast_probe=use_broadcast)
             )
         else:
-            new = cands.join(seen, ["url_hash", "url"], "left_anti")
+            new = antijoin_new(cands, seen, broadcast_probe=use_broadcast)
     else:
+        store.set_partitioning("frontier", "part")
         new = cands
         if max_seq is None:
             max_seq = -1
@@ -133,8 +212,7 @@ def register(
         .withColumn("status", F.lit(STATUS_NOT_DOWNLOADED))
         .withColumn("priority", F.col("depth").cast("double"))
         .withColumn("epoch_discovered", F.lit(epoch))
-        .withColumn("part", F.pmod(F.col("url_hash"), F.lit(N_BUCKETS)).cast("int"))
-        .select([f.name for f in FRONTIER.fields])
+        .select([f.name for f in FRONTIER.fields])  # part assigned upstream
     )
     # Two actions on one plan → cache the small new-rows set for the epoch.
     new_rows = new_rows.cache()
@@ -152,9 +230,14 @@ def register(
         # (Iceberg calls this the small-file problem; same cure: compact
         # at write time)
         n_files = max(1, n_new // 500_000 + (1 if n_new % 500_000 else 0))
+        # the append lands Hive-partitioned by `part` (store-level
+        # layout, set at table creation) so later seen_slice reads prune
+        # whole part directories
         store.append("frontier", new_rows.coalesce(n_files), tag=f"reg-{epoch:06d}")
     new_rows.unpersist()
     indexed.df_ordered_cache.unpersist()
+    if cached_cands is not None:
+        cached_cands.unpersist()
     return n_new
 
 
@@ -221,6 +304,22 @@ def head_cutoff(depth_counts: dict[int, int], batch_size: int) -> int:
     return cutoff
 
 
+def pending_scored(store: TableStore, exclude_epoch: int | None = None) -> DataFrame:
+    """Pending view with the latest host-budget rescore delta applied:
+    priority = the delta's override where one exists, else the row's own
+    registration-time priority. The delta (table ``rescore``) is
+    O(pending) — the frontier itself stays immutable."""
+    pend = pending(store, exclude_epoch)
+    if store.exists("rescore"):
+        delta = store.read("rescore").withColumnRenamed("priority", "_rp")
+        pend = (
+            pend.join(delta, ["url_hash", "url"], "left")
+            .withColumn("priority", F.coalesce("_rp", "priority"))
+            .drop("_rp")
+        )
+    return pend
+
+
 def dequeue(
     store: TableStore,
     batch_size: int = 100,
@@ -247,8 +346,9 @@ def dequeue(
     """
     if by_priority:
         # priority is a float score (depth-valued today); no per-key log
-        # subtraction — fall back to one agg over the pending view
-        pend = pending(store, exclude_epoch)
+        # subtraction — fall back to one agg over the pending view,
+        # with any host-budget rescore delta folded in
+        pend = pending_scored(store, exclude_epoch)
         keys = ["priority", "seq"]
         counts = {
             r["priority"]: int(r["n"])
@@ -267,6 +367,11 @@ def dequeue(
                 "pos", F.lit(0).cast("long")
             )
         cutoff = head_cutoff(depth_counts, batch_size)
+        # NOTE: the depth predicate prunes via parquet row-group MIN/MAX
+        # stats, which bite because each append delta holds one epoch's
+        # registrations and depth correlates with epoch (BFS order). If
+        # a policy ever registers mixed depths per epoch, add depth to
+        # the physical sort (sortWithinPartitions) at append time.
         frontier = store.read("frontier").filter(F.col("depth") <= cutoff)
         if exclude_epoch is not None:
             frontier = frontier.filter(F.col("epoch_discovered") != exclude_epoch)
@@ -335,14 +440,20 @@ def score_host_budget(
 
 
 def apply_host_budget(store: TableStore, host_budget: int = 100) -> None:
-    """Maintenance pass: rewrite the frontier's ``priority`` column with
-    host-budget scoring so subsequent ``dequeue(by_priority=True)``
-    calls interleave hosts. One snapshot overwrite (the scoring window
-    shuffles on host — run this periodically, not per epoch)."""
-    scored = score_host_budget(store.read("frontier"), host_budget)
+    """Maintenance pass: host-budget scoring so subsequent
+    ``dequeue(by_priority=True)`` calls interleave hosts.
+
+    Scale shape (r2 verdict item 6): scores ONLY the pending slice
+    (anti-join first, scoring window after) and writes the result as a
+    priority DELTA table (``rescore``) that pending_scored folds in at
+    read time — O(pending) work per pass, the frontier registration log
+    is never rewritten. Budget slots are consumed by pending rows only
+    (a fetched page shouldn't hold a slot); each pass replaces the
+    previous delta wholesale."""
+    scored = score_host_budget(pending(store), host_budget)
     store.overwrite(
-        "frontier",
-        scored.select([f.name for f in FRONTIER.fields]),
+        "rescore",
+        scored.select("url_hash", "url", "priority"),
         tag="rescore",
     )
 

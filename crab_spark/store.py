@@ -63,6 +63,8 @@ class TableStore:
             d[len("snap-"):] for d in dropped
         ]
         manifest = {"version": m["version"] + 1, "dirs": dirs}
+        if m.get("partition_by") is not None:
+            manifest["partition_by"] = m["partition_by"]
         if collapsed:
             manifest["collapsed_tags"] = collapsed
         tmp = self._manifest_path(name).with_suffix(f".tmp-{uuid.uuid4().hex}")
@@ -95,11 +97,29 @@ class TableStore:
             raise FileNotFoundError(f"table {name!r} has no committed tag {tag!r}")
         return self.spark.read.parquet(str(self.root / name / f"snap-{tag}"))
 
+    def partition_by(self, name: str) -> str | None:
+        """The table's physical partition column (Hive-style layout), or
+        None for flat tables. Set by the first partitioned write; all
+        later writes must agree."""
+        return self._read_manifest(name).get("partition_by")
+
     def read(self, name: str) -> DataFrame:
         dirs = self._read_manifest(name)["dirs"]
         if not dirs:
             raise FileNotFoundError(f"table {name!r} has no committed data")
-        return self.spark.read.parquet(*[str(self.root / name / d) for d in dirs])
+        paths = [str(self.root / name / d) for d in dirs]
+        if self.partition_by(name) is None:
+            return self.spark.read.parquet(*paths)
+        # Partitioned layout: each delta dir is its own partition-
+        # discovery root (Spark refuses multiple roots with key=value
+        # subdirs in one call — "conflicting directory structures").
+        # The per-dir scans union; a filter on the partition column
+        # reaches EVERY scan as a PartitionFilter, so file pruning works
+        # across the whole history (asserted in test_frontier).
+        out = self.spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(self.spark.read.parquet(p))
+        return out
 
     def overwrite(self, name: str, df: DataFrame, tag: str = "base") -> None:
         """Replace the table's contents. The tag is suffixed with the
@@ -120,13 +140,37 @@ class TableStore:
             dirs = dirs + [d]
         self._commit(name, dirs)
 
+    def set_partitioning(self, name: str, col: str) -> None:
+        """Declare a table's Hive-style partition column BEFORE the
+        first write (Iceberg: PARTITIONED BY in the DDL). Every
+        subsequent append/overwrite/compact lays its data out as
+        ``snap-<tag>/<col>=<v>/`` so partition-column filters prune at
+        the FILE level in every reader."""
+        m = self._read_manifest(name)
+        cur = m.get("partition_by")
+        if cur == col:
+            return
+        if m["dirs"]:
+            raise ValueError(
+                f"table {name!r} already has data partitioned by {cur!r}; "
+                "cannot change layout in place (rewrite via compact)"
+            )
+        m["partition_by"] = col
+        tmp = self._manifest_path(name).with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps(m))
+        os.replace(tmp, self._manifest_path(name))
+
     def _write_dir(self, name: str, df: DataFrame, tag: str) -> str:
         dirname = f"snap-{tag}"
         target = self.root / name / dirname
         if target.exists():
             # crashed previous attempt with this tag — replace wholesale
             shutil.rmtree(target)
-        df.write.mode("overwrite").parquet(str(target))
+        writer = df.write.mode("overwrite")
+        pcol = self.partition_by(name)
+        if pcol is not None:
+            writer = writer.partitionBy(pcol)
+        writer.parquet(str(target))
         return dirname
 
     def compact(self, name: str, n_files: int | None = None) -> int:
@@ -149,6 +193,24 @@ class TableStore:
         # old dirs stay on disk until a vacuum — readers mid-scan keep
         # working off the previous snapshot (same as Iceberg's expire)
         return len(dirs)
+
+    def vacuum(self, name: str) -> int:
+        """Delete data directories the manifest no longer references —
+        the Iceberg expire-snapshots analogue for dirs left behind by
+        compact()/overwrite() (which keep old dirs so in-flight readers
+        finish on their snapshot). Run it as offline maintenance, not
+        concurrently with long-lived readers pinned to an old snapshot.
+        Also sweeps failed-write temp dirs. Returns dirs removed."""
+        base = self.root / name
+        if not base.exists():
+            return 0
+        live = set(self._read_manifest(name)["dirs"])
+        n = 0
+        for child in base.iterdir():
+            if child.is_dir() and child.name not in live:
+                shutil.rmtree(child)
+                n += 1
+        return n
 
     # -- checkpoint state (the epoch counter) ---------------------------------
 

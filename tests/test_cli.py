@@ -77,8 +77,13 @@ def test_cli_reset_flips_status(workspace, capsys):
     row = next(l for l in pages.splitlines() if l.endswith(url))
     assert "NotDownloaded" in row
     # re-crawl refetches exactly the reset page
-    out = _run(capsys, ["--workdir", str(workspace), "run-crawler"])
-    assert "requests=1 " in out + " "
+    assert main(["--workdir", str(workspace), "run-crawler"]) == 0
+    cap = capsys.readouterr()
+    assert "requests=1 " in cap.out + " "
+    # the per-epoch progress line (reference dashboard analogue) is
+    # always visible during a crawl (on stderr — stdout stays clean for
+    # piped output), not only under --profile
+    assert "[epoch " in cap.err and "dequeued=1" in cap.err
 
 
 def test_cli_missing_page_errors(workspace, capsys):

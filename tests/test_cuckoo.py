@@ -38,10 +38,26 @@ def test_shard_delete_then_absent():
     assert s.contains(keys[100:]).all()      # rest untouched
 
 
-def test_shard_raises_over_capacity():
+def test_shard_saturates_over_capacity_no_false_negatives():
+    """r2 advice: over-capacity must degrade, not crash the crawl. A
+    full shard flips to 'saturated': every probe answers maybe (the
+    exact membership check still runs), deletes refuse, and the flag
+    survives state/sidecar roundtrips."""
     s = CuckooShard(2)  # 8 slots
-    with pytest.raises(RuntimeError, match="over capacity"):
-        s.insert(_keys(64))
+    keys = _keys(64)
+    s.insert(keys)      # would have raised before; now saturates
+    assert s.saturated
+    assert s.contains(keys).all()            # no false negatives, ever
+    assert s.contains(_keys(64, off=999)).all()  # 'maybe' for everything
+    assert not s.delete(keys[:4]).any()      # membership unknowable
+    # filter-level: saturation is per shard and serializes
+    f = CuckooFilter.sized_for(8, n_buckets=4)
+    f.add(_keys(256))
+    sat = f.saturated_parts()
+    assert sat  # tiny shards, 256 keys: something saturated
+    f2 = CuckooFilter.from_state(f.to_state())
+    assert f2.saturated_parts() == sat
+    assert f2.might_contain(_keys(256)).all()
 
 
 def test_filter_routes_parts_and_probes():
@@ -73,8 +89,8 @@ def test_sidecar_roundtrip_cuckoo(tmp_path):
     f = CuckooFilter.sized_for(1000)
     keys = _keys(300)
     f.add(keys)
-    save_sidecar(tmp_path / "c.npz", f, {"reg-000001"})
-    loaded, covered = load_sidecar(tmp_path / "c.npz")
+    save_sidecar(tmp_path / "c.d", f, {"reg-000001"})
+    loaded, covered = load_sidecar(tmp_path / "c.d")
     assert covered == {"reg-000001"}
     assert isinstance(loaded, CuckooFilter)
     assert loaded.might_contain(keys).all()
@@ -94,7 +110,7 @@ def test_crawl_with_cuckoo_filter_equivalent(spark, store):
     fetcher = CorpusFetcher(C.corpus_df(spark, 4))
     seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
     crawl(store, fetcher, registry, batch_size=10, max_epochs=2, use_bloom="cuckoo")
-    side = load_sidecar(store.root / "_manifests" / "bloom-frontier.npz")
+    side = load_sidecar(store.root / "_manifests" / "bloom-frontier.d")
     assert side is not None and isinstance(side[0], CuckooFilter)
     crawl(store, fetcher, registry, batch_size=10, use_bloom="cuckoo")  # resume
     on = {r["url"]: r["seq"] for r in store.read("frontier").collect()}
@@ -104,3 +120,83 @@ def test_crawl_with_cuckoo_filter_equivalent(spark, store):
     crawl(store2, fetcher, registry, batch_size=10, use_bloom=False)
     off = {r["url"]: r["seq"] for r in store2.read("frontier").collect()}
     assert on == off
+
+
+def test_crawl_with_undersized_cuckoo_survives_and_matches(spark, store):
+    """r2 advice: an undersized filter (bloom_capacity far below the
+    frontier) used to abort the crawl mid-epoch. With per-shard
+    saturation the crawl completes, warns, and still produces the exact
+    filter-off result."""
+    import warnings as w
+
+    from crab_spark import corpus as C
+    from crab_spark.crawler import CorpusFetcher, crawl
+    from crab_spark.frontier import seed_frontier
+    from crab_spark.parsers import data, listing, load_registry
+    from crab_spark.schemas import SEEDS
+
+    registry = load_registry([listing, data])
+    # 29 pages + 290 data links = 319 URLs over 32 shards of 8 slots
+    # (bloom_capacity=16 → minimum-size shards): several shards MUST
+    # overflow
+    fetcher = CorpusFetcher(C.corpus_df(spark, 30))
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        crawl(store, fetcher, registry, batch_size=60, use_bloom="cuckoo",
+              bloom_capacity=16)
+    assert any("over capacity" in str(c.message) for c in caught)
+    on = {r["url"]: r["seq"] for r in store.read("frontier").collect()}
+
+    store2 = type(store)(store.root.parent / "wh-nofilter2", spark)
+    seed_frontier(store2, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    crawl(store2, fetcher, registry, batch_size=60, use_bloom=False)
+    off = {r["url"]: r["seq"] for r in store2.read("frontier").collect()}
+    assert on == off
+
+
+def test_recrawl_with_cuckoo_delete_forgets_urls(spark, store):
+    """Stretch from the r2 verdict: a TTL policy that truly FORGETS
+    URLs exercises the delete capability the Bloom lacks. Flow: crawl →
+    delete a page's key from the filter AND its frontier/fetched rows →
+    re-register finds it genuinely new again (fresh seq, no false
+    'seen')."""
+    import numpy as np
+
+    from crab_spark import corpus as C
+    from crab_spark.crawler import CorpusFetcher, crawl
+    from crab_spark.frontier import register, seed_frontier
+    from crab_spark.parsers import data, listing, load_registry
+    from crab_spark.schemas import SEEDS
+
+    registry = load_registry([listing, data])
+    fetcher = CorpusFetcher(C.corpus_df(spark, 4))
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    crawl(store, fetcher, registry, batch_size=10, use_bloom="cuckoo")
+    side = load_sidecar(store.root / "_manifests" / "bloom-frontier.d")
+    assert side is not None
+    filt, _ = side
+
+    victim = C.page_url(2)
+    vrow = store.read("frontier").filter(f"url = '{victim}'").collect()[0]
+    key = np.array([vrow["url_hash"]], dtype=np.int64).view(np.uint64)
+    assert filt.might_contain(key).all()
+    assert filt.delete(key).all()           # the Bloom-impossible op
+    assert not filt.might_contain(key).any()  # genuinely forgotten
+
+    # forget it in the tables too, then re-register: it must be NEW
+    from pyspark.sql import functions as F
+
+    keep = store.read("frontier").filter(F.col("url") != victim)
+    from crab_spark.schemas import FRONTIER
+    store.overwrite("frontier", keep.select([f.name for f in FRONTIER.fields]),
+                    tag="forget")
+    max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
+    cands = spark.createDataFrame(
+        [(victim, C.PAGE_TYPE, 1, 0, 0)],
+        "url string, type_id int, depth int, parent_pos long, link_idx int",
+    )
+    n = register(store, cands, epoch=99, seen_bloom=filt, max_seq=max_seq)
+    assert n == 1
+    got = store.read("frontier").filter(F.col("url") == victim).collect()[0]
+    assert got["seq"] == max_seq + 1  # re-registered with a fresh seq

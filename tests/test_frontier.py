@@ -121,6 +121,53 @@ def test_dequeue_scans_only_head_depths(spark, store):
     assert all("LessThanOrEqual(depth,1)" in l for l in pushed), pushed
 
 
+def test_register_seen_side_is_pruned_and_streamed(spark, store):
+    """r3 scale contract for register (the r2 verdict's top item):
+    (a) frontier appends are Hive-partitioned by `part`, so the
+        membership check's seen_slice opens ONLY the part directories
+        the candidate batch touches — across every committed delta;
+    (b) the membership check STREAMS the seen side: two
+        BroadcastHashJoins (seen ⋉ broadcast(keys), then
+        cands ∖ broadcast(hits)), never a shuffle of the frontier."""
+    from crab_spark.plans import formatted_plan
+
+    fr.register(
+        store, _cands(spark, [(f"http://h/{i}", 1, 0, 0, i) for i in range(64)]),
+        epoch=1,
+    )
+    fr.register(
+        store, _cands(spark, [(f"http://h/x{i}", 1, 1, 0, i) for i in range(64)]),
+        epoch=2,
+    )
+    assert store.partition_by("frontier") == "part"
+
+    # (a) file-level pruning through the manifest union
+    sl = fr.seen_slice(store, [3, 7])
+    files = [r[0] for r in sl.select(F.input_file_name()).distinct().collect()]
+    assert files, "expected the store to hold rows in parts 3/7"
+    assert all("part=3/" in f or "part=7/" in f for f in files), files
+    pf = [l for l in formatted_plan(sl).splitlines() if "PartitionFilters" in l]
+    assert pf and all("part" in l for l in pf), pf
+
+    # (b) streamed membership: no exchange on the seen side
+    cand_keys = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(60, 70)], "url string"
+    ).withColumn("url_hash", F.xxhash64("url"))
+    out = fr.antijoin_new(
+        cand_keys.select("url_hash", "url"), fr.seen_slice(store, list(range(32)))
+    )
+    plan = formatted_plan(out)
+    # seen ⋉ broadcast(keys) (the semi may replicate into each delta-dir
+    # union branch) then cands ∖ broadcast(hits); the frontier side must
+    # never hit an exchange-shuffle join
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # e2e: the streamed probe returns exactly the unseen urls
+    got = {r["url"] for r in out.collect()}
+    assert got == {f"http://h/{i}" for i in range(64, 70)}
+
+
 def test_pending_depth_counts_subtraction(spark, store):
     rows = [(f"http://h/{d}/{i}", 1, d, 0, d * 10 + i) for d in range(3) for i in range(4)]
     fr.register(store, _cands(spark, rows), epoch=1)
@@ -192,13 +239,81 @@ def test_bloom_sidecar_roundtrip(tmp_path):
     b = BucketedBloom.sized_for(1000)
     keys = np.arange(100, dtype=np.uint64) * np.uint64(31)
     b.add(keys)
-    p = tmp_path / "bloom.npz"
+    p = tmp_path / "bloom.d"
     save_sidecar(p, b, {"reg-000001", "reg-000002"})
     loaded, covered = load_sidecar(p)
     assert covered == {"reg-000001", "reg-000002"}
     assert loaded.might_contain(keys).all()
     assert (loaded.bits == b.bits).all()
-    assert load_sidecar(tmp_path / "missing.npz") is None
+    assert load_sidecar(tmp_path / "missing.d") is None
+
+
+def test_sidecar_probe_touches_only_batch_parts(tmp_path):
+    """Scale contract for the seen-set probe (r2 verdict item 3): the
+    per-part sidecar means a probe loads ONLY the part files its key
+    batch routes to — never the whole filter (bloom.py's own math:
+    ~12 GiB at 10^10 keys, unbroadcastable)."""
+    import numpy as np
+
+    from crab_spark import bloom as bm
+
+    b = BucketedBloom.sized_for(10_000)
+    keys = np.arange(5000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    b.add(keys)
+    d = tmp_path / "side.d"
+    save_sidecar(d, b, {"reg-000001"})
+    meta = bm._read_meta(d)
+
+    # pick keys routing to exactly two parts
+    parts = keys.view(np.int64) % b.n_buckets
+    chosen = {int(parts[0]), int(parts[1])} if parts[0] != parts[1] else {int(parts[0]), int(parts[2])}
+    sel = keys[np.isin(parts, list(chosen))][:64]
+    bm._PART_CACHE.clear()
+    got = bm.probe_sidecar(sel, str(d), meta)
+    assert got.all()  # no false negatives
+    loaded_parts = {k[2] for k in bm._PART_CACHE}
+    assert loaded_parts == chosen, (loaded_parts, chosen)
+
+    # incremental save: only the touched part files are rewritten
+    import os
+    mtimes = {f.name: os.path.getmtime(f) for f in d.glob("part-*.bin")}
+    extra = np.array([123456789, 987654321], dtype=np.uint64)
+    b.add(extra)
+    touched = {int(p) for p in extra.view(np.int64) % b.n_buckets}
+    import time as _t
+    _t.sleep(0.05)
+    save_sidecar(d, b, {"reg-000001", "reg-000002"}, changed_parts=touched)
+    for f in d.glob("part-*.bin"):
+        p = int(f.stem.split("-")[1])
+        if p in touched or f.name not in mtimes:
+            continue
+        assert os.path.getmtime(f) == mtimes[f.name], f"untouched {f.name} rewritten"
+    # and the incrementally-saved filter still answers everything
+    loaded, covered = load_sidecar(d)
+    assert covered == {"reg-000001", "reg-000002"}
+    assert loaded.might_contain(np.concatenate([keys, extra])).all()
+
+
+def test_sidecar_probe_udf_matches_broadcast_probe(spark, tmp_path):
+    """The file-backed probe UDF is plan-for-plan interchangeable with
+    the broadcast probe: identical answers over the same key column."""
+    df = spark.createDataFrame([(int(i) * 7919,) for i in range(500)], "url_hash long")
+    b = build_bloom(df, "url_hash", proto=BucketedBloom.sized_for(500))
+    d = tmp_path / "probe.d"
+    save_sidecar(d, b, set())
+    from crab_spark.bloom import sidecar_probe_udf
+
+    probe_f = sidecar_probe_udf(spark, d)
+    probe_b = might_contain_udf(spark, b)
+    mixed = spark.createDataFrame(
+        [(int(i) * 7919,) for i in range(1000)], "url_hash long"
+    )
+    got = mixed.select(
+        "url_hash", probe_f("url_hash").alias("f"), probe_b("url_hash").alias("b")
+    ).collect()
+    assert all(r["f"] == r["b"] for r in got)
+    assert all(r["f"] for r in got if r["url_hash"] < 500 * 7919)
+    assert sidecar_probe_udf(spark, tmp_path / "nope.d") is None
 
 
 def test_crawl_persists_and_reuses_bloom_sidecar(spark, store):
@@ -215,7 +330,7 @@ def test_crawl_persists_and_reuses_bloom_sidecar(spark, store):
     fr.seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
     fetcher = CorpusFetcher(C.corpus_df(spark, 4))
     crawl(store, fetcher, registry, batch_size=10, max_epochs=2)
-    side = _load(store.root / "_manifests" / "bloom-frontier.npz")
+    side = _load(store.root / "_manifests" / "bloom-frontier.d")
     assert side is not None
     bloom, covered = side
     assert covered == set(store.tags("frontier"))
@@ -275,6 +390,10 @@ def test_store_compact_preserves_rows(spark, store):
     assert n == 5 and len(store.tags("frontier")) == 1
     assert {(r["url"], r["seq"]) for r in store.read("frontier").collect()} == before
     assert store.compact("frontier") == 0  # idempotent: single dir already
+    # vacuum expires the 5 pre-compaction dirs; the live snapshot survives
+    assert store.vacuum("frontier") == 5
+    assert {(r["url"], r["seq"]) for r in store.read("frontier").collect()} == before
+    assert store.vacuum("frontier") == 0
 
 
 def test_by_priority_dequeue_after_host_budget_rescore(spark, store):
@@ -291,6 +410,7 @@ def test_by_priority_dequeue_after_host_budget_rescore(spark, store):
                    fr.dequeue(store, batch_size=8).orderBy("pos").collect()]
     assert depth_first == ["hot"] * 8
 
+    frontier_dirs_before = store._read_manifest("frontier")["dirs"]
     fr.apply_host_budget(store, host_budget=3)
     got = [(r["host"], r["priority"]) for r in
            fr.dequeue(store, batch_size=6, by_priority=True).orderBy("pos").collect()]
@@ -299,3 +419,22 @@ def test_by_priority_dequeue_after_host_budget_rescore(spark, store):
     assert all(p == 0.0 for _, p in got)
     # seq stays intact through the rescore (identity preserved)
     assert sorted(r["seq"] for r in store.read("frontier").collect()) == list(range(11))
+    # r3 scale contract: the rescore is a DELTA table — the frontier
+    # registration log itself is never rewritten by a maintenance pass
+    assert store._read_manifest("frontier")["dirs"] == frontier_dirs_before
+    assert store.exists("rescore") and store.read("rescore").count() == 11
+
+
+def test_host_budget_rescore_scores_pending_only(spark, store):
+    """Fetched rows neither consume budget slots nor appear in the
+    delta: the scoring window runs AFTER the pending anti-join."""
+    rows = [(f"http://hot/{i}", 1, 0, 0, i) for i in range(6)]
+    fr.register(store, _cands(spark, rows), epoch=1)
+    fr.mark_fetched(store, store.read("frontier").filter("seq < 3"), epoch=1)
+    fr.apply_host_budget(store, host_budget=2)
+    assert store.read("rescore").count() == 3  # the pending slice only
+    got = [(r["seq"], r["priority"]) for r in
+           fr.dequeue(store, batch_size=3, by_priority=True).orderBy("pos").collect()]
+    # pending seqs 3,4,5 under budget 2: two at level 0, overflow at 1
+    assert [s for s, _ in got] == [3, 4, 5]
+    assert [p for _, p in got] == [0.0, 0.0, 1.0]
