@@ -28,12 +28,22 @@ def with_pack_ids(
     order_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    tokenizer=None,
 ) -> DataFrame:
-    """Adds (n_tokens, pack_id) to each document."""
+    """Adds (n_tokens, pack_id) to each document. Default token measure
+    is the whitespace count (codegen'd); pass an
+    ``operators.tokenizer.BPETokenizer`` to budget in EXACT subword
+    tokens (one Arrow crossing, evaluated once per doc inside the
+    ranged cache — the cumsum machinery is unchanged)."""
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    tokens = F.size(F.split(F.col(text_col), " "))
+    if tokenizer is not None:
+        from .tokenizer import token_count_udf
+
+        tokens = token_count_udf(tokenizer)(F.col(text_col))
+    else:
+        tokens = F.size(F.split(F.col(text_col), " "))
     ranged = (
         docs.withColumn("n_tokens", tokens.cast("long"))
         .repartitionByRange(num_partitions, F.col(order_col))

@@ -29,14 +29,24 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (≈ chars/4, the
-    common rule-of-thumb for byte-pair vocabularies)."""
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                tokenizer=None) -> DataFrame:
+    """Whitespace tokens + a subword count. Default: the chars/4
+    rule-of-thumb, pure codegen (and SQL-oracle-able). Pass a trained
+    ``operators.tokenizer.BPETokenizer`` for EXACT subword counts via
+    one Arrow-batched UDF — same output schema, so pack budgeting and
+    downstream consumers don't change."""
     t = tokens(F.col(text_col))
+    if tokenizer is not None:
+        from .tokenizer import token_count_udf
+
+        bpe = token_count_udf(tokenizer)(F.col(text_col))
+    else:
+        bpe = F.ceil(F.length(text_col) / F.lit(4)).cast("long")
     return docs.select(
         F.col(id_col),
         F.size(t).alias("n_tokens"),
-        F.ceil(F.length(text_col) / F.lit(4)).cast("long").alias("n_bpe_est"),
+        bpe.alias("n_bpe_est"),
     )
 
 

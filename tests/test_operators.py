@@ -261,6 +261,45 @@ def test_quality_features_values(spark):
     assert r["space_ratio"] == round(2 / 8, 4)
 
 
+def test_bpe_tokenizer_deterministic_and_exact(spark, docs):
+    """The pluggable BPE path: training is deterministic, encoding is
+    lossless, and the Arrow UDF count equals the driver-side count —
+    token budgets mean real tokens (r2 verdict stretch 9)."""
+    from crab_spark.operators.tokenizer import BPETokenizer
+
+    texts = [r["text"] for r in docs.collect()]
+    t1 = BPETokenizer.train(texts, n_merges=50)
+    t2 = BPETokenizer.train(texts, n_merges=50)
+    assert t1.merges == t2.merges and len(t1.merges) > 0
+    for w in ["quick", "engines", "jumps"]:
+        assert "".join(t1.encode_word(w)).replace("</w>", "") == w
+    got = {r["doc_id"]: r["n_bpe_est"]
+           for r in X.token_count(docs, tokenizer=t1).collect()}
+    want = {r["doc_id"]: t1.count(r["text"]) for r in docs.collect()}
+    assert got == want
+    # drop-in: same schema as the heuristic path
+    assert (X.token_count(docs).columns
+            == X.token_count(docs, tokenizer=t1).columns)
+
+
+def test_packing_with_bpe_tokens_matches_definition(spark, docs):
+    """q39's packing with exact BPE counts still matches the
+    greedy-fill definition (pack = floor(cum_before / budget))."""
+    from crab_spark.operators import packing as P
+    from crab_spark.operators.tokenizer import BPETokenizer
+
+    texts = [(r["doc_id"], r["text"]) for r in docs.orderBy("doc_id").collect()]
+    tok = BPETokenizer.train([t for _, t in texts], n_merges=30)
+    packed = P.with_pack_ids(docs, budget=20, tokenizer=tok)
+    got = {r["doc_id"]: (r["n_tokens"], r["pack_id"]) for r in packed.collect()}
+    cum = 0
+    for did, text in texts:
+        n = tok.count(text)
+        assert got[did] == (n, cum // 20), (did, got[did], n, cum)
+        cum += n
+    packed.df_ordered_cache.unpersist()
+
+
 def test_media_pipeline_deterministic(docs):
     media = M.media_from_documents(docs)
     f1 = {r["media_id"]: (r["width"], r["height"], r["n_frames"], tuple(r["feature"]))
