@@ -180,6 +180,120 @@ def ngram_jaccard(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components,
+    labeled by each component's minimum id. Near-duplication is
+    transitive in practice (A≈B, B≈C ⇒ one document survives), so
+    keeper selection needs components, not pairs.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two groupBy-min + explode passes over the edge set, and
+    the edge set contracts toward per-component stars in O(log n)
+    rounds (plain min-label propagation needs O(diameter) rounds — a
+    boilerplate chain can make the diameter linear). Convergence is
+    checked by edge-set size + sum fixpoint; iteration state is
+    cached and the previous round unpersisted, so lineage stays O(1)
+    deep.
+
+    pairs: DataFrame[id_a, id_b]. vertices (optional): DataFrame with
+    ``id_col`` — isolated ids (in no pair) come back self-labeled.
+    Returns (id_col, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # undirected neighborhoods: emit both directions
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # m(u) = min(Γ(u) ∪ {u}); connect every strictly-larger
+        # neighbor to m
+        m = sym.groupBy("u").agg(F.min(F.least("u", "v")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient every edge larger→smaller, so Γ≤(u) is the whole
+        # neighborhood; connect u and all its smaller neighbors to
+        # m = min(Γ≤(u) ∪ {u})
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            o.join(m, "u")
+            .select(
+                F.col("m"),
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("n"),
+            )
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _sig(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("su"), F.sum("v").alias("sv"),
+            F.sum(F.col("u") * F.col("v")).alias("sp"),
+        ).collect()[0]
+        return (int(r["n"]), r["su"], r["sv"], r["sp"])
+
+    prev = _sig(edges)
+    cur = edges
+    for _ in range(max_iters):
+        # localCheckpoint (eager) TRUNCATES the logical plan each round.
+        # Without it the plan tree multiplies every iteration (each star
+        # references its input several times) and Catalyst analysis time
+        # grows exponentially — the classic iterative-DataFrame trap;
+        # measured: un-truncated, a 20-edge chain took >15 min in
+        # analysis alone. On a cluster, swap for reliable checkpoint()
+        # if executor loss during the loop must be survivable.
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _sig(nxt)
+        cur.unpersist()
+        cur = nxt
+        if sig == prev:
+            break
+        prev = sig
+    # star edges point node → component min; add the roots themselves
+    labels = cur.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
+    roots = cur.select(F.col("v").alias(id_col)).distinct().withColumn(
+        "cluster_id", F.col(id_col)
+    )
+    out = labels.unionByName(roots).groupBy(id_col).agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+    if vertices is not None:
+        isolated = (
+            vertices.select(id_col).distinct()
+            .join(out, id_col, "left_anti")
+            .withColumn("cluster_id", F.col(id_col))
+        )
+        out = out.unionByName(isolated)
+    # the final star set stays cached until the caller's action — it is
+    # the whole lineage of `out` (repo convention: caller unpersists
+    # via df_ordered_cache when done)
+    out.df_ordered_cache = cur
+    return out
+
+
 _SIMHASH_BITS = 64
 
 

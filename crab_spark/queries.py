@@ -8,7 +8,7 @@ Jaccard, embedding similarity, text analysis, multimodal plumbing).
 
 Every Spark query aliases its computed columns to the SAME names as its
 oracle SQL; the driver compares row counts, schemas and order-insensitive
-value hashes at sf=0.01 via DuckDB. ALL 39 queries carry an oracle:
+value hashes at sf=0.01 via DuckDB. ALL 40 queries carry an oracle:
 simhash via md5_number_upper (reproduces the engine's per-token hash
 bit-for-bit), IVF via list_cosine_similarity + arg_max, and the media
 decode pipeline via an md5-derived stub contract whose widths/frames/
@@ -410,6 +410,25 @@ def q38_stratified_sample(spark, sf):
     return out.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+def q40_dup_clusters(spark, sf):
+    """The full dedup endgame: LSH candidates (bucket-capped) → exact
+    Jaccard verify → connected components. Near-duplication is
+    transitive, so keeper selection needs the component label, not the
+    pair list; components run as alternating large-star/small-star
+    (O(log n) rounds of groupBy-min + explode). Every doc gets a
+    cluster_id (= its component's min doc_id; isolated docs label
+    themselves)."""
+    docs = t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=8, k=2)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2, max_bucket=_MAX_BUCKET)
+    verified = (
+        D.ngram_jaccard(docs, pairs, k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return D.connected_components(verified, vertices=docs)
+
+
 def q39_pack_sequences(spark, sf):
     """Sequence packing: docs in id order fill 512-token packs greedily
     (two-level distributed cumsum, not a single-task global window)."""
@@ -464,6 +483,32 @@ _SHINGLE_CTE = """
  sh AS (SELECT doc_id, array_to_string(ws[i:i+{km1}], ' ') s
         FROM w, unnest(range(1, greatest(len(ws) - {k}, 0) + 2)) t(i))
 """
+
+# Shared LSH candidate + shingle-set CTE chain (q24 verify, q40
+# clustering): 2-word-shingle MinHash signatures → capped band buckets
+# → candidate pairs → exact 3-gram shingle sets for the Jaccard verify.
+_LSH_CAND_SETS = (
+    _SHINGLE_CTE.format(k=2, km1=1)
+    + """,
+        sigs AS (SELECT doc_id, """
+    + ", ".join(f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(8))
+    + """ FROM sh GROUP BY doc_id),
+        bands AS (SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, sig_{2*b} || '#' || sig_{2*b+1} AS band_key FROM sigs"
+        for b in range(4)
+    )
+    + f""") QUALIFY count(*) OVER (PARTITION BY band_idx, band_key)
+                        <= {_MAX_BUCKET}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+        w3 AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') s
+                FROM w3, unnest(range(1, greatest(len(ws) - 3, 0) + 2)) t(i)),
+        sets AS (SELECT doc_id, list_distinct(list(s)) sh FROM sh3 GROUP BY doc_id)"""
+)
 
 ORACLE_SQL: dict[str, str] = {
     "q01_scan_filter_project": """
@@ -588,35 +633,32 @@ ORACLE_SQL: dict[str, str] = {
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id"""
     ),
-    "q24_ngram_jaccard": (
-        # same banded candidate set as q23, then exact 3-gram Jaccard
-        # verify on just those pairs (the LSH → verify composition)
-        "WITH " + _SHINGLE_CTE.format(k=2, km1=1) + """,
-        sigs AS (SELECT doc_id, """
-        + ", ".join(f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(8))
-        + """ FROM sh GROUP BY doc_id),
-        bands AS (SELECT * FROM ("""
-        + " UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_idx, sig_{2*b} || '#' || sig_{2*b+1} AS band_key FROM sigs"
-            for b in range(4)
-        )
-        + f""") QUALIFY count(*) OVER (PARTITION BY band_idx, band_key)
-                        <= {_MAX_BUCKET}),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                 FROM bands a JOIN bands b
-                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                  AND a.doc_id < b.doc_id),
-        w3 AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        sh3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') s
-                FROM w3, unnest(range(1, greatest(len(ws) - 3, 0) + 2)) t(i)),
-        sets AS (SELECT doc_id, list_distinct(list(s)) sh FROM sh3 GROUP BY doc_id)
+    # same banded candidate set as q23, then exact 3-gram Jaccard
+    # verify on just those pairs (the LSH → verify composition)
+    "q24_ngram_jaccard": "WITH " + _LSH_CAND_SETS + """
         SELECT c.id_a, c.id_b,
                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                      len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         FROM cand c
         JOIN sets a ON a.doc_id = c.id_a
-        JOIN sets b ON b.doc_id = c.id_b"""
-    ),
+        JOIN sets b ON b.doc_id = c.id_b""",
+    # q24's verified pairs (jaccard ≥ 0.5) → connected components by
+    # recursive min-reachability; every doc labeled with its
+    # component's min doc_id (isolated docs label themselves)
+    "q40_dup_clusters": "WITH RECURSIVE " + _LSH_CAND_SETS + """,
+        ver AS (SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sets a ON a.doc_id = c.id_a
+                JOIN sets b ON b.doc_id = c.id_b
+                WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+        e AS (SELECT id_a AS ea, id_b AS eb FROM ver
+              UNION SELECT id_b, id_a FROM ver),
+        reach(n, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.n, e.eb FROM reach r JOIN e ON r.m = e.ea)
+        SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n""",
     "q27_embedding_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) AS score

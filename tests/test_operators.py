@@ -89,6 +89,29 @@ def test_simhash_neardup_banding(docs):
     assert (0, 1) in pairs
 
 
+def test_connected_components_chains_and_isolates(spark):
+    """Alternating large-star/small-star CC: transitive chains collapse
+    to one cluster labeled by the component min; isolated vertices
+    label themselves; a 60-edge path (diameter 60) converges in the
+    O(log n) round budget."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (12, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 12, 99)], "doc_id long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.connected_components(pairs, vertices=verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    got2 = {r["doc_id"]: r["cluster_id"]
+            for r in D.connected_components(chain).collect()}
+    assert len(got2) == 21 and set(got2.values()) == {0}
+
+
 @pytest.fixture(scope="module")
 def mega_docs(spark):
     """300 identical boilerplate docs (one mega band-bucket in every
