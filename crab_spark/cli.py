@@ -3,7 +3,7 @@ subcommands) over the Spark engine.
 
     python -m crab_spark.cli new <dir>            # scaffold workspace (S10)
     python -m crab_spark.cli register <url> <type_id>
-    python -m crab_spark.cli run-crawler [--navigate] [--batch N]
+    python -m crab_spark.cli run-crawler [--navigate] [--batch N] [--host-budget K]
     python -m crab_spark.cli navigate <url>         # print outgoing links
     python -m crab_spark.cli navigate-all
     python -m crab_spark.cli validate [--reset]
@@ -108,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("run-crawler")
     p.add_argument("--navigate", action="store_true")
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--host-budget", type=int, default=None,
+                   help="priority-frontier mode: cap per-host rows per "
+                        "priority level (north_rule host-budget scoring)")
     sub.add_parser("navigate-all")
     p = sub.add_parser("navigate"); p.add_argument("url")
     p = sub.add_parser("reset"); p.add_argument("url")
@@ -189,7 +192,8 @@ def main(argv: list[str] | None = None) -> int:
         proxy_pool = pool
         stats = crawl(store, fetcher, registry, navigate=args.navigate,
                       batch_size=args.batch or c["batch_size"],
-                      robots=robots, proxy_pool=proxy_pool)
+                      robots=robots, proxy_pool=proxy_pool,
+                      host_budget=args.host_budget)
         print(f"epochs={stats.epochs} requests={stats.requests} "
               f"successful={stats.successful} new_links={stats.new_links}"
               + (f" robots_denied={stats.robots_denied}" if robots is not None else ""))

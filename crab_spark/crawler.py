@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import bloom as bloom_mod
-from .frontier import dequeue, mark_fetched, pending_depth_counts, register
+from .frontier import (
+    apply_host_budget,
+    dequeue,
+    mark_fetched,
+    pending_depth_counts,
+    register,
+)
 from .parsers import ParserRegistry
 from .schemas import METRICS, SPAN
 from .store import TableStore
@@ -383,6 +389,8 @@ def crawl(
     profile: bool = False,
     robots: DataFrame | None = None,
     proxy_pool=None,
+    host_budget: int | None = None,
+    rescore_every: int = 1,
 ) -> CrawlStats:
     """Run the crawl to completion (or max_epochs). Mirrors
     `crab run-crawler [--navigate]` (main.rs:156-184, crawler.rs:52-125).
@@ -402,6 +410,17 @@ def crawl(
     the seeded stand-in for the reference's per-request thread_rng pick,
     crawler.rs:72, proxy.rs:79-111); per-epoch outcomes are folded back
     into the saturating counters (proxy.rs:116-122 at epoch granularity).
+
+    ``host_budget``: switch the frontier to the north_rule's priority
+    mode — every ``rescore_every`` epochs the pending slice is re-scored
+    with host-budget overflow (frontier.apply_host_budget: a hot host's
+    rows beyond the budget sink one priority level per overflow) and the
+    dequeue orders by (priority, seq) instead of (depth, seq), so epochs
+    interleave hosts instead of draining one hot host's shallow pages
+    first. The reference has no such mode, so the crawl-order-equality
+    contract applies only to the default BFS mode; priority-mode
+    crash-resume re-scores on the post-crash pending set (best-effort
+    ordering, never correctness).
 
     Crash-resume contract: an epoch's writes commit in the order
     documents → register → metrics → fetched; the fetched append is the
@@ -522,9 +541,14 @@ def crawl(
         # re-run the incremental counts include the crashed epoch's rows
         # → recompute them under the exclusion instead.
         rerun = f"reg-{epoch:06d}" in store.tags("frontier")
+        if host_budget is not None and (stats.epochs % max(rescore_every, 1)) == 0:
+            # priority mode: refresh the host-budget scoring delta over
+            # the current pending slice (O(pending), frontier untouched)
+            apply_host_budget(store, host_budget)
         batch0 = dequeue(
             store, batch_size=batch_size, exclude_epoch=epoch,
-            depth_counts=None if rerun else depth_counts,
+            by_priority=host_budget is not None,
+            depth_counts=None if (rerun or host_budget is not None) else depth_counts,
         ).cache()
         batch = batch0
         n_total = batch.count()

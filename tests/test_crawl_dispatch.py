@@ -168,3 +168,40 @@ def test_crash_mid_epoch_resumes_exactly_once(spark, store, registry, crash_tag)
     # lineage: metrics new_links over all epochs still adds up
     m = store.read("metrics").filter(F.col("part") == -1)
     assert m.agg(F.sum("new_links")).collect()[0][0] == golden.new_links
+
+
+def test_crawl_host_budget_mode_interleaves_hosts(spark, store):
+    """north_rule priority frontier, wired through crawl(): with
+    host_budget set, each epoch rescores the pending slice and dequeues
+    by (priority, seq), so a hot host's overflow sinks a level and the
+    batch interleaves hosts. The default BFS mode on the same seeds
+    drains the hot host first."""
+    from collections import Counter
+
+    import pyspark.sql.types as T
+
+    from crab_spark.parsers import ParserRegistry, SpanParser
+    from crab_spark.schemas import SPAN
+
+    urls = [f"http://ahot/{i}" for i in range(8)] + [f"http://zzz/{i}" for i in range(3)]
+    corpus = spark.createDataFrame(
+        [(u, [("text", "x", "", 0)]) for u in urls],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("spans", T.ArrayType(SPAN))]),
+    )
+    registry = ParserRegistry([SpanParser(type_id=1)])
+    seed_frontier(store, spark.createDataFrame([(u, 1) for u in urls], SEEDS))
+    stats = crawl(store, CorpusFetcher(corpus), registry, navigate=False,
+                  batch_size=6, host_budget=3, record_order=True)
+    assert stats.requests == 11 and stats.successful == 11
+    assert pending(store).count() == 0
+    hosts = Counter(u.split("/")[2] for u in stats.crawl_order[:6])
+    # budget 3: ahot's first 3 (prio 0) + zzz's 3 (prio 0) — interleaved
+    assert hosts == Counter({"ahot": 3, "zzz": 3}), stats.crawl_order[:6]
+
+    # BFS mode drains ahot (seq 0-7) first
+    store2 = type(store)(store.root.parent / "wh-bfs-mode", spark)
+    seed_frontier(store2, spark.createDataFrame([(u, 1) for u in urls], SEEDS))
+    s2 = crawl(store2, CorpusFetcher(corpus), registry, navigate=False,
+               batch_size=6, record_order=True)
+    assert [u.split("/")[2] for u in s2.crawl_order[:6]] == ["ahot"] * 6
