@@ -125,6 +125,46 @@ def extract_features(media: DataFrame, decoder: FakeDecoder | None = None) -> Da
     )
 
 
+def resize_plan(media: DataFrame, decoder: FakeDecoder | None = None,
+                max_w: int = 64, max_h: int = 64) -> DataFrame:
+    """Aspect-preserving resize planning: decode (mapInPandas, Arrow
+    batches) → fit each item into a (max_w, max_h) box without
+    upscaling. The geometry runs as pure expressions over the decoded
+    dims — scale = min(max_w/w, max_h/h, 1), out = floor(dim·scale) —
+    so the whole pipeline is SQL-oracle-able; a real deployment would
+    pass out_w/out_h back into the decoder's resample step (the one
+    part that must stay a pixel-touching UDF)."""
+    feats = extract_features(media, decoder)
+    w = F.col("width").cast("double")
+    h = F.col("height").cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    return feats.select(
+        "media_id", "kind",
+        F.col("width").alias("src_w"),
+        F.col("height").alias("src_h"),
+        F.floor(w * scale).cast("int").alias("out_w"),
+        F.floor(h * scale).cast("int").alias("out_h"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def sample_frames(media: DataFrame, decoder: FakeDecoder | None = None,
+                  stride: int = 2) -> DataFrame:
+    """Frame sampling plan: decode → one row per kept frame index
+    (0, stride, 2·stride, … < n_frames). Images contribute their single
+    frame. The explode is JVM-side (sequence), so the only Python
+    crossing is the decode batch; a real pipeline feeds (media_id,
+    frame_idx) pairs back into a frame-extraction UDF."""
+    feats = extract_features(media, decoder)
+    idx = F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(max(stride, 1))
+    )
+    return feats.select(
+        "media_id", "kind",
+        F.explode(idx).alias("frame_idx"),
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only rollup — never reads the payload column (column
     pruning: ReadSchema excludes `payload`)."""

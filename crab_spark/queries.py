@@ -8,7 +8,7 @@ Jaccard, embedding similarity, text analysis, multimodal plumbing).
 
 Every Spark query aliases its computed columns to the SAME names as its
 oracle SQL; the driver compares row counts, schemas and order-insensitive
-value hashes at sf=0.01 via DuckDB. ALL 40 queries carry an oracle:
+value hashes at sf=0.01 via DuckDB. ALL 42 queries carry an oracle:
 simhash via md5_number_upper (reproduces the engine's per-token hash
 bit-for-bit), IVF via list_cosine_similarity + arg_max, and the media
 decode pipeline via an md5-derived stub contract whose widths/frames/
@@ -389,6 +389,20 @@ def q36_media_features(spark, sf):
             for i in range(8)
         ],
     )
+
+
+def q41_media_resize(spark, sf):
+    """Decode → aspect-preserving resize plan (fit into 64×64, no
+    upscale). Geometry is pure expressions over the decoded dims, so
+    the full mapInPandas-decode pipeline stays SQL-verifiable."""
+    return M.resize_plan(M.media_from_documents(t(spark, sf, "documents")))
+
+
+def q42_frame_sample(spark, sf):
+    """Decode → stride-2 frame sampling: one row per kept frame index
+    (JVM-side sequence + explode; the decode batch is the only Python
+    crossing)."""
+    return M.sample_frames(M.media_from_documents(t(spark, sf, "documents")))
 
 
 def q37_hash_sample(spark, sf):
@@ -787,6 +801,36 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
                count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS pack_tokens
         FROM c GROUP BY 1""",
+    # decode → resize plan: the stub decoder's dims (md5-derived, see
+    # q36) fit into a 64×64 box aspect-preserved, floor(dim·scale)
+    "q41_media_resize": f"""
+        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+                          md5(CAST(doc_id AS VARCHAR)) AS kh,
+                          md5(text) AS ph
+                   FROM documents),
+        dec AS (SELECT 'm:' || did AS media_id,
+                       ['image','audio','video'][({_hexbyte('kh', 0)} % 3) + 1] AS kind,
+                       CAST(16 + {_hexbyte('ph', 0)} % 64 AS INT) AS width,
+                       CAST(16 + {_hexbyte('ph', 1)} % 64 AS INT) AS height
+                FROM m)
+        SELECT media_id, kind, width AS src_w, height AS src_h,
+               CAST(floor(width * s) AS INT) AS out_w,
+               CAST(floor(height * s) AS INT) AS out_h,
+               round(s, 6) AS scale
+        FROM (SELECT *, least(64.0 / width, 64.0 / height, 1.0) AS s FROM dec)""",
+    # decode → stride-2 frame sample: one row per kept frame index
+    "q42_frame_sample": f"""
+        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+                          md5(CAST(doc_id AS VARCHAR)) AS kh,
+                          md5(text) AS ph
+                   FROM documents),
+        dec AS (SELECT 'm:' || did AS media_id,
+                       ['image','audio','video'][({_hexbyte('kh', 0)} % 3) + 1] AS kind,
+                       CAST(CASE WHEN {_hexbyte('kh', 0)} % 3 = 0 THEN 1
+                                 ELSE 1 + {_hexbyte('ph', 2)} % 8 END AS INT) AS n_frames
+                FROM m)
+        SELECT media_id, kind, CAST(t.fi AS INT) AS frame_idx
+        FROM dec, unnest(range(0, n_frames, 2)) t(fi)""",
     # the stub decoder's md5(payload)-derived metadata/features, as one
     # SQL expression (payload = utf-8 bytes of text, so md5(text) in
     # DuckDB hashes the identical bytes); kind routes by md5(doc_id)

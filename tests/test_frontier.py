@@ -168,6 +168,47 @@ def test_register_seen_side_is_pruned_and_streamed(spark, store):
     assert got == {f"http://h/{i}" for i in range(64, 70)}
 
 
+def test_register_shuffle_fallback_above_broadcast_limit(spark, store, monkeypatch):
+    """Candidate batches past BROADCAST_CANDIDATE_LIMIT take the classic
+    shuffle anti-join (broadcasting millions of keys would pressure the
+    driver) — results identical either way."""
+    fr.register(store, _cands(spark, [(f"http://h/{i}", 1, 0, 0, i) for i in range(30)]),
+                epoch=1)
+    monkeypatch.setattr(fr, "BROADCAST_CANDIDATE_LIMIT", 5)
+    mix = _cands(spark, [(f"http://h/{i}", 1, 1, 1, i) for i in range(20, 50)])
+    assert fr.register(store, mix, epoch=2) == 20  # 10 dup + 20 new
+    assert store.read("frontier").count() == 50
+    assert sorted(r["seq"] for r in store.read("frontier").collect()) == list(range(50))
+
+
+def test_sidecar_probe_cuckoo_parts(tmp_path):
+    """The per-part file probe handles cuckoo sidecars too (shard files
+    + saturated flags from meta), including saturated shards answering
+    'maybe' for everything."""
+    import numpy as np
+
+    from crab_spark import bloom as bm
+    from crab_spark.cuckoo import CuckooFilter
+
+    f = CuckooFilter.sized_for(2000)
+    keys = np.arange(1000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    f.add(keys)
+    # saturate one shard artificially
+    sat_part = int(keys[0].view(np.int64) % f.n_buckets)
+    f.shards[sat_part].saturated = True
+    d = tmp_path / "ck.d"
+    save_sidecar(d, f, {"reg-000001"})
+    meta = bm._read_meta(d)
+    assert sat_part in meta["sat_parts"]
+    bm._PART_CACHE.clear()
+    assert bm.probe_sidecar(keys, str(d), meta).all()  # no false negatives
+    # keys routing to the saturated part answer True even if never added
+    fresh = np.array(
+        [k for k in range(10_000, 40_000)
+         if k % f.n_buckets == sat_part][:16], dtype=np.uint64)
+    assert bm.probe_sidecar(fresh, str(d), meta).all()
+
+
 def test_pending_depth_counts_subtraction(spark, store):
     rows = [(f"http://h/{d}/{i}", 1, d, 0, d * 10 + i) for d in range(3) for i in range(4)]
     fr.register(store, _cands(spark, rows), epoch=1)

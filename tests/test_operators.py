@@ -339,6 +339,37 @@ def test_media_pipeline_deterministic(docs):
             assert nf == 1
 
 
+def test_resize_plan_aspect_fit_no_upscale(docs):
+    """Resize planning: out dims fit (16, 16) box, aspect preserved
+    (uniform scale, floor), and nothing upscales."""
+    plan = M.resize_plan(M.media_from_documents(docs), max_w=16, max_h=16)
+    rows = plan.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["out_w"] <= 16 and r["out_h"] <= 16
+        assert r["scale"] <= 1.0
+        assert r["out_w"] <= r["src_w"] and r["out_h"] <= r["src_h"]
+        # uniform scale: both dims floor(dim * scale)
+        import math
+        s = min(16 / r["src_w"], 16 / r["src_h"], 1.0)
+        assert r["out_w"] == math.floor(r["src_w"] * s)
+        assert r["out_h"] == math.floor(r["src_h"] * s)
+
+
+def test_sample_frames_stride_and_bounds(docs):
+    """Frame sampling: indices are 0, stride, … < n_frames; images
+    contribute exactly frame 0."""
+    feats = {r["media_id"]: (r["kind"], r["n_frames"])
+             for r in M.extract_features(M.media_from_documents(docs)).collect()}
+    got: dict[str, list[int]] = {}
+    for r in M.sample_frames(M.media_from_documents(docs), stride=2).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, (kind, n) in feats.items():
+        assert sorted(got[mid]) == list(range(0, n, 2))
+        if kind == "image":
+            assert got[mid] == [0]
+
+
 def test_media_stats_prunes_payload(docs):
     """The metadata rollup must never read the binary column —
     ReadSchema in the physical plan excludes `payload` (100 TB contract:
