@@ -70,6 +70,15 @@ def seed_frontier(store: TableStore, seeds: DataFrame) -> int:
 # driver-side hash relation — fall back to the shuffle anti-join.
 BROADCAST_CANDIDATE_LIMIT = 2_000_000
 
+# Seq assignment: below this candidate count a single-task global
+# window is FASTER than the two-pass range index (the 2-pass costs two
+# extra job barriers + a range shuffle — measured ~2 s/epoch at bench
+# scale — while a one-task window over ≤100k narrow rows is
+# milliseconds). Above it, the r1 lesson applies: a global window is
+# the serial section that caps epoch scaling, so the parallel two-pass
+# takes over. Both produce identical seq values.
+SEQ_WINDOW_MAX = 100_000
+
 
 def seen_slice(store: TableStore, parts: list[int]) -> DataFrame:
     """Partition-pruned view of the seen set: ONLY the frontier ``part``
@@ -156,6 +165,7 @@ def register(
     )
 
     cached_cands = None
+    n_cands = None
     if store.exists("frontier"):
         # one action on the (cached) deduped candidates yields the part
         # list for partition pruning AND the batch size for the
@@ -198,11 +208,23 @@ def register(
         if max_seq is None:
             max_seq = -1
 
-    # Deterministic seq assignment WITHOUT a global single-partition
-    # window: per-range-partition ranks + driver cumulative offsets
-    # (util.ordered_index) — the serial section would otherwise cap
-    # epoch scaling (measured: 0.37 → see BENCH.md history).
-    indexed = ordered_index(new, ["parent_pos", "link_idx"], "seq", start=max_seq + 1)
+    # Deterministic seq assignment. Small candidate sets (the common
+    # epoch case) take a single-task window — ≤ SEQ_WINDOW_MAX narrow
+    # rows through one task is milliseconds and saves the two-pass's two
+    # job barriers + range shuffle. Big sets take util.ordered_index
+    # (per-range-partition ranks + driver offsets) — a global window
+    # there is the serial section that caps epoch scaling (measured:
+    # 0.37 eff. → see BENCH.md history). Identical seq either way.
+    index_cache = None
+    if n_cands is not None and n_cands <= SEQ_WINDOW_MAX:
+        w_seq = Window.orderBy("parent_pos", "link_idx")
+        indexed = new.withColumn(
+            "seq",
+            (F.row_number().over(w_seq).cast("long") - 1 + F.lit(max_seq + 1)),
+        )
+    else:
+        indexed = ordered_index(new, ["parent_pos", "link_idx"], "seq", start=max_seq + 1)
+        index_cache = indexed.df_ordered_cache
     # host extraction stays JVM-side (parse_url, codegen'd) — the
     # canonical URL already has a lowercased host, no Python needed
     new_rows = (
@@ -235,7 +257,8 @@ def register(
         # whole part directories
         store.append("frontier", new_rows.coalesce(n_files), tag=f"reg-{epoch:06d}")
     new_rows.unpersist()
-    indexed.df_ordered_cache.unpersist()
+    if index_cache is not None:
+        index_cache.unpersist()
     if cached_cands is not None:
         cached_cands.unpersist()
     return n_new
