@@ -112,6 +112,42 @@ def test_connected_components_chains_and_isolates(spark):
     assert len(got2) == 21 and set(got2.values()) == {0}
 
 
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Seeded random graph vs an independent pure-Python union-find:
+    component labels (min id per component) must agree exactly."""
+    import random
+
+    rng = random.Random(7)
+    n = 40
+    edges = list({(a, b) for a, b in
+                  ((rng.randrange(n), rng.randrange(n)) for _ in range(30))
+                  if a != b})
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    for v in range(n):
+        root = find(v)
+        want.setdefault(root, []).append(v)
+    expect = {v: min(members) for members in want.values() for v in members}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = D.connected_components(pairs, vertices=verts)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == expect
+    out.df_ordered_cache.unpersist()
+
+
 @pytest.fixture(scope="module")
 def mega_docs(spark):
     """300 identical boilerplate docs (one mega band-bucket in every
