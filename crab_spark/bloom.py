@@ -273,18 +273,35 @@ def _atomic_write(path: Path, data: bytes) -> None:
     os.replace(tmp, path)
 
 
+def _filter_meta(filt) -> dict:
+    """Filter parameters for meta.json WITHOUT serializing any bitmap —
+    an incremental save must never pay a full-filter memcpy (that is
+    the cost the per-part layout exists to avoid)."""
+    if hasattr(filt, "shards"):  # cuckoo
+        return {"kind": "cuckoo", "n_buckets": filt.n_buckets,
+                "shard_bkts": filt.shard_bkts, "parts": sorted(filt.shards),
+                "sat_parts": filt.saturated_parts()}
+    if hasattr(filt, "n_buckets"):  # bucketed bloom
+        return {"kind": "bucketed", "n_buckets": filt.n_buckets,
+                "n_bits": filt.n_bits, "n_hashes": filt.n_hashes}
+    return {"kind": "flat", "n_bits": filt.n_bits, "n_hashes": filt.n_hashes}
+
+
 def save_sidecar(path: str | Path, filt, covered_tags: set[str],
                  changed_parts: set[int] | None = None) -> None:
     """Persist the filter. ``changed_parts`` limits the write to the
     parts an epoch's delta touched (None = write everything — the
-    cold-build path). meta.json is committed last via os.replace."""
+    cold-build path). meta.json is committed last via os.replace and
+    records a PER-PART version: an unchanged part keeps its version, so
+    executor caches keyed on it stay warm across epochs instead of
+    being invalidated wholesale by every save."""
     d = Path(path)
     d.mkdir(parents=True, exist_ok=True)
-    state = filt.to_state()
-    meta = {k: v for k, v in state.items() if k != "bits"}
+    meta = _filter_meta(filt)
     meta["covered"] = sorted(covered_tags)
     old = _read_meta(d)
     meta["version"] = (old.get("version", 0) if old else 0) + 1
+    part_versions: dict[str, int] = dict(old.get("part_versions", {})) if old else {}
     if old is not None:
         params = ("kind", "n_bits", "n_hashes", "n_buckets", "shard_bkts")
         if any(old.get(k) != meta.get(k) for k in params):
@@ -294,10 +311,12 @@ def save_sidecar(path: str | Path, filt, covered_tags: set[str],
             for f in d.glob("part-*.bin"):
                 f.unlink()
             changed_parts = None
+            part_versions = {}
 
-    if state["kind"] == "flat":
-        _atomic_write(d / "part-flat.bin", state["bits"])
-    elif state["kind"] == "bucketed":
+    if meta["kind"] == "flat":
+        _atomic_write(d / "part-flat.bin", filt.bits.tobytes())
+        part_versions["flat"] = meta["version"]
+    elif meta["kind"] == "bucketed":
         parts = (
             range(filt.n_buckets) if changed_parts is None
             else sorted(changed_parts)
@@ -307,6 +326,7 @@ def save_sidecar(path: str | Path, filt, covered_tags: set[str],
             if changed_parts is None and not row.any():
                 continue  # all-zero bucket: absence means zeros
             _atomic_write(d / f"part-{int(p)}.bin", row.tobytes())
+            part_versions[str(int(p))] = meta["version"]
     else:  # cuckoo: one file per existing shard
         parts = (
             filt.shards.keys() if changed_parts is None
@@ -314,10 +334,8 @@ def save_sidecar(path: str | Path, filt, covered_tags: set[str],
         )
         for p in parts:
             _atomic_write(d / f"part-{int(p)}.bin", filt.shards[int(p)].table.tobytes())
-        meta["parts"] = sorted(filt.shards)
-        meta["sat_parts"] = sorted(
-            p for p, s in filt.shards.items() if getattr(s, "saturated", False)
-        )
+            part_versions[str(int(p))] = meta["version"]
+    meta["part_versions"] = part_versions
     _atomic_write(d / "meta.json", json.dumps(meta).encode())
 
 
@@ -375,7 +393,9 @@ _PART_CACHE: dict[tuple[str, int, int], object] = {}
 
 def _load_part(d: str, version: int, part: int, meta: dict):
     """One part's probe-ready filter object, loaded lazily and memoized
-    per worker process. Missing file = no keys in that part (all-new)."""
+    per worker process, keyed on the part's OWN version (unchanged parts
+    stay cached across epochs). Missing file = no keys in that part
+    (all-new)."""
     key = (d, version, part)
     got = _PART_CACHE.get(key)
     if got is not None:
@@ -395,8 +415,6 @@ def _load_part(d: str, version: int, part: int, meta: dict):
             meta["shard_bkts"],
             np.frombuffer(raw, dtype=np.uint16).reshape(meta["shard_bkts"], -1),
         )
-        if part in set(meta.get("sat_parts", [])):
-            obj.saturated = True
     else:
         obj = Bloom(meta["n_bits"], meta["n_hashes"],
                     np.frombuffer(raw, dtype=np.uint8))
@@ -407,24 +425,30 @@ def _load_part(d: str, version: int, part: int, meta: dict):
 def probe_sidecar(keys: np.ndarray, d: str, meta: dict) -> np.ndarray:
     """Vectorized membership probe that touches ONLY the part files the
     key batch routes to. Pure function (worker-side body of
-    sidecar_probe_udf; unit-testable for file selectivity)."""
+    sidecar_probe_udf; unit-testable for file selectivity). Cuckoo
+    saturation is read from META, not the cached shard object — a shard
+    can saturate without its file version changing."""
     out = np.zeros(len(keys), dtype=bool)
     if len(keys) == 0:
         return out
     k = keys.astype(np.uint64)
-    version = int(meta.get("version", 0))
+    pv = meta.get("part_versions", {})
     if meta["kind"] == "flat":
-        b = _load_part(d, version, -1, meta)
+        b = _load_part(d, int(pv.get("flat", meta.get("version", 0))), -1, meta)
         return b.might_contain(k) if b is not False else out
     n_buckets = int(meta["n_buckets"])
+    sat = set(meta.get("sat_parts", []))
     parts = k.view(np.int64) % n_buckets
     for p in np.unique(parts):
         m = parts == p
-        b = _load_part(d, version, int(p), meta)
+        if meta["kind"] == "cuckoo" and int(p) in sat:
+            out[m] = True
+            continue
+        b = _load_part(d, int(pv.get(str(int(p)), 0)), int(p), meta)
         if b is False:
             continue
         if meta["kind"] == "cuckoo":
-            out[m] = True if getattr(b, "saturated", False) else b.contains(k[m])
+            out[m] = b.contains(k[m])
         else:
             out[m] = b.might_contain(k[m])
     return out

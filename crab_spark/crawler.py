@@ -391,6 +391,7 @@ def crawl(
     proxy_pool=None,
     host_budget: int | None = None,
     rescore_every: int = 1,
+    compact_threshold: int | None = 64,
 ) -> CrawlStats:
     """Run the crawl to completion (or max_epochs). Mirrors
     `crab run-crawler [--navigate]` (main.rs:156-184, crawler.rs:52-125).
@@ -418,9 +419,20 @@ def crawl(
     dequeue orders by (priority, seq) instead of (depth, seq), so epochs
     interleave hosts instead of draining one hot host's shallow pages
     first. The reference has no such mode, so the crawl-order-equality
-    contract applies only to the default BFS mode; priority-mode
-    crash-resume re-scores on the post-crash pending set (best-effort
-    ordering, never correctness).
+    contract applies only to the default BFS mode. Priority-mode
+    crash-resume is still exactly-once: a crashed epoch's re-run skips
+    the rescore and dequeues with the committed delta it originally
+    used, reproducing the identical batch (rescoring against the
+    post-crash pending set would change the batch and overwrite the
+    epoch's committed registrations with different rows).
+
+    ``compact_threshold``: when the frontier's live delta-dir count
+    exceeds this, the crawl folds them into one compacted snapshot
+    before the epoch starts (never on a crashed-epoch re-run) — the
+    partitioned frontier read unions per-dir scans, so unbounded delta
+    drip would grow plan/listing cost linearly with epochs. None
+    disables (e.g. when an external Iceberg-style rewrite service owns
+    compaction).
 
     Crash-resume contract: an epoch's writes commit in the order
     documents → register → metrics → fetched; the fetched append is the
@@ -460,14 +472,27 @@ def crawl(
     filter_kind = "cuckoo" if use_bloom == "cuckoo" else "bloom"
     if use_bloom:
         committed = set(store.tags("frontier"))
+        historic = set(store.historic_tags("frontier"))
         sidecar = bloom_mod.load_sidecar(bloom_path)
         sidecar_kind = (
             None if sidecar is None
             else ("cuckoo" if hasattr(sidecar[0], "shards") else "bloom")
         )
         changed_parts: set[int] | None = None
-        if (sidecar is not None and sidecar[1] <= committed
-                and sidecar_kind == filter_kind):
+        # Incremental resume is valid when every tag the sidecar hasn't
+        # covered is a live, individually-foldable reg-* delta. A
+        # compaction can collapse reg tags into one compact-* dir; the
+        # in-crawl compactor re-baselines the covered set so this stays
+        # true, but a compaction OVER an uncovered delta (e.g. offline
+        # CLI compact while the sidecar lagged) forces the cold rebuild.
+        sidecar_ok = (
+            sidecar is not None and sidecar_kind == filter_kind
+            and sidecar[1] <= historic
+            and all(t.startswith("reg-") for t in committed - sidecar[1])
+            and not {t for t in historic - committed
+                     if t.startswith("reg-")} - sidecar[1]
+        )
+        if sidecar_ok:
             # resume path: fold in only the register deltas committed
             # after the last save — O(delta), no full frontier rescan.
             # The incremental save rewrites only the touched part files.
@@ -498,7 +523,11 @@ def crawl(
                     store.read("frontier"), "url_hash",
                     proto=bloom_mod.BucketedBloom.sized_for(capacity),
                 )
-        bloom_covered = set(committed)
+        # cold build read the whole table, so it covers every historic
+        # tag; the incremental path adds what it just folded
+        bloom_covered = (
+            (bloom_covered | committed) if sidecar_ok else set(historic)
+        )
         bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered,
                                changed_parts=changed_parts)
 
@@ -541,9 +570,34 @@ def crawl(
         # re-run the incremental counts include the crashed epoch's rows
         # → recompute them under the exclusion instead.
         rerun = f"reg-{epoch:06d}" in store.tags("frontier")
-        if host_budget is not None and (stats.epochs % max(rescore_every, 1)) == 0:
+        if (compact_threshold and not rerun
+                and len(store.tags("frontier")) > compact_threshold):
+            # long crawls drip one delta dir per epoch, and the
+            # partitioned frontier read unions per-dir scans — without
+            # periodic folding, plan size (and file listing) grows
+            # linearly with epochs. Amortized cost: one full rewrite per
+            # `compact_threshold` epochs (Iceberg's rewrite_data_files
+            # would run this as a background service instead). The
+            # in-memory filter already covers everything committed, so
+            # the covered set re-baselines to the compacted tag.
+            n_files = max(1, (max_seq + 1) // 500_000 + 1)
+            store.compact("frontier", n_files=n_files)
+            if seen_bloom is not None:
+                bloom_covered = set(store.historic_tags("frontier"))
+                bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered,
+                                       changed_parts=set())
+        if (host_budget is not None and not rerun
+                and (stats.epochs % max(rescore_every, 1)) == 0):
             # priority mode: refresh the host-budget scoring delta over
-            # the current pending slice (O(pending), frontier untouched)
+            # the current pending slice (O(pending), frontier untouched).
+            # NEVER on a crashed-epoch re-run: the committed delta is the
+            # one the crashed epoch dequeued with, and re-scoring against
+            # post-crash pending (which now contains the crashed epoch's
+            # own registrations) would produce a DIFFERENT batch — whose
+            # register would then overwrite the committed reg tag with
+            # different rows, losing the original registrations. Reusing
+            # the committed delta reproduces the original batch exactly,
+            # same as the BFS mode's exclude_epoch contract.
             apply_host_budget(store, host_budget)
         batch0 = dequeue(
             store, batch_size=batch_size, exclude_epoch=epoch,

@@ -489,4 +489,5 @@ def reset_pages(store: TableStore, url_hashes: DataFrame) -> None:
     cheap."""
     fetched = store.read("fetched")
     keep = fetched.join(url_hashes.select("url_hash"), "url_hash", "left_anti")
-    store.overwrite("fetched", keep, tag="reset")
+    # keep_history: the replaced done-* tags feed resume-epoch derivation
+    store.overwrite("fetched", keep, tag="reset", keep_history=True)

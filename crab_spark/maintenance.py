@@ -137,7 +137,9 @@ def recrawl_older_than(store: TableStore, max_age_epochs: int) -> int:
     stale = (F.col("epoch") <= cur - max_age_epochs) & (F.col("reason") == "fetched")
     n = fetched.filter(stale).count()
     if n:
-        store.overwrite("fetched", fetched.filter(~stale), tag="recrawl")
+        # keep_history: the replaced done-* tags feed resume-epoch derivation
+        store.overwrite("fetched", fetched.filter(~stale), tag="recrawl",
+                        keep_history=True)
     return n
 
 

@@ -267,9 +267,15 @@ def connected_components(
         # if executor loss during the loop must be survivable.
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _sig(nxt)
+        # the cheap 4-value signature filters; on a match, CONFIRM with
+        # exact set equality (exceptAll over two checkpointed star sets,
+        # runs once at convergence) — aggregate signatures can collide
+        # across distinct edge sets, and a colliding early exit would
+        # silently return non-minimal labels
+        converged = sig == prev and nxt.exceptAll(cur).isEmpty()
         cur.unpersist()
         cur = nxt
-        if sig == prev:
+        if converged:
             break
         prev = sig
     # star edges point node → component min; add the roots themselves

@@ -51,17 +51,20 @@ class TableStore:
             return {"version": 0, "dirs": []}
         return json.loads(p.read_text())
 
-    def _commit(self, name: str, dirs: list[str]) -> None:
+    def _commit(self, name: str, dirs: list[str],
+                record_collapsed: bool = True) -> None:
         m = self._read_manifest(name)
         # Tags of dirs a rewrite (compact / overwrite) drops are kept in
         # ``collapsed_tags``: resume logic derives the last completed
         # epoch from done-* tags, and a compaction or fetched-log rewrite
         # must never make that history go backwards (the Iceberg
         # analogue: snapshot metadata survives rewrite_data_files).
-        dropped = [d for d in m["dirs"] if d not in dirs]
-        collapsed = m.get("collapsed_tags", []) + [
-            d[len("snap-"):] for d in dropped
-        ]
+        # Tables with no resume value (keep_history=False overwrites)
+        # skip the record so the list stays bounded.
+        collapsed = m.get("collapsed_tags", [])
+        if record_collapsed:
+            dropped = [d for d in m["dirs"] if d not in dirs]
+            collapsed = collapsed + [d[len("snap-"):] for d in dropped]
         manifest = {"version": m["version"] + 1, "dirs": dirs}
         if m.get("partition_by") is not None:
             manifest["partition_by"] = m["partition_by"]
@@ -121,16 +124,29 @@ class TableStore:
             out = out.unionByName(self.spark.read.parquet(p))
         return out
 
-    def overwrite(self, name: str, df: DataFrame, tag: str = "base") -> None:
+    def overwrite(self, name: str, df: DataFrame, tag: str = "base",
+                  keep_history: bool = False) -> None:
         """Replace the table's contents. The tag is suffixed with the
         current manifest version so the target directory is ALWAYS
         fresh: ``df`` is lazy and typically reads the table being
         overwritten, so writing into (or rmtree-ing) a committed
-        directory would destroy the write's own input. Old dirs stay on
-        disk until a vacuum, like compact()."""
+        directory would destroy the write's own input.
+
+        ``keep_history=True`` (for tables whose dropped tags feed
+        resume, e.g. the fetched log's done-* history) records the
+        replaced tags in collapsed_tags and leaves old dirs for a
+        manual vacuum. The default immediately vacuums the replaced
+        dirs and skips the record — right for derived tables that are
+        rewritten every maintenance pass (the rescore delta) where
+        history would otherwise grow without bound. The write fully
+        materializes ``df`` BEFORE the commit+vacuum, so deleting the
+        input dirs is safe for this writer; concurrent readers pinned
+        to the old snapshot carry the usual vacuum caveat."""
         version = self._read_manifest(name)["version"]
         d = self._write_dir(name, df, f"{tag}-{version:06d}")
-        self._commit(name, [d])
+        self._commit(name, [d], record_collapsed=keep_history)
+        if not keep_history:
+            self.vacuum(name)
 
     def append(self, name: str, df: DataFrame, tag: str) -> None:
         """Idempotent tagged append: same tag twice = one logical append."""

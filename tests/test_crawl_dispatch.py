@@ -205,3 +205,66 @@ def test_crawl_host_budget_mode_interleaves_hosts(spark, store):
     s2 = crawl(store2, CorpusFetcher(corpus), registry, navigate=False,
                batch_size=6, record_order=True)
     assert [u.split("/")[2] for u in s2.crawl_order[:6]] == ["ahot"] * 6
+
+
+def test_crash_mid_epoch_priority_mode_resumes_exactly_once(spark, store, registry):
+    """Regression (r3 review): in priority mode, re-scoring on a
+    crashed-epoch re-run changed the re-dequeued batch, and register's
+    idempotent tagged append then overwrote the committed reg tag with
+    DIFFERENT rows — losing the original registrations. The re-run must
+    skip the rescore and replay the committed delta: final state equals
+    an uninterrupted priority-mode run."""
+    _seed(spark, store)
+    fetcher = CorpusFetcher(_corpus(spark))
+    orig_append = store.append
+    armed = {"on": True}
+
+    def boom(name, df, tag):
+        if armed["on"] and tag == "done-000002":
+            armed["on"] = False
+            raise RuntimeError("injected crash")
+        return orig_append(name, df, tag)
+
+    store.append = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crawl(store, fetcher, registry, batch_size=10, host_budget=4)
+    store.append = orig_append
+    crawl(store, fetcher, registry, batch_size=10, host_budget=4)
+    got = {r["url"]: (r["seq"], r["depth"])
+           for r in store.read("frontier").collect()}
+
+    store2 = type(store)(store.root.parent / "wh-prio-clean", spark)
+    _seed(spark, store2)
+    crawl(store2, fetcher, registry, batch_size=10, host_budget=4)
+    want = {r["url"]: (r["seq"], r["depth"])
+            for r in store2.read("frontier").collect()}
+    assert got == want
+    assert pending(store).count() == 0
+    docs = store.read("documents")
+    assert docs.select("doc_id").distinct().count() == docs.count()
+    assert docs.count() == store2.read("documents").count()
+
+
+def test_auto_compaction_bounds_dirs_and_preserves_state(spark, store, registry):
+    """r3 review: per-epoch delta dirs grow the partitioned frontier's
+    union plan linearly. With compact_threshold the live dir count stays
+    bounded mid-crawl, the final state equals an uncompacted run, and a
+    follow-up crawl resumes cleanly on the re-baselined sidecar."""
+    _seed(spark, store)
+    fetcher = CorpusFetcher(_corpus(spark))
+    crawl(store, fetcher, registry, batch_size=10, compact_threshold=3)
+    assert len(store._read_manifest("frontier")["dirs"]) <= 5
+    got = {r["url"]: (r["seq"], r["depth"], r["type_id"])
+           for r in store.read("frontier").collect()}
+
+    store2 = type(store)(store.root.parent / "wh-nocompact", spark)
+    _seed(spark, store2)
+    crawl(store2, fetcher, registry, batch_size=10, compact_threshold=None)
+    want = {r["url"]: (r["seq"], r["depth"], r["type_id"])
+            for r in store2.read("frontier").collect()}
+    assert got == want
+
+    # resume on the compacted store: the sidecar's covered set was
+    # re-baselined at compaction time, so this is a clean no-op
+    s2 = crawl(store, fetcher, registry, batch_size=10, compact_threshold=3)
+    assert s2.requests == 0

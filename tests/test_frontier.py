@@ -474,6 +474,14 @@ def test_host_budget_rescore_scores_pending_only(spark, store):
     fr.mark_fetched(store, store.read("frontier").filter("seq < 3"), epoch=1)
     fr.apply_host_budget(store, host_budget=2)
     assert store.read("rescore").count() == 3  # the pending slice only
+    # repeated passes GC themselves: one live dir, no orphan snapshots,
+    # no unbounded collapsed_tags (r3 review — the delta has no resume
+    # value, unlike the fetched log's done-* history)
+    fr.apply_host_budget(store, host_budget=2)
+    fr.apply_host_budget(store, host_budget=2)
+    m = store._read_manifest("rescore")
+    assert len(m["dirs"]) == 1 and "collapsed_tags" not in m
+    assert sum(1 for c in (store.root / "rescore").iterdir() if c.is_dir()) == 1
     got = [(r["seq"], r["priority"]) for r in
            fr.dequeue(store, batch_size=3, by_priority=True).orderBy("pos").collect()]
     # pending seqs 3,4,5 under budget 2: two at level 0, overflow at 1
