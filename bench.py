@@ -65,10 +65,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_crawl(spark, n_pages: int, scratch: str) -> tuple[float, float, int]:
+def bench_crawl(spark, n_pages: int, scratch: str,
+                host_budget: int | None = None) -> tuple[float, float, int]:
     """Full crawl of the synthetic multi-host graph (11 URLs per page),
     densely seeded so epochs are fat (BFS diameter ~3). Returns
-    (wall_sec, urls_per_sec, n_urls)."""
+    (wall_sec, urls_per_sec, n_urls). ``host_budget`` switches to the
+    north_rule's priority frontier (banded rescore snapshot + cutoff-
+    pruned dequeue) — benched separately to pin that priority-mode
+    epochs cost O(batch + head slice) like BFS mode."""
     corpus = multihost_corpus_df(spark, n_pages).cache()
     corpus.count()
     shutil.rmtree(scratch, ignore_errors=True)
@@ -81,7 +85,8 @@ def bench_crawl(spark, n_pages: int, scratch: str) -> tuple[float, float, int]:
     )
     t0 = time.monotonic()
     seed_frontier(store, seeds)
-    stats = crawl(store, CorpusFetcher(corpus), registry, batch_size=80_000)
+    stats = crawl(store, CorpusFetcher(corpus), registry, batch_size=80_000,
+                  host_budget=host_budget)
     wall = time.monotonic() - t0
     corpus.unpersist()
     shutil.rmtree(scratch, ignore_errors=True)
@@ -104,15 +109,23 @@ def main() -> None:
     runs = [bench_crawl(spark, n_pages, scratch) for _ in range(2)]
     crawl_wall, crawl_thr, n_urls = min(runs, key=lambda r: r[0])
     queries["crawl_55k_urls"] = round(crawl_wall, 3)
+    # headline total keeps the r1-r3 key set (comparable across rounds);
+    # the priority-mode crawl is recorded as an extra key outside the sum
     total = round(sum(queries.values()), 3)
+    # priority mode (host-budget frontier), single run: pins that the
+    # banded-snapshot dequeue keeps priority epochs O(batch)-shaped
+    prio_wall, prio_thr, _ = bench_crawl(spark, n_pages, scratch,
+                                         host_budget=1_000)
+    queries["crawl_priority_mode"] = round(prio_wall, 3)
 
     print(json.dumps({
-        "metric": "headline suite wall time (13 queries + full synthetic crawl)",
+        "metric": "headline suite wall time (13 queries + full synthetic crawl; crawl_priority_mode reported separately, outside the total)",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": sf,
         "crawl_urls_per_sec": round(crawl_thr, 1),
+        "crawl_priority_urls_per_sec": round(prio_thr, 1),
         "crawl_n_urls": n_urls,
         "cpus": cpus,
     }))

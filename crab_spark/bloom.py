@@ -216,8 +216,10 @@ def build_bloom(
 # is created per register call, but the worker process survives across
 # Arrow batches AND epochs — without this, every batch re-materialized
 # the full filter from broadcast state (a whole-bitmap memcpy per batch
-# on large filters).
-_BC_FILTER_CACHE: dict[int, object] = {}
+# on large filters). Keyed by the UDF's uuid hex; insertion-ordered, so
+# eviction drops the OLDEST entries (a wholesale clear would force every
+# other live probe UDF to re-deserialize its filter mid-query).
+_BC_FILTER_CACHE: dict[str, object] = {}
 
 
 def might_contain_udf(spark, bloom):
@@ -232,8 +234,8 @@ def might_contain_udf(spark, bloom):
     def probe(keys: pd.Series) -> pd.Series:
         b = _BC_FILTER_CACHE.get(bc_id)
         if b is None:
-            if len(_BC_FILTER_CACHE) > 8:  # old epochs' broadcasts
-                _BC_FILTER_CACHE.clear()
+            while len(_BC_FILTER_CACHE) > 8:  # old epochs' broadcasts
+                _BC_FILTER_CACHE.pop(next(iter(_BC_FILTER_CACHE)))
             b = bloom_from_state(bc.value, writable=False)
             _BC_FILTER_CACHE[bc_id] = b
         return pd.Series(b.might_contain(keys.to_numpy(dtype=np.int64).view(np.uint64)))
@@ -313,9 +315,11 @@ def save_sidecar(path: str | Path, filt, covered_tags: set[str],
             changed_parts = None
             part_versions = {}
 
+    written: set[str] = set()
     if meta["kind"] == "flat":
         _atomic_write(d / "part-flat.bin", filt.bits.tobytes())
         part_versions["flat"] = meta["version"]
+        written.add("flat")
     elif meta["kind"] == "bucketed":
         parts = (
             range(filt.n_buckets) if changed_parts is None
@@ -327,6 +331,7 @@ def save_sidecar(path: str | Path, filt, covered_tags: set[str],
                 continue  # all-zero bucket: absence means zeros
             _atomic_write(d / f"part-{int(p)}.bin", row.tobytes())
             part_versions[str(int(p))] = meta["version"]
+            written.add(str(int(p)))
     else:  # cuckoo: one file per existing shard
         parts = (
             filt.shards.keys() if changed_parts is None
@@ -335,6 +340,18 @@ def save_sidecar(path: str | Path, filt, covered_tags: set[str],
         for p in parts:
             _atomic_write(d / f"part-{int(p)}.bin", filt.shards[int(p)].table.tobytes())
             part_versions[str(int(p))] = meta["version"]
+            written.add(str(int(p)))
+    if changed_parts is None:
+        # FULL save: a part file this pass skipped (all-zero bloom
+        # bucket, cuckoo shard dropped from filt.shards) no longer
+        # exists in the in-memory filter — unlink it and drop its
+        # version entry, or a later probe resurrects stale keys (after
+        # a CuckooFilter.delete, a false 'maybe' that defeats the
+        # delete; for bloom, bits the rebuild no longer sets).
+        for stale in set(part_versions) - written:
+            (d / ("part-flat.bin" if stale == "flat"
+                  else f"part-{stale}.bin")).unlink(missing_ok=True)
+            del part_versions[stale]
     meta["part_versions"] = part_versions
     _atomic_write(d / "meta.json", json.dumps(meta).encode())
 
@@ -400,8 +417,8 @@ def _load_part(d: str, version: int, part: int, meta: dict):
     got = _PART_CACHE.get(key)
     if got is not None:
         return got
-    if len(_PART_CACHE) > 256:
-        _PART_CACHE.clear()
+    while len(_PART_CACHE) > 256:  # oldest-first: keep other UDFs' hot parts
+        _PART_CACHE.pop(next(iter(_PART_CACHE)))
     kind = meta["kind"]
     f = Path(d) / ("part-flat.bin" if kind == "flat" else f"part-{part}.bin")
     if not f.exists():
@@ -452,6 +469,151 @@ def probe_sidecar(keys: np.ndarray, d: str, meta: dict) -> np.ndarray:
         else:
             out[m] = b.might_contain(k[m])
     return out
+
+
+def fold_delta_files(spark, delta: DataFrame, path: str | Path,
+                     tag: str | None = None, col: str = "url_hash") -> dict | None:
+    """Fold one register delta's keys into the sidecar part files
+    EXECUTOR-SIDE (r3 verdict item 2: the driver must never materialize
+    an epoch's keys — at a link-rich 100× epoch that was ~1 GB/epoch
+    through the driver).
+
+    Shape: the delta is hash-partitioned on ``part`` so each part's keys
+    land in exactly one task; the task loads that part's current file
+    (shared filesystem/object store, same place the table's data files
+    live), inserts its keys, and atomically replaces the file. The
+    driver's only work is the meta.json commit (versions, covered tag,
+    cuckoo part/saturation bookkeeping) — O(touched parts) dict
+    entries, zero key bytes.
+
+    Crash/retry safety: part files only ever gain keys (bloom bits OR
+    in; cuckoo inserts keep existing fingerprints, duplicates allowed),
+    so a torn fold or a retried task yields extra 'maybe' probes, never
+    a false negative; meta commits last, and re-folding an
+    already-folded tag is idempotent for bloom and superset-safe for
+    cuckoo. Returns the updated meta, or None if no sidecar exists
+    (caller cold-builds)."""
+    d = Path(path)
+    meta = _read_meta(d)
+    if meta is None:
+        return None
+    kind = meta["kind"]
+    ds = str(d)
+    fold_schema = T.StructType([
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("saturated", T.BooleanType(), False),
+    ])
+
+    if kind == "flat":
+        # single bitmap file: one task folds everything (still executor-
+        # side; the flat layout is the small-scale config by definition)
+        keyed = delta.select(F.col(col).alias("k")).coalesce(1)
+        n_bits, n_hashes = int(meta["n_bits"]), int(meta["n_hashes"])
+
+        def fold_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunks = [pdf["k"].to_numpy(dtype=np.int64).view(np.uint64)
+                      for pdf in batches if len(pdf)]
+            if chunks:
+                f = Path(ds) / "part-flat.bin"
+                raw = (np.frombuffer(f.read_bytes(), dtype=np.uint8).copy()
+                       if f.exists()
+                       else np.zeros((n_bits + 7) // 8, dtype=np.uint8))
+                b = Bloom(n_bits, n_hashes, raw)
+                b.add(np.concatenate(chunks))
+                _atomic_write(f, b.bits.tobytes())
+                yield pd.DataFrame({"part": [-1], "saturated": [False]})
+
+        touched_rows = keyed.mapInPandas(fold_flat, schema=fold_schema).collect()
+        touched = {"flat"} if touched_rows else set()
+        new_sat: set[int] = set()
+    else:
+        n_buckets = int(meta["n_buckets"])
+        keyed = delta.select(F.col(col).alias("k")).withColumn(
+            "part", F.pmod(F.col("k"), F.lit(n_buckets)).cast("int")
+        )
+        # each part wholly in ONE task → no two tasks touch one file
+        n_parts = max(spark.sparkContext.defaultParallelism, 4)
+        keyed = keyed.repartition(n_parts, "part")
+        mparams = {k: meta[k] for k in ("kind", "n_bits", "n_hashes",
+                                        "n_buckets", "shard_bkts") if k in meta}
+
+        def fold_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict[int, list[np.ndarray]] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for p, grp in pdf.groupby("part"):
+                    acc.setdefault(int(p), []).append(
+                        grp["k"].to_numpy(dtype=np.int64).view(np.uint64)
+                    )
+            out_p, out_s = [], []
+            for p, chunks in acc.items():
+                keys = np.concatenate(chunks)
+                f = Path(ds) / f"part-{p}.bin"
+                raw = f.read_bytes() if f.exists() else None
+                if mparams["kind"] == "cuckoo":
+                    from .cuckoo import CuckooShard
+
+                    shard = (
+                        CuckooShard(
+                            mparams["shard_bkts"],
+                            np.frombuffer(raw, dtype=np.uint16)
+                            .reshape(mparams["shard_bkts"], -1).copy(),
+                        )
+                        if raw is not None else CuckooShard(mparams["shard_bkts"])
+                    )
+                    shard.insert(keys)
+                    _atomic_write(f, shard.table.tobytes())
+                    sat = bool(shard.saturated)
+                else:
+                    bits = (
+                        np.frombuffer(raw, dtype=np.uint8).copy()
+                        if raw is not None
+                        else np.zeros((mparams["n_bits"] + 7) // 8, dtype=np.uint8)
+                    )
+                    b = Bloom(mparams["n_bits"], mparams["n_hashes"], bits)
+                    b.add(keys)
+                    _atomic_write(f, b.bits.tobytes())
+                    sat = False
+                out_p.append(p)
+                out_s.append(sat)
+            if out_p:
+                yield pd.DataFrame({"part": out_p, "saturated": out_s})
+
+        touched_rows = keyed.mapInPandas(fold_parts, schema=fold_schema).collect()
+        touched = {str(int(r["part"])) for r in touched_rows}
+        new_sat = {int(r["part"]) for r in touched_rows if r["saturated"]}
+
+    # driver-side: META ONLY — bump versions of touched parts, record
+    # coverage, merge cuckoo part/saturation lists
+    meta["version"] = meta.get("version", 0) + 1
+    pv = dict(meta.get("part_versions", {}))
+    for p in touched:
+        pv[p] = meta["version"]
+    meta["part_versions"] = pv
+    if tag is not None:
+        meta["covered"] = sorted(set(meta.get("covered", [])) | {tag})
+    if kind == "cuckoo":
+        meta["parts"] = sorted(
+            set(meta.get("parts", [])) | {int(p) for p in touched}
+        )
+        meta["sat_parts"] = sorted(set(meta.get("sat_parts", [])) | new_sat)
+    _atomic_write(d / "meta.json", json.dumps(meta).encode())
+    return meta
+
+
+def rewrite_covered(path: str | Path, covered_tags: set[str]) -> dict | None:
+    """Re-baseline the sidecar's covered-tag set without touching any
+    part file (used when a table compaction collapses the reg-* tags
+    the sidecar tracked into one compact-* tag)."""
+    d = Path(path)
+    meta = _read_meta(d)
+    if meta is None:
+        return None
+    meta["covered"] = sorted(covered_tags)
+    meta["version"] = meta.get("version", 0) + 1
+    _atomic_write(d / "meta.json", json.dumps(meta).encode())
+    return meta
 
 
 def sidecar_probe_udf(spark, path: str | Path):

@@ -122,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact")  # maintenance: fold append deltas
     p.add_argument("table")
     p.add_argument("--files", type=int, default=None)
+    # physical sort of the rewrite (comma-separated), so row-group-stat
+    # pruning (e.g. the dequeue depth cutoff) survives the compaction;
+    # defaults to depth for the frontier table
+    p.add_argument("--sort", type=str, default=None)
     p = sub.add_parser("vacuum")  # maintenance: expire unreferenced dirs
     p.add_argument("table")
     p = sub.add_parser("dump"); p.add_argument("url")
@@ -246,7 +250,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r['seq']:>7}  {r['type_id']:>7}  {r['depth']:>5}  "
                   f"{r['status_name']:<15}  {r['url']:<20}")
     elif args.cmd == "compact":
-        n = store.compact(args.table, n_files=args.files)
+        sort = (args.sort.split(",") if args.sort
+                else (["depth"] if args.table == "frontier" else None))
+        n = store.compact(args.table, n_files=args.files, sort_within=sort)
         print(f"compacted {n} snapshot dir(s) of {args.table}" if n
               else f"{args.table}: nothing to compact")
     elif args.cmd == "vacuum":

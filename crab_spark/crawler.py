@@ -48,6 +48,7 @@ from .frontier import (
     dequeue,
     mark_fetched,
     pending_depth_counts,
+    pending_priority_counts,
     register,
 )
 from .parsers import ParserRegistry
@@ -130,24 +131,36 @@ class CorpusFetcher:
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         batch = _with_proxy_col(batch)
+        # per-host Crawl-delay (robots cache) rides along when present:
+        # the effective spacing is max(configured politeness, host's own)
+        has_cd = "crawl_delay" in batch.columns
+        cols = _BATCH_COLS + (["crawl_delay"] if has_cd else [])
         joined = (
-            batch.select(*_BATCH_COLS)
+            batch.select(*cols)
             .join(self.corpus, batch["url"] == F.col("c_url"), "left")
             .withColumn("ok", F.col("c_spans").isNotNull())
             .withColumn("spans", F.col("c_spans"))
             .drop("c_url", "c_spans")
-            .select([f.name for f in FETCH_RESULT.fields])
+            .select([f.name for f in FETCH_RESULT.fields]
+                    + (["crawl_delay"] if has_cd else []))
         )
-        if self.delay_sec <= 0:
+        if self.delay_sec <= 0 and not has_cd:
             return joined
+        self.side_effects = True  # sleeps ahead: results must be pinned
         delay = self.delay_sec
+        drop_cols = ["_hs"] + (["crawl_delay"] if has_cd else [])
 
         def polite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # rows of one host(-salt) group are co-partitioned; spacing
-            # budget = delay × n, paid once per Arrow batch
+            # budget = Σ max(delay, crawl_delay), paid once per Arrow batch
             for pdf in batches:
-                time.sleep(delay * len(pdf))
-                yield pdf.drop(columns=["_hs"])
+                if has_cd:
+                    time.sleep(float(
+                        pdf["crawl_delay"].fillna(delay).clip(lower=delay).sum()
+                    ))
+                else:
+                    time.sleep(delay * len(pdf))
+                yield pdf.drop(columns=drop_cols)
 
         salted = joined.withColumn(
             "_hs",
@@ -228,8 +241,14 @@ class HttpFetcher:
                 return openers[pid]
 
             pdf = pdf.sort_values("pos")
+            # effective per-row spacing: max(configured delay, the
+            # host's robots Crawl-delay) when the batch carries one
+            cds = (
+                pdf["crawl_delay"].fillna(delay).clip(lower=delay).tolist()
+                if "crawl_delay" in pdf.columns else None
+            )
             oks, spans = [], []
-            for url, pid in zip(pdf["url"], pdf["proxy_id"]):
+            for i, (url, pid) in enumerate(zip(pdf["url"], pdf["proxy_id"])):
                 try:
                     with opener_for(int(pid)).open(url, timeout=max(cto, rto)) as resp:
                         body = resp.read().decode("utf-8", errors="replace")
@@ -242,12 +261,13 @@ class HttpFetcher:
                 except Exception:
                     oks.append(False)
                     spans.append(None)
-                time.sleep(delay)
+                time.sleep(delay if cds is None else cds[i])
             pdf = pdf.copy()
             pdf["ok"], pdf["spans"] = oks, spans
             return pdf[[f.name for f in FETCH_RESULT.fields]]
 
-        salted = _with_proxy_col(batch).select(*_BATCH_COLS).withColumn(
+        cd_cols = ["crawl_delay"] if "crawl_delay" in batch.columns else []
+        salted = _with_proxy_col(batch).select(*_BATCH_COLS, *cd_cols).withColumn(
             "_hs",
             F.concat_ws(
                 "#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(HOST_SALT)).cast("string")
@@ -334,29 +354,6 @@ class CrawlStats:
     crawl_order: list[str] = field(default_factory=list)
 
 
-def _fold_delta(store: TableStore, seen_filter, tag: str):
-    """Fold one committed register delta into the seen-set filter
-    (mutates in place — Bloom and cuckoo both expose add()). The delta
-    is one epoch's registrations: its key column is collected and
-    inserted, O(delta) driver work. Returns the set of ``part`` buckets
-    the delta touched (None for an unbucketed flat filter) so the
-    sidecar save rewrites ONLY those part files."""
-    import numpy as np
-
-    delta = store.read_tag("frontier", tag)
-    keys = delta.select("url_hash").toPandas()["url_hash"].to_numpy(
-        dtype=np.int64
-    ).view(np.uint64)
-    seen_filter.add(keys)
-    if hasattr(seen_filter, "n_buckets"):
-        changed = {
-            int(p) for p in np.unique(keys.view(np.int64) % seen_filter.n_buckets)
-        }
-    else:
-        changed = None
-    return changed
-
-
 def _resume_epoch(store: TableStore) -> int:
     """Last COMPLETED epoch. The authoritative record is the ``fetched``
     manifest's done-tags — the epoch's single atomic commit point (one
@@ -390,7 +387,7 @@ def crawl(
     robots: DataFrame | None = None,
     proxy_pool=None,
     host_budget: int | None = None,
-    rescore_every: int = 1,
+    rescore_every: int = 8,
     compact_threshold: int | None = 64,
 ) -> CrawlStats:
     """Run the crawl to completion (or max_epochs). Mirrors
@@ -419,11 +416,16 @@ def crawl(
     dequeue orders by (priority, seq) instead of (depth, seq), so epochs
     interleave hosts instead of draining one hot host's shallow pages
     first. The reference has no such mode, so the crawl-order-equality
-    contract applies only to the default BFS mode. Priority-mode
-    crash-resume is still exactly-once: a crashed epoch's re-run skips
-    the rescore and dequeues with the committed delta it originally
-    used, reproducing the identical batch (rescoring against the
-    post-crash pending set would change the batch and overwrite the
+    contract applies only to the default BFS mode. Between rescores the
+    epochs are O(batch + head slice), same as BFS: the rescore pass
+    returns the snapshot's per-band pending counts, the loop maintains
+    them incrementally (+registered at band=depth, −resolved from the
+    batch), and dequeue scans only the banded-snapshot cutoff slice
+    plus the since-rescore frontier/fetched deltas (frontier.scored_head).
+    Priority-mode crash-resume is still exactly-once: a crashed epoch's
+    re-run skips the rescore and dequeues with the committed snapshot it
+    originally used, reproducing the identical batch (rescoring against
+    the post-crash pending set would change the batch and overwrite the
     epoch's committed registrations with different rows).
 
     ``compact_threshold``: when the frontier's live delta-dir count
@@ -446,13 +448,16 @@ def crawl(
     t0 = time.monotonic()
     epoch = _resume_epoch(store)
 
-    # Incremental seen-set state, maintained driver-side across epochs so
-    # no per-epoch full frontier rescan is needed (at 10^10 URLs a rescan
-    # per epoch is the difference between O(frontier) and O(batch)):
+    # Incremental seen-set state across epochs so no per-epoch full
+    # frontier rescan is needed (at 10^10 URLs a rescan per epoch is the
+    # difference between O(frontier) and O(batch)):
     # - max_seq feeds deterministic seq assignment in register()
-    # - the Bloom is built once here (resume) and union()ed per epoch
+    # - the seen-set filter lives in the per-part sidecar FILES (the
+    #   single source of truth once built; the driver never holds it
+    #   beyond a cold build) — probes load parts lazily, per-epoch delta
+    #   folds run executor-side (bloom.fold_delta_files)
     max_seq = -1
-    seen_bloom = None
+    use_filter = bool(use_bloom)
     if not store.exists("frontier"):
         # nothing registered: the reference's first refill returns empty
         # and the crawl completes immediately (crawler.rs:61-67)
@@ -463,85 +468,28 @@ def crawl(
     # maintained incrementally (−resolved, +registered per epoch) so
     # steady-state dequeue never scans the frontier to pick its cutoff.
     depth_counts = pending_depth_counts(store)
+    # Priority-mode twin: per-priority-band pending counts. None until
+    # the first rescore pass seeds them (the first non-rerun epoch of
+    # every crawl() call rescores, since stats.epochs starts at 0) —
+    # dequeue recomputes on the rare rerun-first path.
+    prio_counts: dict[int, int] | None = None
     bloom_path = store.root / "_manifests" / "bloom-frontier.d"
-    bloom_covered: set[str] = set()
     # use_bloom: True/'bloom' = bucketed Bloom bitmaps (OR-mergeable
     # partials); 'cuckoo' = partitioned cuckoo filter (deletable, per
     # the north_rule's 'bloom/cuckoo' seen set — delta folds insert the
     # epoch's keys instead of OR-ing bitmaps)
     filter_kind = "cuckoo" if use_bloom == "cuckoo" else "bloom"
-    if use_bloom:
-        committed = set(store.tags("frontier"))
-        historic = set(store.historic_tags("frontier"))
-        sidecar = bloom_mod.load_sidecar(bloom_path)
-        sidecar_kind = (
-            None if sidecar is None
-            else ("cuckoo" if hasattr(sidecar[0], "shards") else "bloom")
-        )
-        changed_parts: set[int] | None = None
-        # Incremental resume is valid when every tag the sidecar hasn't
-        # covered is a live, individually-foldable reg-* delta. A
-        # compaction can collapse reg tags into one compact-* dir; the
-        # in-crawl compactor re-baselines the covered set so this stays
-        # true, but a compaction OVER an uncovered delta (e.g. offline
-        # CLI compact while the sidecar lagged) forces the cold rebuild.
-        sidecar_ok = (
-            sidecar is not None and sidecar_kind == filter_kind
-            and sidecar[1] <= historic
-            and all(t.startswith("reg-") for t in committed - sidecar[1])
-            and not {t for t in historic - committed
-                     if t.startswith("reg-")} - sidecar[1]
-        )
-        if sidecar_ok:
-            # resume path: fold in only the register deltas committed
-            # after the last save — O(delta), no full frontier rescan.
-            # The incremental save rewrites only the touched part files.
-            seen_bloom, bloom_covered = sidecar
-            changed_parts = set()
-            for tag in sorted(committed - bloom_covered):
-                delta_parts = _fold_delta(store, seen_bloom, tag)
-                if delta_parts is None:
-                    changed_parts = None  # flat filter: single file
-                elif changed_parts is not None:
-                    changed_parts |= delta_parts
-        else:
-            # cold build: size from the LARGER of the configured capacity
-            # and the actual frontier (max_seq+1 rows, known for free) so
-            # a resumed crawl over an outgrown frontier doesn't start
-            # degraded; growth DURING the crawl is handled by the cuckoo
-            # per-shard saturation fallback / bloom FPR creep.
-            capacity = max(bloom_capacity, 2 * (max_seq + 1))
-            if filter_kind == "cuckoo":
-                from . import cuckoo as cuckoo_mod
-
-                seen_bloom = cuckoo_mod.build_cuckoo(
-                    store.read("frontier"), "url_hash",
-                    proto=cuckoo_mod.CuckooFilter.sized_for(capacity),
-                )
-            else:
-                seen_bloom = bloom_mod.build_bloom(
-                    store.read("frontier"), "url_hash",
-                    proto=bloom_mod.BucketedBloom.sized_for(capacity),
-                )
-        # cold build read the whole table, so it covers every historic
-        # tag; the incremental path adds what it just folded
-        bloom_covered = (
-            (bloom_covered | committed) if sidecar_ok else set(historic)
-        )
-        bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered,
-                               changed_parts=changed_parts)
 
     warned_sat: set[int] = set()
 
-    def _warn_saturated() -> None:
+    def _warn_saturated(meta: dict | None) -> None:
         """Surface cuckoo shard saturation ONCE per shard, with the knob
         that fixes it — the filter has already degraded gracefully
         (those shards answer 'maybe' for everything; register falls
         through to the exact membership check)."""
-        sat = getattr(seen_bloom, "saturated_parts", None)
-        if sat is None:
+        if not meta or meta.get("kind") != "cuckoo":
             return
-        fresh = set(seen_bloom.saturated_parts()) - warned_sat
+        fresh = set(meta.get("sat_parts", [])) - warned_sat
         if fresh:
             warned_sat.update(fresh)
             warnings.warn(
@@ -553,7 +501,63 @@ def crawl(
                 "full prefiltering.", stacklevel=2,
             )
 
-    _warn_saturated()
+    if use_filter:
+        committed = set(store.tags("frontier"))
+        historic = set(store.historic_tags("frontier"))
+        meta = bloom_mod._read_meta(bloom_path)
+        meta_kind = (
+            None if meta is None
+            else ("cuckoo" if meta.get("kind") == "cuckoo" else "bloom")
+        )
+        covered = set(meta.get("covered", [])) if meta else set()
+        # Incremental resume is valid when every tag the sidecar hasn't
+        # covered is a live, individually-foldable reg-* delta. A
+        # compaction can collapse reg tags into one compact-* dir; the
+        # in-crawl compactor re-baselines the covered set so this stays
+        # true, but a compaction OVER an uncovered delta (e.g. offline
+        # CLI compact while the sidecar lagged) forces the cold rebuild.
+        sidecar_ok = (
+            meta is not None and meta_kind == filter_kind
+            and covered <= historic
+            and all(t.startswith("reg-") for t in committed - covered)
+            and not {t for t in historic - committed
+                     if t.startswith("reg-")} - covered
+        )
+        if sidecar_ok:
+            # resume catch-up: fold only the register deltas committed
+            # after the last covered tag — executor-side, O(delta), no
+            # full frontier rescan, no key bytes through the driver
+            for tag in sorted(committed - covered):
+                meta = bloom_mod.fold_delta_files(
+                    spark, store.read_tag("frontier", tag), bloom_path, tag
+                )
+        else:
+            # cold build: distributed partial build (driver holds the
+            # filter only transiently for the initial full save — from
+            # here on the sidecar FILES are the single source of truth).
+            # Size from the LARGER of the configured capacity and the
+            # actual frontier (max_seq+1 rows, known for free) so a
+            # resumed crawl over an outgrown frontier doesn't start
+            # degraded; growth DURING the crawl is handled by the cuckoo
+            # per-shard saturation fallback / bloom FPR creep.
+            capacity = max(bloom_capacity, 2 * (max_seq + 1))
+            if filter_kind == "cuckoo":
+                from . import cuckoo as cuckoo_mod
+
+                built = cuckoo_mod.build_cuckoo(
+                    store.read("frontier"), "url_hash",
+                    proto=cuckoo_mod.CuckooFilter.sized_for(capacity),
+                )
+            else:
+                built = bloom_mod.build_bloom(
+                    store.read("frontier"), "url_hash",
+                    proto=bloom_mod.BucketedBloom.sized_for(capacity),
+                )
+            # the build read the whole table → covers every historic tag
+            bloom_mod.save_sidecar(bloom_path, built, set(historic))
+            meta = bloom_mod._read_meta(bloom_path)
+            del built
+        _warn_saturated(meta)
 
     def _tick(label, t_prev, timings):
         now = time.monotonic()
@@ -581,28 +585,40 @@ def crawl(
             # in-memory filter already covers everything committed, so
             # the covered set re-baselines to the compacted tag.
             n_files = max(1, (max_seq + 1) // 500_000 + 1)
-            store.compact("frontier", n_files=n_files)
-            if seen_bloom is not None:
-                bloom_covered = set(store.historic_tags("frontier"))
-                bloom_mod.save_sidecar(bloom_path, seen_bloom, bloom_covered,
-                                       changed_parts=set())
+            # sort by depth so the dequeue's head-depth cutoff keeps
+            # pruning row groups AFTER the rewrite (append order gave
+            # the depth↔file correlation for free; a compaction must
+            # restore it explicitly)
+            store.compact("frontier", n_files=n_files, sort_within=["depth"])
+            if use_filter:
+                # the sidecar already covers everything committed; only
+                # the covered-tag set needs re-baselining to the
+                # compacted history (meta-only write, no part files)
+                bloom_mod.rewrite_covered(
+                    bloom_path, set(store.historic_tags("frontier"))
+                )
         if (host_budget is not None and not rerun
                 and (stats.epochs % max(rescore_every, 1)) == 0):
-            # priority mode: refresh the host-budget scoring delta over
-            # the current pending slice (O(pending), frontier untouched).
-            # NEVER on a crashed-epoch re-run: the committed delta is the
-            # one the crashed epoch dequeued with, and re-scoring against
+            # priority mode: refresh the host-budget scoring snapshot
+            # over the current pending slice (O(pending) — the PERIODIC
+            # maintenance pass; steady-state epochs below cost
+            # O(batch + head slice) like BFS mode). NEVER on a
+            # crashed-epoch re-run: the committed snapshot is the one
+            # the crashed epoch dequeued with, and re-scoring against
             # post-crash pending (which now contains the crashed epoch's
             # own registrations) would produce a DIFFERENT batch — whose
             # register would then overwrite the committed reg tag with
             # different rows, losing the original registrations. Reusing
-            # the committed delta reproduces the original batch exactly,
-            # same as the BFS mode's exclude_epoch contract.
-            apply_host_budget(store, host_budget)
+            # the committed snapshot reproduces the original batch
+            # exactly, same as the BFS mode's exclude_epoch contract.
+            # epoch-1 = everything committed so far, the snapshot's
+            # as-of point for dequeue's since-rescore delta folds.
+            prio_counts = apply_host_budget(store, host_budget, epoch=epoch - 1)
         batch0 = dequeue(
             store, batch_size=batch_size, exclude_epoch=epoch,
             by_priority=host_budget is not None,
             depth_counts=None if (rerun or host_budget is not None) else depth_counts,
+            prio_counts=None if rerun else prio_counts,
         ).cache()
         batch = batch0
         n_total = batch.count()
@@ -771,35 +787,41 @@ def crawl(
                 # scale path: probe the seen-set via the per-part sidecar
                 # FILES — executors lazily load only the part files their
                 # batches route to; nothing filter-sized is broadcast.
-                # (Falls back to the broadcast probe if the sidecar dir
-                # is unreadable.)
+                # (An unreadable sidecar yields None → register skips the
+                # prefilter and pays the exact membership check only.)
                 seen_probe = None
-                if seen_bloom is not None and max_seq >= 0:
-                    seen_probe = (
-                        bloom_mod.sidecar_probe_udf(spark, bloom_path)
-                        or seen_bloom
-                    )
+                if use_filter and max_seq >= 0:
+                    seen_probe = bloom_mod.sidecar_probe_udf(spark, bloom_path)
+                reg_out: dict[int, int] | None = None if rerun else {}
                 n_new = register(
                     store, cands, epoch,
                     seen_bloom=seen_probe,
                     max_seq=max_seq,
-                    depth_counts_out=None if rerun else depth_counts,
+                    depth_counts_out=reg_out,
                 )
+                if reg_out:
+                    for d, nn in reg_out.items():
+                        depth_counts[d] = depth_counts.get(d, 0) + nn
+                        if prio_counts is not None:
+                            # fresh rows score at registration priority
+                            # (= depth), so their band is their depth
+                            prio_counts[d] = prio_counts.get(d, 0) + nn
                 te = _tick("register", te, timings)
                 if n_new:
                     max_seq += n_new
-                    if seen_bloom is not None:
-                        # fold ONLY this epoch's new keys into the filter and
-                        # persist the touched part files (the sidecar lags
-                        # the manifest at worst — resume catch-up folds the
-                        # gap, never misses keys)
+                    if use_filter:
+                        # fold ONLY this epoch's new keys into the
+                        # touched sidecar part files, EXECUTOR-SIDE
+                        # (bloom.fold_delta_files) — the driver commits
+                        # meta.json only, never the keys. The sidecar
+                        # lags the manifest at worst — resume catch-up
+                        # folds the gap, never misses keys.
                         tag = f"reg-{epoch:06d}"
-                        delta_parts = _fold_delta(store, seen_bloom, tag)
-                        _warn_saturated()
-                        bloom_covered.add(tag)
-                        bloom_mod.save_sidecar(bloom_path, seen_bloom,
-                                               bloom_covered,
-                                               changed_parts=delta_parts)
+                        fold_meta = bloom_mod.fold_delta_files(
+                            spark, store.read_tag("frontier", tag),
+                            bloom_path, tag,
+                        )
+                        _warn_saturated(fold_meta)
                 te = _tick("bloom", te, timings)
         finally:
             # documents must be committed before the epoch's commit
@@ -840,6 +862,8 @@ def crawl(
         # Only robots denial needs its own tiny agg.
         if rerun:
             depth_counts = pending_depth_counts(store)
+            if host_budget is not None:
+                prio_counts = pending_priority_counts(store)
         else:
             for r in per_cell:
                 c = int(r["successful"])
@@ -855,6 +879,22 @@ def crawl(
                     depth_counts[d] = depth_counts.get(d, 0) - int(r["c"])
                     if depth_counts[d] <= 0:
                         del depth_counts[d]
+            if prio_counts is not None:
+                # priority-band decrements for the resolved rows: the
+                # (cached) batch carries each row's effective priority —
+                # one O(batch) semi-join + tiny agg, no pending rescan
+                resolved = good.select("url_hash", "url")
+                if denied is not None:
+                    resolved = resolved.unionByName(denied.select("url_hash", "url"))
+                for r in (
+                    batch0.join(resolved, ["url_hash", "url"], "left_semi")
+                    .groupBy(F.floor("priority").cast("int").alias("b"))
+                    .agg(F.count("*").alias("n")).collect()
+                ):
+                    b = int(r["b"])
+                    prio_counts[b] = prio_counts.get(b, 0) - int(r["n"])
+                    if prio_counts[b] <= 0:
+                        del prio_counts[b]
         te = _tick("counts", te, timings)
         # one progress line per epoch, always — the batch-world mapping
         # of the reference's live dashboard (terminal.rs:28-157, 100 ms

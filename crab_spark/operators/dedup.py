@@ -17,6 +17,8 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -278,6 +280,18 @@ def connected_components(
         if converged:
             break
         prev = sig
+    else:
+        # loop exhausted max_iters without the fixpoint check passing:
+        # labels may be non-minimal. Star contraction converges in
+        # O(log n) rounds, so hitting this means max_iters was set far
+        # below log2(longest chain) — surface it instead of silently
+        # returning a possibly-wrong labeling.
+        warnings.warn(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters}; returned cluster labels may be non-minimal. "
+            "Raise max_iters (rounds needed ≈ log2 of the largest "
+            "component's diameter).", stacklevel=2,
+        )
     # star edges point node → component min; add the roots themselves
     labels = cur.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
     roots = cur.select(F.col("v").alias(id_col)).distinct().withColumn(

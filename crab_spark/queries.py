@@ -758,13 +758,15 @@ ORACLE_SQL: dict[str, str] = {
             + f"])) AS s_{lang}"
             for lang, ws in sorted(X.LANG_STOPWORDS.items())
         )
-        + """ FROM toks)
-        SELECT doc_id,
-               CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
-                    WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
-                    ELSE 'zh' END AS pred_lang,
-               best AS hits
-        FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) best FROM s)"""
+        + " FROM toks)\n        SELECT doc_id,\n               CASE "
+        + " ".join(
+            f"WHEN s_{lang} = best THEN '{lang}'"
+            for lang in sorted(X.LANG_STOPWORDS)[:-1]
+        )
+        + f" ELSE '{sorted(X.LANG_STOPWORDS)[-1]}' END AS pred_lang,\n"
+        + "               best AS hits\n        FROM (SELECT *, greatest("
+        + ", ".join(f"s_{lang}" for lang in sorted(X.LANG_STOPWORDS))
+        + ") best FROM s)"
     ),
     "q33_fingerprint": (
         f"WITH n AS (SELECT doc_id, {_NORM} AS text FROM documents), "

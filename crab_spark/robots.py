@@ -1,18 +1,34 @@
-"""robots.txt politeness filter.
+"""robots.txt politeness filter — RFC 9309 rule evaluation.
 
 The reference has NO robots handling (checked all of src/ — SURVEY §2.2
 F13), but the north_rule requires a robots cache joined into dispatch.
 
-Design: a small ``robots(host, disallow array, fetched_epoch)`` cache
-table, refreshed per epoch for hosts the frontier is about to touch,
-broadcast-joined into the dequeued batch as a filter. Rule evaluation is
-the standard longest-match-prefix subset (RFC 9309 simplified: only
-Disallow prefixes for '*' agents, which is what urllib.robotparser
-implements for our use) evaluated vectorized per batch.
+Design: a small ``robots(host, rules, crawl_delay, fetched_epoch)``
+cache table — one row per host, rules as an array of (allow, pattern)
+structs — refreshed per epoch for hosts the frontier is about to touch,
+broadcast-joined into the dequeued batch as a filter. Rule evaluation
+implements RFC 9309 §2.2.2:
+
+- both ``Allow:`` and ``Disallow:`` lines (real-web robots files carve
+  Allow exceptions out of broad Disallows constantly — parsing only
+  Disallow over-blocks those hosts);
+- ``*`` wildcards and the ``$`` end-anchor inside patterns;
+- longest-match-wins precedence (most octets in the matched pattern),
+  with Allow winning exact-length ties;
+- groups merge: every group whose User-agent set contains ``*``
+  contributes rules (RFC 9309 §2.2.1 — rules of matching groups are
+  combined, not last-one-wins);
+- the de-facto ``Crawl-delay:`` extension is parsed per host and
+  carried on the dispatch rows so the fetchers' per-host token buckets
+  honor it (max of the configured politeness delay and the host's own).
+
+Evaluation is vectorized: one Arrow crossing per batch, with compiled
+rule lists memoized per distinct host rule-set inside the UDF.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from urllib.parse import urlsplit
 
@@ -21,14 +37,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .schemas import ROBOTS
+from .schemas import ROBOTS, ROBOTS_RULE
 from .util import local_df
 
 
-def parse_robots_txt(body: str) -> list[str]:
-    """Extract Disallow prefixes for User-agent: * (simplified RFC 9309:
-    last '*' group wins; empty Disallow = allow all)."""
-    disallow: list[str] = []
+def parse_robots_txt(body: str) -> dict:
+    """Parse a robots.txt body into the rules that apply to ``*``
+    agents: {"rules": [(allow: bool, pattern: str), ...],
+    "crawl_delay": float | None}. Rule order is file order (precedence
+    is by pattern length at match time, so order doesn't matter
+    semantically). Empty Allow/Disallow values are no-ops (RFC 9309:
+    an empty Disallow means allow-all)."""
+    rules: list[tuple[bool, str]] = []
+    delay: float | None = None
+    group_uas: list[str] = []
+    in_group_header = False  # inside a run of consecutive User-agent lines
     applies = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -37,18 +60,83 @@ def parse_robots_txt(body: str) -> list[str]:
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            applies = val == "*"
-            if applies:
-                disallow = []
-        elif key == "disallow" and applies and val:
-            disallow.append(val)
-    return disallow
+            if not in_group_header:  # a new group starts
+                group_uas = []
+                in_group_header = True
+            group_uas.append(val.lower())
+            applies = "*" in group_uas
+            continue
+        in_group_header = False
+        if not applies:
+            continue
+        if key == "disallow" and val:
+            rules.append((False, val))
+        elif key == "allow" and val:
+            rules.append((True, val))
+        elif key == "crawl-delay":
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            delay = d if delay is None else max(delay, d)
+    return {"rules": rules, "crawl_delay": delay}
 
 
-def robots_table(spark, entries: dict[str, list[str]], epoch: int = 0) -> DataFrame:
-    return local_df(
-        spark, [(h, d, epoch) for h, d in sorted(entries.items())], ROBOTS
-    )
+def _compile_rules(rules) -> list[tuple[bool, int, re.Pattern]]:
+    """Rule patterns → (allow, octet-length, anchored regex). ``*``
+    matches any char sequence; a trailing ``$`` anchors the pattern to
+    the path end; everything else is literal. Precedence is the RAW
+    pattern's length (RFC 9309 'most octets')."""
+    out = []
+    for r in rules:
+        allow, pat = (r["allow"], r["pattern"]) if isinstance(r, dict) else r
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        rx = ".*".join(re.escape(seg) for seg in core.split("*"))
+        if anchored:
+            rx += "$"
+        out.append((bool(allow), len(pat), re.compile(rx)))
+    return out
+
+
+def rules_allow(path: str, compiled: list[tuple[bool, int, re.Pattern]]) -> bool:
+    """Longest-match-wins over the compiled rules; Allow wins an exact
+    length tie; no matching rule ⇒ allowed (RFC 9309 §2.2.2)."""
+    best_len, best_allow = -1, True
+    for allow, ln, rx in compiled:
+        if rx.match(path) and (
+            ln > best_len or (ln == best_len and allow and not best_allow)
+        ):
+            best_len, best_allow = ln, allow
+    return best_allow
+
+
+def _match_target(url: str) -> str:
+    """The string robots rules match against: path plus query (RFC 9309
+    matches the path-and-query suffix of the URI)."""
+    parts = urlsplit(url)
+    path = parts.path or "/"
+    return f"{path}?{parts.query}" if parts.query else path
+
+
+def robots_table(spark, entries: dict, epoch: int = 0) -> DataFrame:
+    """Build the cache table from a plain dict. Each host maps to either
+    a list of Disallow prefixes (the simple/legacy shape, e.g. a CLI
+    JSON file) or a dict {"disallow": [...], "allow": [...],
+    "crawl_delay": <sec>}."""
+    rows = []
+    for h, spec in sorted(entries.items()):
+        if isinstance(spec, dict):
+            rules = [(False, p) for p in spec.get("disallow", [])] + [
+                (True, p) for p in spec.get("allow", [])
+            ]
+            delay = spec.get("crawl_delay")
+            delay = float(delay) if delay is not None else None
+        else:
+            rules = [(False, p) for p in spec]
+            delay = None
+        rows.append((h, rules, delay, epoch))
+    return local_df(spark, rows, ROBOTS)
 
 
 ROBOTS_BODY = T.StructType(
@@ -89,35 +177,64 @@ def fetch_robots_http(hosts: DataFrame, scheme: str = "http",
     )
 
 
+_PARSED = T.StructType(
+    [
+        T.StructField("rules", T.ArrayType(ROBOTS_RULE), False),
+        T.StructField("crawl_delay", T.DoubleType(), True),
+    ]
+)
+
+
 def robots_from_bodies(bodies: DataFrame, epoch: int = 0) -> DataFrame:
     """Parse fetched robots.txt bodies into the broadcastable cache
     table — rule extraction runs vectorized (one Arrow batch per task).
     bodies: DataFrame[host, body]."""
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def parse(bod: pd.Series) -> pd.Series:
-        return bod.map(lambda b: parse_robots_txt(b) if b else [])
+    @F.pandas_udf(_PARSED)
+    def parse(bod: pd.Series) -> pd.DataFrame:
+        # struct-returning pandas UDF contract: a DataFrame whose
+        # columns are the struct fields
+        rules, delays = [], []
+        for b in bod:
+            if not b:
+                rules.append([])
+                delays.append(None)
+                continue
+            p = parse_robots_txt(b)
+            rules.append(
+                [{"allow": a, "pattern": pat} for a, pat in p["rules"]]
+            )
+            delays.append(p["crawl_delay"])
+        return pd.DataFrame({"rules": rules, "crawl_delay": delays})
 
     return bodies.select(
-        "host", parse("body").alias("disallow"),
-        F.lit(epoch).alias("fetched_epoch"),
+        "host", parse("body").alias("_p"), F.lit(epoch).alias("fetched_epoch")
+    ).select(
+        "host", F.col("_p.rules").alias("rules"),
+        F.col("_p.crawl_delay").alias("crawl_delay"), "fetched_epoch",
     )
 
 
 def allowed_udf():
-    """Vectorized path-vs-disallow check. Join shape: batch ⋈ broadcast
-    robots on host → filter. NULL disallow (host absent from the cache)
-    ⇒ allowed (crawl-friendly default, matching common crawler practice)."""
+    """Vectorized RFC 9309 rule check. Join shape: batch ⋈ broadcast
+    robots on host → filter. NULL rules (host absent from the cache)
+    ⇒ allowed (crawl-friendly default, matching common crawler
+    practice). Compiled rule lists are memoized per distinct rule set —
+    one compile per host per worker, not per row."""
 
     @F.pandas_udf(T.BooleanType())
-    def allowed(urls: pd.Series, disallows: pd.Series) -> pd.Series:
+    def allowed(urls: pd.Series, rule_col: pd.Series) -> pd.Series:
+        cache: dict[tuple, list] = {}
         out = []
-        for url, dis in zip(urls, disallows):
-            if dis is None or len(dis) == 0:
+        for url, rules in zip(urls, rule_col):
+            if rules is None or len(rules) == 0:
                 out.append(True)
                 continue
-            path = urlsplit(url).path or "/"
-            out.append(not any(path.startswith(p) for p in dis))
+            key = tuple((r["allow"], r["pattern"]) for r in rules)
+            compiled = cache.get(key)
+            if compiled is None:
+                compiled = cache[key] = _compile_rules(rules)
+            out.append(rules_allow(_match_target(url), compiled))
         return pd.Series(out)
 
     return allowed
@@ -125,16 +242,21 @@ def allowed_udf():
 
 def with_robots_flag(batch: DataFrame, robots: DataFrame, flag: str = "robots_ok") -> DataFrame:
     """Add a boolean ``flag`` column: True iff no robots rule disallows
-    the row's URL. The robots cache is tiny (one row per host) →
-    broadcast join, no shuffle of the batch; rule evaluation is one
-    Arrow crossing over the batch."""
-    r = robots.select(F.col("host").alias("r_host"), "disallow")
+    the row's URL — plus the host's ``crawl_delay`` (NULL when the cache
+    has none) so the fetch path can honor per-host delays. The robots
+    cache is tiny (one row per host) → broadcast join, no shuffle of
+    the batch; rule evaluation is one Arrow crossing over the batch."""
+    cols = ["rules"] + (["crawl_delay"] if "crawl_delay" in robots.columns else [])
+    r = robots.select(F.col("host").alias("r_host"), *cols)
     joined = batch.join(F.broadcast(r), batch["host"] == F.col("r_host"), "left")
-    return joined.withColumn(flag, allowed_udf()(F.col("url"), F.col("disallow"))).drop(
-        "r_host", "disallow"
-    )
+    return joined.withColumn(
+        flag, allowed_udf()(F.col("url"), F.col("rules"))
+    ).drop("r_host", "rules")
 
 
 def filter_allowed(batch: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop batch rows whose URL a robots rule disallows."""
-    return with_robots_flag(batch, robots).filter(F.col("robots_ok")).drop("robots_ok")
+    out = with_robots_flag(batch, robots).filter(F.col("robots_ok")).drop("robots_ok")
+    if "crawl_delay" in out.columns and "crawl_delay" not in batch.columns:
+        out = out.drop("crawl_delay")
+    return out

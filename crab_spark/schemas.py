@@ -91,10 +91,19 @@ PARSED = T.StructType(
     ]
 )
 
+# RFC 9309 rule: Allow/Disallow + pattern (with * wildcards, $ anchor)
+ROBOTS_RULE = T.StructType(
+    [
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("pattern", T.StringType(), False),
+    ]
+)
+
 ROBOTS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
-        T.StructField("disallow", T.ArrayType(T.StringType()), False),
+        T.StructField("rules", T.ArrayType(ROBOTS_RULE), False),
+        T.StructField("crawl_delay", T.DoubleType(), True),
         T.StructField("fetched_epoch", T.IntegerType(), False),
     ]
 )

@@ -125,7 +125,8 @@ class TableStore:
         return out
 
     def overwrite(self, name: str, df: DataFrame, tag: str = "base",
-                  keep_history: bool = False) -> None:
+                  keep_history: bool = False,
+                  vacuum_now: bool = False) -> None:
         """Replace the table's contents. The tag is suffixed with the
         current manifest version so the target directory is ALWAYS
         fresh: ``df`` is lazy and typically reads the table being
@@ -134,18 +135,20 @@ class TableStore:
 
         ``keep_history=True`` (for tables whose dropped tags feed
         resume, e.g. the fetched log's done-* history) records the
-        replaced tags in collapsed_tags and leaves old dirs for a
-        manual vacuum. The default immediately vacuums the replaced
-        dirs and skips the record — right for derived tables that are
-        rewritten every maintenance pass (the rescore delta) where
-        history would otherwise grow without bound. The write fully
-        materializes ``df`` BEFORE the commit+vacuum, so deleting the
-        input dirs is safe for this writer; concurrent readers pinned
-        to the old snapshot carry the usual vacuum caveat."""
+        replaced tags in collapsed_tags. Old data dirs are left on disk
+        either way by default — a concurrent reader (another session, a
+        streaming job) pinned to the prior snapshot keeps its files,
+        same as compact(); reclaim them with an offline vacuum().
+        ``vacuum_now=True`` opts into immediate deletion of the
+        replaced dirs — ONLY for single-writer/single-reader tables
+        whose every read strictly follows the commit (the crawl loop's
+        rescore delta): the write fully materializes ``df`` before the
+        commit, so eager deletion is safe for this writer but not for
+        snapshot-pinned readers."""
         version = self._read_manifest(name)["version"]
         d = self._write_dir(name, df, f"{tag}-{version:06d}")
         self._commit(name, [d], record_collapsed=keep_history)
-        if not keep_history:
+        if vacuum_now and not keep_history:
             self.vacuum(name)
 
     def append(self, name: str, df: DataFrame, tag: str) -> None:
@@ -189,20 +192,34 @@ class TableStore:
         writer.parquet(str(target))
         return dirname
 
-    def compact(self, name: str, n_files: int | None = None) -> int:
+    def compact(self, name: str, n_files: int | None = None,
+                sort_within: list[str] | None = None) -> int:
         """Rewrite a table's accumulated per-epoch append dirs into ONE
         directory (the Iceberg rewrite_data_files analogue): long crawls
         drip hundreds of tagged deltas and every subsequent scan pays
         the file-listing + tiny-file cost. Snapshot semantics hold — the
         rewrite lands in a fresh dir and one manifest swap publishes it;
         readers see the old or the new table, never a blend. Returns the
-        number of dirs compacted away."""
+        number of dirs compacted away.
+
+        ``sort_within``: physically sort the rewrite by these columns
+        (within each output partition, after the partition column).
+        Readers that prune by a column's parquet row-group MIN/MAX
+        stats (the dequeue's depth/priority cutoff) rely on values
+        correlating with file order; append deltas have that correlation
+        naturally (one epoch ≈ one depth), a compaction rewrite only
+        keeps it if told to sort — Iceberg's rewrite_data_files
+        sort-order analogue."""
         dirs = self._read_manifest(name)["dirs"]
         if len(dirs) <= 1:
             return 0
         df = self.read(name)
         if n_files:
             df = df.coalesce(n_files)
+        if sort_within:
+            pcol = self.partition_by(name)
+            cols = ([pcol] if pcol else []) + list(sort_within)
+            df = df.sortWithinPartitions(*cols)
         version = self._read_manifest(name)["version"]
         d = self._write_dir(name, df, f"compact-{version:06d}")
         self._commit(name, [d])

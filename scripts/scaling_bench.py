@@ -94,15 +94,24 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     print(f"scaling bench: n_pages={n_pages} (~{n_pages * 11} URLs), best of {runs}")
-    n8 = run_level(2, n_pages, runs)
-    n32 = run_level(8, n_pages, runs)
-    eff = (n32["thr"] / n8["thr"]) / 4
+    # three levels (N, 2N, 4N): the efficiency claim is a CURVE, not a
+    # single ratio (r3 verdict item 7) — a straight-ish line through
+    # 2→4→8 shows the scaling is structural, not a lucky endpoint pair
+    levels = {c: run_level(c, n_pages, runs) for c in (2, 4, 8)}
+    n2, n4, n8v = levels[2], levels[4], levels[8]
+    eff_24 = (n4["thr"] / n2["thr"]) / 2
+    eff_48 = (n8v["thr"] / n4["thr"]) / 2
+    eff = (n8v["thr"] / n2["thr"]) / 4
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    rows = "\n".join(
+        f"| local[{c}]  ({lbl}) | {r['wall']:.1f} | {r['thr']:.1f} |"
+        for c, lbl, r in ((2, "N", n2), (4, "2N", n4), (8, "4N", n8v))
+    )
     block = f"""
-## Measured scaling (N=2 vs 4N=8 local cores) — {stamp}
+## Measured scaling (N=2 → 2N=4 → 4N=8 local cores) — {stamp}
 
-Same job, same input ({n8['requests']} URLs over 32 hosts,
-{n8['epochs']} epochs) under a politeness budget of 0.1 s/request/host
+Same job, same input ({n2['requests']} URLs over 32 hosts,
+{n2['epochs']} epochs) under a politeness budget of 0.1 s/request/host
 enforced as a per-host-salt token bucket inside the fetch tasks — the
 regime real crawls (and the reference: delay-bound 0.2 pages/s/thread)
 operate in. Sleeping tasks hold executor slots without burning CPU, so
@@ -110,15 +119,21 @@ this measures exactly what executor-count scaling buys a polite crawl
 and is robust to this shared host's co-tenant noise (raw CPU benches on
 this box vary 2-3x run-to-run; see git history of BENCH.md for the
 engine-bound delay=0 numbers and their memory-bandwidth ceiling).
-N=2 vs 4N=8 cores because 32 threads oversubscribe the shared host:
+Capped at 8 cores because 32 threads oversubscribe the shared host.
+
+Politeness-budget sensitivity: throughput in this regime is
+delay-bound — per host-salt slot, ceiling ≈ 1/delay URLs/s — so the
+efficiency numbers below transfer to any delay that keeps the crawl
+budget-bound (halving the delay doubles every row's throughput until
+the CPU bound takes over; the delay=0 engine-bound regime is recorded
+separately in BENCH.md history).
 
 | level | wall (s) | throughput (URLs/s) |
 |---|---|---|
-| local[2]  (N)  | {n8['wall']:.1f} | {n8['thr']:.1f} |
-| local[8]  (4N) | {n32['wall']:.1f} | {n32['thr']:.1f} |
+{rows}
 
-**Scaling efficiency = (thr_4N / thr_N) / 4 = {eff:.2f}**
-(north_rule target: ≥ 0.8).
+**Scaling efficiency: N→2N = {eff_24:.2f}, 2N→4N = {eff_48:.2f},
+N→4N = (thr_4N / thr_N) / 4 = {eff:.2f}** (north_rule target: ≥ 0.8).
 """
     bench_md = os.path.join(REPO, "BENCH.md")
     prev = ""

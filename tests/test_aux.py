@@ -114,8 +114,58 @@ def test_parse_robots_txt():
     Disallow: /private
     Disallow: /tmp
     """
-    assert parse_robots_txt(body) == ["/private", "/tmp"]
-    assert parse_robots_txt("User-agent: *\nDisallow:") == []
+    got = parse_robots_txt(body)
+    assert got["rules"] == [(False, "/private"), (False, "/tmp")]
+    assert got["crawl_delay"] is None
+    assert parse_robots_txt("User-agent: *\nDisallow:")["rules"] == []
+
+
+def test_parse_robots_allow_groups_and_delay():
+    """RFC 9309: Allow lines, merged groups (every group whose UA set
+    contains * contributes), stacked User-agent lines, Crawl-delay."""
+    body = """
+    User-agent: googlebot
+    User-agent: *
+    Allow: /public/
+    Disallow: /
+
+    User-agent: bingbot
+    Disallow: /bing-only
+
+    User-agent: *
+    Disallow: /tmp/
+    Crawl-delay: 2.5
+    """
+    got = parse_robots_txt(body)
+    assert got["rules"] == [
+        (True, "/public/"), (False, "/"), (False, "/tmp/")
+    ]
+    assert got["crawl_delay"] == 2.5
+
+
+def test_robots_longest_match_wins():
+    """RFC 9309 §2.2.2 precedence: most octets wins; Allow wins an
+    exact-length tie; * and $ pattern forms; no match ⇒ allowed."""
+    from crab_spark.robots import _compile_rules, rules_allow
+
+    # the RFC's own example group: allow /foo/bar carved out of /foo
+    c = _compile_rules([(False, "/foo"), (True, "/foo/bar")])
+    assert not rules_allow("/foo/baz", c)
+    assert rules_allow("/foo/bar/page", c)
+    assert rules_allow("/other", c)
+
+    # exact-length tie → Allow (RFC: least restrictive rule)
+    c = _compile_rules([(False, "/page"), (True, "/page")])
+    assert rules_allow("/page", c)
+
+    # wildcard + end anchor
+    c = _compile_rules([(False, "/*.php$"), (True, "/allowed.php$")])
+    assert not rules_allow("/x/y.php", c)
+    assert rules_allow("/x/y.php?q=1", c)  # $ anchors: query breaks the match
+    assert rules_allow("/allowed.php", c)
+    c = _compile_rules([(False, "/fish*.html")])
+    assert not rules_allow("/fish/sole.html", c)
+    assert rules_allow("/fish/sole.htm", c)
 
 
 def test_filter_allowed(spark):
@@ -132,6 +182,69 @@ def test_filter_allowed(spark):
     got = {r["url"] for r in filter_allowed(batch, robots).collect()}
     # h1/private blocked; h2 not in cache → allowed
     assert got == {"http://h1/ok", "http://h2/private/x"}
+
+
+def test_filter_allowed_rfc_allow_carveout(spark):
+    """Allow carve-outs + wildcard rules evaluated through the
+    broadcast-join + Arrow UDF path (the dispatch-gate shape)."""
+    import pyspark.sql.types as T
+
+    batch = local_df(
+        spark,
+        [("http://h1/public/a", "h1"), ("http://h1/secret", "h1"),
+         ("http://h2/x/run.php", "h2"), ("http://h2/x/run.phpx", "h2")],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("host", T.StringType())]),
+    )
+    robots = robots_table(spark, {
+        "h1": {"disallow": ["/"], "allow": ["/public/"]},
+        "h2": {"disallow": ["/*.php$"]},
+    })
+    got = {r["url"] for r in filter_allowed(batch, robots).collect()}
+    assert got == {"http://h1/public/a", "http://h2/x/run.phpx"}
+
+
+def test_crawl_delay_reaches_fetcher_token_bucket(spark):
+    """A robots Crawl-delay rides the dispatch rows into the fetch task
+    and widens the per-host token bucket: fetching n rows of that host
+    takes at least n × crawl_delay even with delay_sec=0."""
+    import time as _t
+
+    import pyspark.sql.types as T
+
+    from crab_spark.crawler import CorpusFetcher
+    from crab_spark.robots import with_robots_flag
+    from crab_spark.schemas import SPAN
+
+    urls = [f"http://slow/{i}" for i in range(4)]
+    corpus = spark.createDataFrame(
+        [(u, [("text", "x", "", 0)]) for u in urls],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("spans", T.ArrayType(SPAN))]),
+    )
+    batch = local_df(
+        spark,
+        [(hash(u) & 0x7FFFFFFF, u, "slow", 1, 0, 0, i + 1) for i, u in enumerate(urls)],
+        T.StructType([
+            T.StructField("url_hash", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("type_id", T.IntegerType()),
+            T.StructField("depth", T.IntegerType()),
+            T.StructField("part", T.IntegerType()),
+            T.StructField("pos", T.LongType()),
+        ]),
+    )
+    robots = robots_table(spark, {"slow": {"disallow": [], "crawl_delay": 0.1}})
+    dispatch = with_robots_flag(batch, robots).filter("robots_ok").drop("robots_ok")
+    assert "crawl_delay" in dispatch.columns
+    fetcher = CorpusFetcher(corpus, delay_sec=0.0)
+    t0 = _t.monotonic()
+    rows = fetcher.fetch(dispatch).collect()
+    wall = _t.monotonic() - t0
+    assert len(rows) == 4 and all(r["ok"] for r in rows)
+    assert wall >= 0.4  # 4 rows × 0.1 s Crawl-delay, sleeps are a floor
+    assert fetcher.side_effects  # crawl() must pin these results
 
 
 # -- html → spans --------------------------------------------------------------
@@ -284,8 +397,10 @@ def test_robots_from_bodies_roundtrip(spark):
         ROBOTS_BODY,
     )
     robots = robots_from_bodies(bodies, epoch=3)
-    got = {r["host"]: list(r["disallow"]) for r in robots.collect()}
-    assert got == {"a.com": ["/private/", "/tmp"], "b.com": [], "c.com": []}
+    got = {r["host"]: [(x["allow"], x["pattern"]) for x in r["rules"]]
+           for r in robots.collect()}
+    assert got == {"a.com": [(False, "/private/"), (False, "/tmp")],
+                   "b.com": [], "c.com": []}
 
     batch = spark.createDataFrame(
         [("http://a.com/private/x", "a.com"), ("http://a.com/ok", "a.com"),
@@ -310,6 +425,7 @@ def test_fetch_robots_http_via_file_urls(spark, tmp_path):
     )
     bodies = fetch_robots_http(hosts, scheme="file", timeout=2)
     robots = robots_from_bodies(bodies, epoch=1)
-    got = {r["host"]: list(r["disallow"]) for r in robots.collect()}
-    assert got[str(site_a)] == ["/private/"]
+    got = {r["host"]: [(x["allow"], x["pattern"]) for x in r["rules"]]
+           for r in robots.collect()}
+    assert got[str(site_a)] == [(False, "/private/")]
     assert got[str(site_b)] == []  # fetch failure ⇒ allow-all

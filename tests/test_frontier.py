@@ -92,6 +92,38 @@ def test_mark_fetched_excludes_from_pending(spark, store):
     assert fr.pending(store).count() == 2
 
 
+def test_register_routes_big_batches_to_two_pass_rank(spark, store, monkeypatch):
+    """Bounded-window invariant (r3 verdict item 5): a candidate set
+    bigger than SEQ_WINDOW_MAX must take the parallel two-pass range
+    rank, never the single-task global window — and produce identical
+    dense seq values. Bound lowered via monkeypatch so the branch is
+    exercised without 100k-row fixtures."""
+    from crab_spark import util as U
+
+    calls = []
+    real = U.ordered_index
+
+    def spy(df, order_cols, name="idx", start=0, num_partitions=None):
+        calls.append(name)
+        return real(df, order_cols, name, start=start,
+                    num_partitions=num_partitions)
+
+    monkeypatch.setattr(fr, "ordered_index", spy)
+    monkeypatch.setattr(fr, "SEQ_WINDOW_MAX", 10)
+    rows = [(f"http://h/{i}", 1, 0, 0, i) for i in range(40)]
+    # seed the table (first write takes the no-seen-side branch)
+    assert fr.register(store, _cands(spark, rows[:5]), epoch=1) == 5
+    calls.clear()
+    assert fr.register(store, _cands(spark, rows), epoch=2) == 35
+    assert "seq" in calls  # the two-pass path ran for the big batch
+    seqs = sorted(r["seq"] for r in store.read("frontier").collect())
+    assert seqs == list(range(40))  # dense, no gaps, both paths agree
+    # registration order unchanged: seq follows (parent_pos, link_idx)
+    by_url = {r["url"]: r["seq"] for r in store.read("frontier").collect()}
+    assert by_url["http://h/0"] == 0 and by_url["http://h/5"] == 5
+    assert by_url["http://h/39"] == 39
+
+
 def test_dequeue_scans_only_head_depths(spark, store):
     """Scale contract: dequeue must not rank the whole pending set. The
     depth cutoff predicate has to reach BOTH parquet scans (frontier and
@@ -118,6 +150,46 @@ def test_dequeue_scans_only_head_depths(spark, store):
     # pushed predicate must appear on every parquet scan in the plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert len(pushed) >= 2  # frontier scan + fetched scan
+    assert all("LessThanOrEqual(depth,1)" in l for l in pushed), pushed
+
+
+def test_dequeue_head_scan_survives_sorted_compaction(spark, store):
+    """r4 (r3 verdict item 6): the dequeue's depth cutoff prunes via
+    parquet row-group MIN/MAX stats, which correlate with append order
+    only until a compaction rewrites the table. compact(sort_within=
+    ['depth']) must restore the physical depth ordering — asserted on
+    the actual parquet files — and the head-scan plan contract must
+    hold against the post-compaction store."""
+    import pyarrow.parquet as pq
+
+    for e, d in enumerate(range(4)):  # one depth per epoch, like a crawl
+        fr.register(
+            store,
+            _cands(spark, [(f"http://h/{d}/{i}", 1, d, 0, i) for i in range(10)]),
+            epoch=e + 1,
+        )
+    fr.mark_fetched(store, store.read("frontier").filter(F.col("depth") == 0),
+                    epoch=4)
+    assert store.compact("frontier", n_files=1, sort_within=["depth"]) == 4
+
+    # physical layout: every rewritten parquet file is depth-sorted
+    files = list((store.root / "frontier").glob("snap-compact-*/**/*.parquet"))
+    assert files
+    for f in files:
+        depths = pq.read_table(f, columns=["depth"])["depth"].to_pylist()
+        assert depths == sorted(depths), f
+    before = {(r["url"], r["seq"]) for r in store.read("frontier").collect()}
+    assert len(before) == 40
+
+    batch = fr.dequeue(store, batch_size=5)
+    got = [(r["depth"], r["pos"]) for r in batch.orderBy("pos").collect()]
+    assert [d for d, _ in got] == [1] * 5
+    plan = batch._sc._jvm.PythonSQLUtils.explainString(
+        batch._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert len(pushed) >= 2
     assert all("LessThanOrEqual(depth,1)" in l for l in pushed), pushed
 
 
@@ -287,6 +359,52 @@ def test_bloom_sidecar_roundtrip(tmp_path):
     assert loaded.might_contain(keys).all()
     assert (loaded.bits == b.bits).all()
     assert load_sidecar(tmp_path / "missing.d") is None
+
+
+def test_full_save_unlinks_stale_part_files(tmp_path):
+    """A FULL save (changed_parts=None) must remove part files the
+    filter no longer carries, or a later probe resurrects deleted keys
+    from the stale file — false 'maybe' answers that defeat a
+    CuckooFilter.delete (r3 ADVICE finding)."""
+    import numpy as np
+
+    from crab_spark import bloom as bm
+    from crab_spark.cuckoo import CuckooFilter
+
+    # cuckoo: delete every key of one shard, drop the shard, full save
+    f = CuckooFilter.sized_for(2000)
+    keys = np.arange(1, 601, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    f.add(keys)
+    d = tmp_path / "cuck.d"
+    save_sidecar(d, f, {"reg-000001"})
+    parts = keys.view(np.int64) % f.n_buckets
+    victim = int(parts[0])
+    victim_keys = keys[parts == victim]
+    assert f.delete(victim_keys).all()
+    del f.shards[victim]
+    save_sidecar(d, f, {"reg-000001", "reg-000002"})
+    assert not (d / f"part-{victim}.bin").exists()
+    meta = bm._read_meta(d)
+    assert str(victim) not in meta["part_versions"]
+    bm._PART_CACHE.clear()
+    assert not bm.probe_sidecar(victim_keys, str(d), meta).any()
+    loaded, _ = load_sidecar(d)
+    assert not loaded.might_contain(victim_keys).any()
+
+    # bloom: a same-geometry rebuild with one bucket now empty must not
+    # leave the old bucket's bits probe-visible
+    b1 = BucketedBloom.sized_for(1000)
+    b1.add(keys)
+    d2 = tmp_path / "blo.d"
+    save_sidecar(d2, b1, {"reg-000001"})
+    b2 = BucketedBloom(b1.n_buckets, b1.n_bits, b1.n_hashes)
+    keep = keys[parts != victim]
+    b2.add(keep)
+    save_sidecar(d2, b2, {"reg-000001"})
+    assert not (d2 / f"part-{victim}.bin").exists()
+    loaded2, _ = load_sidecar(d2)
+    assert not loaded2.might_contain(victim_keys).any()
+    assert loaded2.might_contain(keep).all()
 
 
 def test_sidecar_probe_touches_only_batch_parts(tmp_path):
@@ -464,6 +582,66 @@ def test_by_priority_dequeue_after_host_budget_rescore(spark, store):
     # registration log itself is never rewritten by a maintenance pass
     assert store._read_manifest("frontier")["dirs"] == frontier_dirs_before
     assert store.exists("rescore") and store.read("rescore").count() == 11
+
+
+def test_priority_dequeue_scans_only_cutoff_slice(spark, store):
+    """r4 scale contract (the r3 verdict's one weak item): priority-mode
+    dequeue must be O(batch + head slice) like BFS mode. The rescore
+    snapshot is Hive-partitioned by priority band, so ``pband <= cutoff``
+    prunes whole partition dirs; the since-rescore frontier/fetched
+    deltas are row-group-pruned by epoch; nothing scans the full
+    pending set and the fetched anti-join side is broadcast."""
+    from crab_spark.plans import formatted_plan, plan_lines
+
+    # one hot host (12 rows) + two cold hosts → bands 0..3 under budget 3
+    rows = (
+        [(f"http://hot/{i}", 1, 0, 0, i) for i in range(12)]
+        + [(f"http://cold/{i}", 1, 0, 0, 100 + i) for i in range(3)]
+    )
+    fr.register(store, _cands(spark, rows), epoch=1)
+    fr.mark_fetched(store, store.read("frontier").filter("seq >= 13"), epoch=1)
+    counts = fr.apply_host_budget(store, host_budget=3)
+    # pending: hot 0-11 (bands 0,1,2,3) + cold/0 (band 0)
+    assert counts == {0: 4, 1: 3, 2: 3, 3: 3}
+    # fresh registrations after the snapshot (the since-rescore delta)
+    fr.register(store, _cands(spark, [("http://new/a", 1, 0, 0, 0)]), epoch=2)
+
+    batch = fr.dequeue(store, batch_size=6, by_priority=True, prio_counts=None)
+    got = [(r["host"], r["priority"]) for r in batch.orderBy("pos").collect()]
+    # counts with the fresh row: band0=5 < 6, +band1=8 ≥ 6 → cutoff 1;
+    # top-6 by (priority, seq) = all five band-0 rows + hot/3 at band 1
+    assert sorted(h for h, p in got if p == 0.0) == ["cold", "hot", "hot", "hot", "new"]
+    assert [(h, p) for h, p in got if p != 0.0] == [("hot", 1.0)]
+
+    plan = formatted_plan(batch)
+    assert "TakeOrderedAndProject" in plan
+    # snapshot scan: the band cutoff must arrive as a PARTITION filter
+    # (file-level pruning over the pband=N dirs)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "pband" in l]
+    assert pf and all("<= 1)" in l for l in pf), pf
+    # frontier + fetched delta scans: epoch predicates pushed (row-group
+    # pruning — only the since-rescore suffix is read)
+    pushed = plan_lines(batch, "PushedFilters")
+    assert any("GreaterThan(epoch_discovered,1)" in l for l in pushed), pushed
+    assert any("GreaterThan(epoch,1)" in l for l in pushed), pushed
+    # the pending set is never shuffled: anti-join side is broadcast
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_priority_rescore_on_drained_frontier_clears_snapshot(spark, store):
+    """Edge: a rescore pass over a fully-fetched frontier must not leave
+    an unreadable empty Hive-partitioned snapshot behind — the table is
+    cleared and the priority dequeue returns empty cleanly (the shape a
+    second crawl() call on a completed store hits on its first epoch)."""
+    rows = [(f"http://h/{i}", 1, 0, 0, i) for i in range(4)]
+    fr.register(store, _cands(spark, rows), epoch=1)
+    assert fr.apply_host_budget(store, host_budget=2) == {0: 2, 1: 2}
+    fr.mark_fetched(store, store.read("frontier"), epoch=1)
+    assert fr.apply_host_budget(store, host_budget=2) == {}
+    assert not store.exists("rescore")
+    assert fr.dequeue(store, batch_size=5, by_priority=True).count() == 0
+    assert fr.pending_priority_counts(store) == {}
 
 
 def test_host_budget_rescore_scores_pending_only(spark, store):

@@ -311,6 +311,44 @@ def test_lang_id_hits(spark):
     assert got == {0: "en", 1: "de", 2: "fr"}
 
 
+def test_lang_id_confusion_on_planted_multilingual_docs(spark):
+    """r4 fidelity pass (r3 verdict item 8): the widened 20-word
+    profiles must classify planted docs in all five languages — incl.
+    SHORT docs and a code-mixed doc — with zero confusion; lang-ID
+    gates the stratified-sampling rates that decide corpus mixture."""
+    docs = [
+        # full sentences
+        ("en_long", "it was the best of times and it was the worst of "
+                    "times for this city by the river", "en"),
+        ("de_long", "das wetter ist heute nicht gut und wir werden mit "
+                    "dem zug in die stadt fahren um für das fest "
+                    "einzukaufen", "de"),
+        ("fr_long", "il est dans la maison avec les enfants qui sont "
+                    "plus heureux que jamais mais ne veulent pas sortir "
+                    "pour le moment", "fr"),
+        ("es_long", "los niños juegan en el parque con sus amigos pero "
+                    "no pueden quedarse más tiempo por la lluvia como "
+                    "siempre", "es"),
+        ("zh_long", "我 们 的 朋 友 是 一 个 好 人 他 们 也 要 去 中 国 "
+                    "为 了 工 作", "zh"),
+        # short docs — the r3 7-word profiles misfired here
+        ("en_short", "this is the plan for it", "en"),
+        ("de_short", "das ist nicht für dich", "de"),
+        ("fr_short", "ce sont les plus grands", "fr"),
+        ("es_short", "no es para los niños", "es"),
+        # code-mixed: english frame quoting a french phrase — the frame
+        # dominates by count
+        ("mixed", "the report is in english and it says that the "
+                  "phrase le chat est petit was found in the corpus "
+                  "by this tool", "en"),
+    ]
+    d = spark.createDataFrame([(i, t) for i, t, _ in docs],
+                              "doc_id string, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in X.lang_id(d).collect()}
+    want = {i: lang for i, _, lang in docs}
+    assert got == want, {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+
+
 def test_quality_features_values(spark):
     d = spark.createDataFrame([(0, "Ab c, d!")], "doc_id long, text string")
     r = X.quality_features(d).collect()[0]
