@@ -360,8 +360,10 @@ def pending_scored(store: TableStore, exclude_epoch: int | None = None) -> DataF
 def _rescore_epoch(store: TableStore) -> int | None:
     """The epoch as-of which the ``rescore`` snapshot was taken (all
     fetched/registered rows up to and including it are reflected in the
-    snapshot), or None when no banded snapshot exists."""
-    if not store.exists("rescore") or "pband" not in store.read("rescore").columns:
+    snapshot), or None when no banded snapshot exists. Detection is
+    manifest/state-only — no parquet footer read on the per-epoch path
+    (the banded layout is exactly the partition_by('pband') one)."""
+    if not store.exists("rescore") or store.partition_by("rescore") != "pband":
         return None
     st = store.read_state("rescore")
     return int(st["epoch"]) if "epoch" in st else None

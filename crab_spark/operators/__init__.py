@@ -10,5 +10,7 @@ Arrow-batched pandas UDF — never per-row Python.
 - ``similarity`` brute-force cosine top-k; IVF-bucketed scale path
 - ``text``       token stats, quality scoring, language-ID heuristic,
                  document fingerprinting
+- ``decontam``   within-doc repetition gate, benchmark n-gram
+                 decontamination, per-source mixture report
 - ``multimodal`` binary media columns: typed metadata + decode plumbing
 """

@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .operators import decontam as DC
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import packing as P
@@ -450,6 +451,38 @@ def q39_pack_sequences(spark, sf):
     return P.pack_stats(packed)
 
 
+def q43_repetition_stats(spark, sf):
+    """Within-document 3-gram repetition fraction (RefinedWeb/Gopher
+    repetition gate) — the shingle array and its distinct count stay
+    inside whole-stage codegen; one scan, zero shuffles."""
+    return DC.repetition_stats(t(spark, sf, "documents"), k=3)
+
+
+# contamination probe: the 'benchmark' is a deterministic 2% hash-sample
+# of the corpus (stand-in for an eval set; salt decorrelates it from the
+# q37 sample), checked against every NON-benchmark doc
+_BENCH_RATE, _BENCH_SALT = 0.02, "bench"
+
+
+def q44_ngram_contamination(spark, sf):
+    """Benchmark decontamination: per non-benchmark doc, the count of
+    distinct 5-grams shared with the benchmark set + contaminated flag.
+    The benchmark shingle set is broadcast (eval sets are MBs against a
+    100 TB corpus), the corpus is scanned once and never shuffled on
+    shingle values; per-doc counts are map-side combinable."""
+    docs = t(spark, sf, "documents")
+    bench = SA.hash_sample(docs, _BENCH_RATE, salt=_BENCH_SALT)
+    corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    return DC.ngram_contamination(corpus, bench, k=5)
+
+
+def q45_source_mix(spark, sf):
+    """Per-source corpus composition (docs, bytes, language spread,
+    exact-dup rate) — the mixture-weighting inputs; one map-side-
+    combinable aggregation pass over the corpus."""
+    return DC.source_mix_report(t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -856,4 +889,48 @@ ORACLE_SQL: dict[str, str] = {
         SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
                round(avg(n_bytes), 4) AS avg_bytes
         FROM m GROUP BY kind""",
+    # within-doc 3-gram repetition over NORMALIZED text (k=3 → window 2)
+    "q43_repetition_stats": (
+        f"WITH n AS (SELECT doc_id, {_NORM} AS text FROM documents),"
+        + _SHINGLE_CTE.format(k=3, km1=2).replace("FROM documents", "FROM n")
+        + """
+        SELECT doc_id, count(*) AS n_ngrams,
+               count(DISTINCT s) AS n_distinct,
+               round(1 - count(DISTINCT s)::DOUBLE / greatest(count(*), 1), 4)
+                   AS rep_ratio
+        FROM sh GROUP BY doc_id"""
+    ),
+    # benchmark = 2% salted hash-sample; contamination = distinct shared
+    # 5-grams (k=5 → window 4) between each non-benchmark doc and the
+    # benchmark's distinct shingle set
+    "q44_ngram_contamination": (
+        "WITH bench_ids AS (SELECT doc_id FROM documents "
+        "WHERE md5('bench' || CAST(doc_id AS VARCHAR)) < '"
+        + SA._hex_threshold(0.02)
+        + f"'), n AS (SELECT doc_id, {_NORM} AS text FROM documents),"
+        + _SHINGLE_CTE.format(k=5, km1=4).replace("FROM documents", "FROM n")
+        + """,
+        shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s != ''),
+        bsh AS (SELECT DISTINCT s FROM shd
+                WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+        corpus AS (SELECT doc_id FROM documents
+                   WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
+        hits AS (SELECT shd.doc_id, count(*) AS n FROM shd
+                 JOIN bsh USING (s)
+                 WHERE shd.doc_id IN (SELECT doc_id FROM corpus)
+                 GROUP BY shd.doc_id)
+        SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM corpus c LEFT JOIN hits h USING (doc_id)"""
+    ),
+    # per-source mixture-weighting rollup; dup rate over normalized-
+    # content hashes
+    "q45_source_mix": f"""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               round(avg(length(text)), 2) AS mean_chars,
+               count(DISTINCT lang) AS n_langs,
+               round(1 - count(DISTINCT md5({_NORM}))::DOUBLE / count(*), 4)
+                   AS dup_rate
+        FROM documents GROUP BY source""",
 }

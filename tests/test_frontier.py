@@ -361,6 +361,54 @@ def test_bloom_sidecar_roundtrip(tmp_path):
     assert load_sidecar(tmp_path / "missing.d") is None
 
 
+def test_fold_delta_files_matches_driver_build(spark, tmp_path):
+    """bloom.fold_delta_files (the executor-side per-epoch fold) must
+    leave the sidecar equivalent to a cold build over base ∪ delta —
+    for both filter kinds — and maintain meta (covered tag, bumped
+    part versions) without the driver touching any keys."""
+    import numpy as np
+
+    from crab_spark import bloom as bm
+    from crab_spark.cuckoo import CuckooFilter, build_cuckoo
+
+    base_keys = np.arange(1, 401, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    delta_keys = np.arange(500, 701, dtype=np.uint64) * np.uint64(2654435761)
+    base_df = spark.createDataFrame(
+        [(int(np.int64(k)),) for k in base_keys], "url_hash long")
+    delta_df = spark.createDataFrame(
+        [(int(np.int64(k)),) for k in delta_keys], "url_hash long")
+
+    for kind in ("bloom", "cuckoo"):
+        d = tmp_path / f"{kind}.d"
+        if kind == "bloom":
+            filt = build_bloom(base_df, "url_hash",
+                               proto=BucketedBloom.sized_for(2000))
+        else:
+            filt = build_cuckoo(base_df, "url_hash",
+                                proto=CuckooFilter.sized_for(2000))
+        save_sidecar(d, filt, {"reg-000001"})
+        v0 = bm._read_meta(d)["version"]
+        meta = bm.fold_delta_files(spark, delta_df, d, "reg-000002")
+        assert meta["version"] == v0 + 1
+        assert set(meta["covered"]) == {"reg-000001", "reg-000002"}
+        touched = {int(p) for p in
+                   delta_keys.view(np.int64) % filt.n_buckets}
+        bumped = {int(p) for p, v in meta["part_versions"].items()
+                  if v == meta["version"]}
+        assert bumped == touched  # only delta-touched parts rewritten
+        loaded, covered = load_sidecar(d)
+        assert loaded.might_contain(base_keys).all()
+        assert loaded.might_contain(delta_keys).all()
+        # and the lazy file probe agrees
+        bm._PART_CACHE.clear()
+        probe_meta = {k: v for k, v in bm._read_meta(d).items() if k != "covered"}
+        assert bm.probe_sidecar(
+            np.concatenate([base_keys, delta_keys]), str(d), probe_meta
+        ).all()
+    # a missing sidecar reports None (caller cold-builds)
+    assert bm.fold_delta_files(spark, delta_df, tmp_path / "nope.d", "t") is None
+
+
 def test_full_save_unlinks_stale_part_files(tmp_path):
     """A FULL save (changed_parts=None) must remove part files the
     filter no longer carries, or a later probe resurrects deleted keys

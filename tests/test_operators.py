@@ -349,6 +349,69 @@ def test_lang_id_confusion_on_planted_multilingual_docs(spark):
     assert got == want, {k: (got[k], want[k]) for k in want if got[k] != want[k]}
 
 
+def test_repetition_stats_planted(spark):
+    """Planted repetition: a doc that is one phrase looped scores near
+    1-ish rep_ratio; a repetition-free doc scores 0."""
+    from crab_spark.operators import decontam as DC
+
+    d = spark.createDataFrame(
+        [("loop", "buy now " * 20 + "buy now"),
+         ("clean", "every word here is used exactly once today friend")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in DC.repetition_stats(d, k=3).collect()}
+    assert got["clean"]["rep_ratio"] == 0.0
+    assert got["clean"]["n_ngrams"] == got["clean"]["n_distinct"]
+    # 42 words -> 40 trigrams, only 2 distinct ("buy now buy"/"now buy now")
+    assert got["loop"]["n_distinct"] == 2
+    assert got["loop"]["rep_ratio"] > 0.9
+
+
+def test_ngram_contamination_planted_and_broadcast(spark):
+    """A doc quoting a benchmark 5-gram is flagged; clean docs aren't.
+    Plan contract: the benchmark shingle side is BROADCAST (eval sets
+    are tiny next to a 100 TB corpus) — the corpus is never shuffled on
+    shingle values."""
+    from crab_spark.operators import decontam as DC
+    from crab_spark.plans import formatted_plan
+
+    bench = spark.createDataFrame(
+        [("eval1", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    docs = spark.createDataFrame(
+        [("leak", "my essay says the quick brown fox jumps over things"),
+         ("clean", "completely different words with no overlap at all here"),
+         ("partial", "a quick brown fox appears but shares no five gram")],
+        "doc_id string, text string",
+    )
+    out = DC.ngram_contamination(docs, bench, k=5)
+    got = {r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+           for r in out.collect()}
+    # "the quick brown fox jumps" and "quick brown fox jumps over" leak
+    assert got["leak"] == (2, True)
+    assert got["clean"] == (0, False)
+    assert got["partial"] == (0, False)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_mix_report_values(spark):
+    from crab_spark.operators import decontam as DC
+
+    d = spark.createDataFrame(
+        [("a", "same text", "en", "s1"), ("b", "same text", "de", "s1"),
+         ("c", "other", "en", "s1"), ("d", "unique here", "fr", "s2")],
+        "doc_id string, text string, lang string, source string",
+    )
+    got = {r["source"]: r for r in DC.source_mix_report(d).collect()}
+    assert got["s1"]["n_docs"] == 3 and got["s1"]["n_langs"] == 2
+    # 3 docs, 2 distinct contents -> dup rate 1 - 2/3
+    assert got["s1"]["dup_rate"] == round(1 - 2 / 3, 4)
+    assert got["s2"]["n_docs"] == 1 and got["s2"]["dup_rate"] == 0.0
+
+
 def test_quality_features_values(spark):
     d = spark.createDataFrame([(0, "Ab c, d!")], "doc_id long, text string")
     r = X.quality_features(d).collect()[0]
