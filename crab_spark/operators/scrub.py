@@ -1,0 +1,191 @@
+"""Scrubbing & restructuring operators — PII redaction, paragraph-level
+corpus dedup, and overlapping chunking. All hot paths are pure built-in
+expressions (whole-stage codegen); nothing crosses into Python.
+
+- ``pii_scrub``: regex detection + redaction of emails / IPv4s / phone
+  numbers — the privacy gate every released corpus runs. One scan, zero
+  shuffles: counts and the redacted text are per-row expressions. The
+  patterns are RE2-safe (no backrefs / lookaround) so the identical
+  pattern strings run in Spark's Java regex and DuckDB's RE2 oracle.
+
+- ``paragraph_dedup``: CCNet-style paragraph-level exact dedup — the
+  document is segmented into fixed word-windows, every segment is
+  hashed, and the FIRST occurrence corpus-wide (min (doc_id, pos))
+  survives; later copies (boilerplate, mirrored nav blocks, syndicated
+  paragraphs) are dropped. Scale shape: one shuffle on the segment hash
+  (a window min — no self-join), one map-side-combinable per-doc
+  reassembly aggregation. Hash skew (the empty / ultra-common segment)
+  is the classic AQE skew-partition case; segments are filtered
+  non-empty before the shuffle.
+
+- ``chunk_documents``: fixed-size overlapping word chunks (the
+  context-window shaping step before tokenization/packing). Pure
+  per-row expressions — sequence + slice + explode, zero shuffles;
+  chunk boundaries are integer arithmetic so the DuckDB oracle
+  reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalized
+
+# RE2-compatible (and Java-regex-compatible) PII patterns: character
+# classes and bounded repetition only — no backreferences, no
+# lookaround — so Spark and the DuckDB oracle match the same spans.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}"
+
+# redaction is applied email → ip → phone; the patterns are disjoint
+# (an email local part can contain digits but never a '+'-anchored
+# phone; the \b-anchored IP can't overlap a redaction token).
+REDACTIONS: list[tuple[str, str]] = [
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+]
+
+
+def redacted(text: Column) -> Column:
+    """The text with every PII span replaced by its token."""
+    out = text
+    for pat, tok in REDACTIONS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII counts + a hash of the redacted text (the hash
+    keeps the output narrow; the redacted column itself is one more
+    ``redacted()`` call at the write site). One scan, zero shuffles."""
+    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted(text)).alias("redacted_hash"),
+    ).withColumn(
+        "any_pii",
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0,
+    )
+
+
+def word_windows(text: Column, window_words: int) -> Column:
+    """Array of fixed ``window_words``-word segment strings over the
+    normalized text (last segment ragged). Empty text yields one empty
+    segment — callers filter. Pure codegen: split → sequence → slice →
+    array_join, no Python, no shuffle."""
+    words = F.split(normalized(text), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(window_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(words, i * window_words + 1, window_words), " "
+        ),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 20,
+) -> DataFrame:
+    """Corpus-wide paragraph (word-window) exact dedup, first-wins.
+
+    Returns one row per input document: segment count, duplicated-
+    segment count (segments whose hash was first seen in an earlier
+    (doc_id, pos)), and ``retained_hash`` — md5 of the document
+    reassembled from only its surviving segments (md5('') when nothing
+    survives), so the dedup is verifiable without shipping full text.
+
+    Plan: ONE shuffle on the segment hash (window min — no self-join),
+    then one per-doc aggregation; the winner rule min(doc_id, pos) is
+    total and engine-portable, so the DuckDB oracle reproduces it
+    exactly."""
+    segs = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(word_windows(F.col(text_col), window_words)).alias(
+                "pos", "seg"
+            ),
+        )
+        .filter(F.col("seg") != "")
+        .withColumn("h", F.md5("seg"))
+    )
+    w = Window.partitionBy("h")
+    marked = segs.withColumn(
+        "kept",
+        F.struct(F.col(id_col), F.col("pos"))
+        == F.min(F.struct(F.col(id_col), F.col("pos"))).over(w),
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_segs"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_dup_segs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("kept"), F.struct("pos", "seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            )
+        ).alias("retained_hash"),
+    )
+    empty_hash = "d41d8cd98f00b204e9800998ecf8427e"  # md5('')
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce("n_dup_segs", F.lit(0)).cast("long").alias("n_dup_segs"),
+            F.coalesce("retained_hash", F.lit(empty_hash)).alias("retained_hash"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size chunks: chunk ``i`` covers words
+    [i*stride, i*stride + chunk_words); a document of n ≤ chunk_words
+    words is one chunk, else 1 + ceil((n - chunk_words) / stride)
+    chunks (integer arithmetic — engine-portable). Output is
+    (doc_id, chunk_id, n_words, chunk_hash); the chunk text itself is
+    one more slice+join at the write site. Zero shuffles."""
+    if not 0 < stride <= chunk_words:
+        raise ValueError("require 0 < stride <= chunk_words")
+    words = F.split(normalized(F.col(text_col)), " ")
+    n = F.size(words)
+    extra = F.floor(
+        (n - F.lit(chunk_words) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    n_chunks = F.when(n <= chunk_words, F.lit(1)).otherwise(extra + 1)
+    chunked = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(words, i * stride + 1, chunk_words),
+            )
+        ).alias("chunk_id", "cw"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size("cw").cast("long").alias("n_words"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_hash"),
+    )

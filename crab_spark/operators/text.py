@@ -122,6 +122,53 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM quality score: per-document mean negative log
+    likelihood (nats) under the corpus's own unigram distribution — the
+    cheap stand-in for the perplexity-bucket filter of a pretraining
+    pipeline (gibberish / rare-token soup scores high, stopword-heavy
+    boilerplate scores low). No smoothing needed: the model is fit on
+    the same corpus, so every word has mass.
+
+    Scale shape: the token relation feeds two map-side-combinable
+    aggregations (per-(doc, word) counts and the global word
+    frequencies); the scoring join runs on the PRE-AGGREGATED per-doc
+    counts, so a hot stopword contributes one row per document, not one
+    per occurrence — the remaining skew is the standard AQE skew-join
+    case. The vocabulary total is a 1-row broadcast."""
+    toks = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    doc_counts = toks.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    freqs = toks.groupBy("w").agg(F.count("*").alias("n"))
+    total = freqs.agg(F.sum("n").alias("_tot"))
+    scored = (
+        doc_counts.join(freqs, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.round(
+                F.sum(F.col("c") * -F.log(F.col("n") / F.col("_tot")))
+                / F.sum("c"),
+                4,
+            ).alias("avg_nll"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
+        )
+    )
+
+
 def word_freq(docs: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
     """Corpus-wide word frequency (explode → groupBy). The classic
     map-side-combinable aggregation: partial counts per partition,

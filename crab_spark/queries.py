@@ -33,6 +33,7 @@ from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import packing as P
 from .operators import sampling as SA
+from .operators import scrub as SC
 from .operators import similarity as S
 from .operators import text as X
 
@@ -481,6 +482,67 @@ def q45_source_mix(spark, sf):
     exact-dup rate) — the mixture-weighting inputs; one map-side-
     combinable aggregation pass over the corpus."""
     return DC.source_mix_report(t(spark, sf, "documents"))
+
+
+def q46_pii_scrub(spark, sf):
+    """PII redaction gate: the corpus text carries no PII, so a
+    deterministic synthetic layer (email/IP/phone derived from doc_id —
+    the SAME expression in the oracle) is appended first, giving the
+    cross-engine check real nonzero spans to find and redact. The scrub
+    itself is one scan, zero shuffles, all codegen regex."""
+    did = F.col("doc_id")
+    injected = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    did.cast("string"),
+                    F.lit("@mail.example.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 200).cast("string"),
+                    F.lit(".0."),
+                    (did % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" dial +1 555 867 530"), (did % 10).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return SC.pii_scrub(injected)
+
+
+def q47_paragraph_dedup(spark, sf):
+    """CCNet-style paragraph-level exact dedup: 20-word segments, first
+    occurrence corpus-wide wins (min (doc_id, pos)); per-doc survival
+    stats + retained-text hash. One hash shuffle (window min, no
+    self-join) + one per-doc aggregation."""
+    return SC.paragraph_dedup(t(spark, sf, "documents"), window_words=20)
+
+
+def q48_chunk_documents(spark, sf):
+    """Context-window shaping: 64-word chunks at stride 48 (16-word
+    overlap). Pure per-row codegen (sequence + slice + explode), zero
+    shuffles; integer chunk arithmetic is reproduced by the oracle."""
+    return SC.chunk_documents(t(spark, sf, "documents"), chunk_words=64, stride=48)
+
+
+def q49_lm_score(spark, sf):
+    """Unigram-LM quality score (mean negative log-likelihood in nats
+    under the corpus's own unigram distribution) — the cheap perplexity
+    filter. Scoring joins PRE-AGGREGATED per-doc word counts against
+    the frequency table, so stopword skew is bounded to one row per
+    (doc, word)."""
+    return X.lm_score(t(spark, sf, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -933,4 +995,90 @@ ORACLE_SQL: dict[str, str] = {
                round(1 - count(DISTINCT md5({_NORM}))::DOUBLE / count(*), 4)
                    AS dup_rate
         FROM documents GROUP BY source""",
+    # deterministic injected PII (same expressions as the Spark side),
+    # then RE2 detection counts + md5 of the redacted text. The pattern
+    # strings are interpolated from the SAME Python constants the engine
+    # uses, so both engines run byte-identical regexes.
+    "q46_pii_scrub": f"""
+        WITH inj AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.org' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                         || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' dial +1 555 867 530' || CAST(doc_id % 10 AS VARCHAR)
+                    ELSE '' END AS text
+          FROM documents),
+        cnt AS (SELECT doc_id,
+                       len(regexp_extract_all(text, '{SC.EMAIL_RE}')) AS n_emails,
+                       len(regexp_extract_all(text, '{SC.IPV4_RE}')) AS n_ipv4,
+                       len(regexp_extract_all(text, '{SC.PHONE_RE}')) AS n_phones,
+                       md5(regexp_replace(regexp_replace(regexp_replace(
+                           text, '{SC.EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{SC.IPV4_RE}', '<IP>', 'g'),
+                           '{SC.PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+                FROM inj)
+        SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+               CAST(n_phones AS BIGINT) AS n_phones, redacted_hash,
+               (n_emails + n_ipv4 + n_phones) > 0 AS any_pii
+        FROM cnt""",
+    # CCNet-style paragraph dedup: 20-word segments of the normalized
+    # text, first occurrence corpus-wide wins (min (doc_id, pos) ==
+    # row_number 1), per-doc survival stats + hash of retained text
+    "q47_paragraph_dedup": f"""
+        WITH nrm AS (SELECT doc_id, {_NORM} AS text FROM documents),
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM nrm),
+        segs AS (SELECT doc_id, CAST(t.i AS INT) AS pos,
+                        array_to_string(ws[t.i*20+1 : t.i*20+20], ' ') AS seg
+                 FROM w, unnest(range(greatest(
+                      CAST(ceil(len(ws) / 20.0) AS BIGINT), 1))) t(i)),
+        segf AS (SELECT doc_id, pos, seg, md5(seg) AS h
+                 FROM segs WHERE seg <> ''),
+        marked AS (SELECT doc_id, pos, seg,
+                          row_number() OVER (PARTITION BY h
+                                             ORDER BY doc_id, pos) = 1 AS kept
+                   FROM segf),
+        per AS (SELECT doc_id, count(*) AS n_segs,
+                       sum(CASE WHEN kept THEN 0 ELSE 1 END) AS n_dup_segs,
+                       md5(coalesce(string_agg(CASE WHEN kept THEN seg END,
+                                               ' ' ORDER BY pos), ''))
+                           AS retained_hash
+                FROM marked GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(p.n_segs, 0) AS BIGINT) AS n_segs,
+               CAST(coalesce(p.n_dup_segs, 0) AS BIGINT) AS n_dup_segs,
+               coalesce(p.retained_hash, md5('')) AS retained_hash
+        FROM documents d LEFT JOIN per p USING (doc_id)""",
+    # 64-word chunks at stride 48 over normalized text; n<=64 words is
+    # one chunk, else 1 + ceil((n-64)/48) — same integer arithmetic
+    "q48_chunk_documents": f"""
+        WITH nrm AS (SELECT doc_id, {_NORM} AS text FROM documents),
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM nrm),
+        c AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_id,
+                     ws[t.i*48+1 : t.i*48+64] AS cw
+              FROM w, unnest(range(CASE WHEN n <= 64 THEN 1
+                                        ELSE (n - 64 + 47) // 48 + 1 END)) t(i))
+        SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_words,
+               md5(array_to_string(cw, ' ')) AS chunk_hash
+        FROM c""",
+    # unigram-LM mean negative log-likelihood under the corpus's own
+    # unigram distribution (no smoothing needed — model fit on itself)
+    "q49_lm_score": f"""
+        WITH nrm AS (SELECT doc_id, {_NORM} AS text FROM documents),
+        toks AS (SELECT doc_id, t.w FROM nrm,
+                 unnest(string_split(text, ' ')) t(w) WHERE t.w <> ''),
+        tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        fr AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        tot AS (SELECT sum(n) AS t FROM fr),
+        sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                      round(sum(c * -ln(n::DOUBLE / t)) / sum(c), 4) AS avg_nll
+               FROM tf JOIN fr USING (w) CROSS JOIN tot GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(s.n_words, 0) AS n_words,
+               coalesce(s.avg_nll, 0.0) AS avg_nll
+        FROM documents d LEFT JOIN sc s USING (doc_id)""",
 }

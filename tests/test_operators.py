@@ -630,3 +630,97 @@ def test_pack_sequences_matches_global_cumsum(spark):
         if k != max(stats):
             assert running >= 256 * (k + 1), (k, running)
     packed.df_ordered_cache.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# scrub operators: PII redaction, paragraph dedup, chunking, LM score
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from crab_spark.operators import scrub as SC
+
+    rows = [
+        (0, "mail me at a.b+c@example.co.uk or visit 192.168.1.1 now"),
+        (1, "call +1 555 123 4567 today"),
+        (2, "nothing sensitive here"),
+        (3, "two mails: x@y.io and z@w.org; ip 10.0.0.1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in SC.pii_scrub(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["n_phones"]) == (1, 1, 0)
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (0, 0, 1)
+    assert not got[2]["any_pii"]
+    assert (got[3]["n_emails"], got[3]["n_ipv4"]) == (2, 1)
+    # redaction replaces the full span: redacted text of doc 1 has no digits
+    red = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", SC.redacted(F.col("text")).alias("r")
+    )
+    red_map = {r["doc_id"]: r["r"] for r in red.collect()}
+    assert red_map[1] == "call <PHONE> today"
+    assert red_map[0] == "mail me at <EMAIL> or visit <IP> now"
+    assert red_map[3] == "two mails: <EMAIL> and <EMAIL>; ip <IP>"
+
+
+def test_paragraph_dedup_first_wins(spark):
+    from crab_spark.operators import scrub as SC
+
+    seg_a = " ".join(f"a{i}" for i in range(4))   # 4-word segment
+    seg_b = " ".join(f"b{i}" for i in range(4))
+    seg_c = " ".join(f"c{i}" for i in range(4))
+    rows = [
+        (0, f"{seg_a} {seg_b}"),          # first occurrence of A, B
+        (1, f"{seg_a} {seg_c}"),          # A is a dup here (doc 0 wins)
+        (2, f"{seg_b}"),                  # B dup (doc 0 pos 1 wins)
+        (3, ""),                          # empty: zero segments
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           SC.paragraph_dedup(docs, window_words=4).collect()}
+    assert (got[0]["n_segs"], got[0]["n_dup_segs"]) == (2, 0)
+    assert (got[1]["n_segs"], got[1]["n_dup_segs"]) == (2, 1)
+    assert (got[2]["n_segs"], got[2]["n_dup_segs"]) == (1, 1)
+    assert (got[3]["n_segs"], got[3]["n_dup_segs"]) == (0, 0)
+    import hashlib
+    assert got[3]["retained_hash"] == hashlib.md5(b"").hexdigest()
+    # doc 1 retains only seg_c
+    assert got[1]["retained_hash"] == hashlib.md5(seg_c.encode()).hexdigest()
+
+
+def test_chunk_documents_boundaries(spark):
+    from crab_spark.operators import scrub as SC
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(10))),  # n=10 <= 8? no: chunks
+        (1, " ".join(f"v{i}" for i in range(8))),   # exactly one chunk
+        (2, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = SC.chunk_documents(docs, chunk_words=8, stride=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # n=10: 1 + ceil((10-8)/4) = 2 chunks; second covers words 4..9 (6 words)
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["n_words"] for r in c0] == [8, 6]
+    assert [r["chunk_id"] for r in c0] == [0, 1]
+    assert [r["n_words"] for r in by_doc[1]] == [8]
+    assert [r["n_words"] for r in by_doc[2]] == [1]
+    with pytest.raises(ValueError):
+        SC.chunk_documents(docs, chunk_words=4, stride=8)
+
+
+def test_lm_score_orders_rare_above_common(spark):
+    """Docs made of corpus-rare words must score higher avg-NLL than
+    docs of corpus-common words; n_words matches the whitespace count."""
+    common = "the " * 50
+    rows = [(i, common.strip()) for i in range(5)]
+    rows.append((90, "zyzzyva axolotl quux"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in X.lm_score(docs).collect()}
+    assert got[90]["avg_nll"] > got[0]["avg_nll"]
+    assert got[0]["n_words"] == 50 and got[90]["n_words"] == 3
+    # empty-corpus degenerate: all-common doc scores near -log(250/253)
+    import math
+    expect_common = -math.log(250 / 253)
+    assert abs(got[0]["avg_nll"] - round(expect_common, 4)) < 5e-4
