@@ -406,3 +406,30 @@ def simhash_neardup_pairs(
     ).distinct()
     out.dropped_buckets = dropped
     return out
+
+
+def keep_corpus(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The dedup ENDGAME artifact: given component labels
+    (``connected_components`` output — (id, cluster_id) with cluster_id
+    = the component's min id), emit the keep/drop decision per document
+    plus the cluster size that justified it. Downstream corpus builds
+    filter ``is_keeper`` and join back to the docs table.
+
+    Scale shape: one map-side-combinable groupBy(cluster_id) for the
+    sizes, then a broadcast-or-shuffle join back on cluster_id (cluster
+    count ≤ doc count; sizes frame is the aggregated small side). The
+    keeper rule (id == cluster_id) is pure per-row codegen."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        clusters.join(sizes, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
+        )
+    )
+
+

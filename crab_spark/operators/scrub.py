@@ -153,6 +153,42 @@ def paragraph_dedup(
     )
 
 
+def cross_source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    window_words: int = 20,
+) -> DataFrame:
+    """Which sources mirror each other: for every unordered source
+    pair, the number of distinct word-window segment hashes (same
+    ``word_windows`` segmentation as paragraph_dedup) present in BOTH —
+    the syndication/boilerplate-copy signal that drives source
+    de-weighting in mixture design. Exact whole-document matches across
+    sources are rare; shared PARAGRAPHS are the real-world signal.
+    Returns (source_a, source_b, n_shared).
+
+    Scale shape: distinct (source, hash) first — one map-side-
+    combinable shuffle — then a self-join on hash whose per-hash
+    fan-out is bounded by the source count (a hash appears once per
+    source after the distinct), so the worst bucket is |sources|²,
+    never |docs|²."""
+    sh = (
+        docs.select(
+            F.col(source_col).alias("s"),
+            F.explode(word_windows(F.col(text_col), window_words)).alias("seg"),
+        )
+        .filter(F.col("seg") != "")
+        .select("s", F.md5("seg").alias("h"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("source_a"), F.col("b.s").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_words: int = 64,

@@ -191,3 +191,46 @@ def embedding_neardup_pairs(
     )
     out.dropped_buckets = dropped
     return out
+
+
+def label_centroid_cosine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding quality gate: cosine of every vector to its label's
+    centroid (mean vector) — low scorers are mislabeled/outlier
+    candidates, the standard filter before training on labeled
+    embeddings. Returns (id, label, centroid_cos).
+
+    Scale shape: the centroid is a posexplode → groupBy(label, pos)
+    avg — |labels|×D cells, map-side combinable — reassembled into one
+    array per label (array_sort over a D-element collect_list, bounded
+    by the embedding dim) and BROADCAST back; the scoring join is then
+    per-row codegen, zero additional shuffles of the vector table."""
+    cells = (
+        emb.select(
+            F.col(label_col).alias("l"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("l", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    cents = cells.groupBy("l").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda x: x["m"],
+        ).alias("centroid")
+    )
+    return (
+        emb.join(F.broadcast(cents), emb[label_col] == cents["l"])
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine(F.col(vec_col), F.col("centroid")), round_to).alias(
+                "centroid_cos"
+            ),
+        )
+    )

@@ -10,7 +10,10 @@ nothing here crosses into Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+from fractions import Fraction
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized, word_shingles
@@ -180,3 +183,94 @@ def word_freq(docs: DataFrame, text_col: str = "text", min_count: int = 1) -> Da
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document (the classic content-tagging
+    / topic-sampling signal). score = tf × ln(N / df); ties break by
+    word ascending, so the per-doc ranking is total and the SQL oracle
+    reproduces it exactly.
+
+    Scale shape: tf and df are both map-side-combinable aggregations
+    over the token relation; N is a 1-row broadcast; the per-doc top-k
+    window partitions by doc_id — each partition is one document's
+    DISTINCT words, bounded by doc length, so no skewed giant windows.
+    The tf⋈df join is the same pre-aggregated shape as lm_score (one
+    row per (doc, word), AQE skew-safe)."""
+    toks = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    df_ = toks.select(id_col, "w").distinct().groupBy("w").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.select(F.countDistinct(id_col).alias("_n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("w").asc()
+    )
+    return (
+        tf.join(df_, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 4),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            id_col,
+            F.col("rk").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
+    )
+
+
+def quality_percentile_gate(
+    docs: DataFrame,
+    cut: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-percentile filter: rank every document by its
+    unigram-LM avg-NLL (lm_score) and keep the bottom ``cut`` fraction
+    — the standard 'drop the worst decile' corpus gate. The percentile
+    is rank-based over the TOTAL order (avg_nll, doc_id), never an
+    interpolated float quantile, so the keep set is deterministic and
+    engine-portable (float quantile interpolation differs across
+    engines; ranks don't).
+
+    Scale shape: the rank comes from util.ordered_index — the two-pass
+    range-partitioned rank, NO single-task global window; the doc count
+    is known from the same pass."""
+    from ..util import ordered_index
+
+    scored = lm_score(docs, text_col=text_col, id_col=id_col)
+    ranked = ordered_index(scored, ["avg_nll", id_col], "_rk", start=0)
+    cache = ranked.df_ordered_cache
+    n = ranked.count()  # cached by ordered_index; count is free-ish
+    out = ranked.select(
+        id_col,
+        "n_words",
+        "avg_nll",
+        F.round(F.col("_rk") / F.greatest(F.lit(n - 1), F.lit(1)), 6).alias(
+            "quality_pct"
+        ),
+        # keep the best ceil(n·cut) documents — an integer rank rule,
+        # reproduced verbatim by the oracle (no float quantile). Fraction
+        # makes the ceil decimal-exact: float 500*0.9 is 450.0000…06 and
+        # would ceil to 451, while SQL DECIMAL (and any human) says 450.
+        (F.col("_rk") < F.lit(math.ceil(Fraction(str(cut)) * n))).alias("keep"),
+    )
+    out.df_ordered_cache = cache
+    return out

@@ -536,6 +536,42 @@ def q48_chunk_documents(spark, sf):
     return SC.chunk_documents(t(spark, sf, "documents"), chunk_words=64, stride=48)
 
 
+def q50_dedup_keep_corpus(spark, sf):
+    """The dedup decision artifact: q40's cluster labels → per-doc
+    keep/drop flag + cluster size (keeper = the component's min doc_id).
+    What a corpus build actually consumes: ``filter(is_keeper)``."""
+    return D.keep_corpus(q40_dup_clusters(spark, sf))
+
+
+def q51_cross_source_overlap(spark, sf):
+    """Source-pair syndication report: distinct 20-word segment hashes
+    shared between each pair of sources — the de-weighting signal for
+    mixture design. Self-join fan-out bounded by |sources| per hash
+    (distinct-first), never |docs|."""
+    return SC.cross_source_overlap(t(spark, sf, "documents"))
+
+
+def q52_tfidf_topk(spark, sf):
+    """Top-3 TF-IDF keywords per document (score = tf · ln(N/df), ties
+    by word asc). tf/df are map-side-combinable aggs; the per-doc
+    window is bounded by doc length."""
+    return X.tfidf_topk(t(spark, sf, "documents"), k=3)
+
+
+def q53_centroid_outliers(spark, sf):
+    """Embedding quality gate: cosine of each vector to its label's
+    centroid. Centroid = |labels|×D-cell agg, broadcast back; scoring
+    is per-row codegen."""
+    return S.label_centroid_cosine(t(spark, sf, "embeddings"))
+
+
+def q54_quality_gate(spark, sf):
+    """Perplexity-percentile corpus gate: rank by unigram avg-NLL
+    (two-pass range rank, no global window) and keep the best 90% —
+    an integer rank rule, so the keep set is engine-exact."""
+    return X.quality_percentile_gate(t(spark, sf, "documents"), cut=0.9)
+
+
 def q49_lm_score(spark, sf):
     """Unigram-LM quality score (mean negative log-likelihood in nats
     under the corpus's own unigram distribution) — the cheap perplexity
@@ -1081,4 +1117,78 @@ ORACLE_SQL: dict[str, str] = {
         SELECT d.doc_id, coalesce(s.n_words, 0) AS n_words,
                coalesce(s.avg_nll, 0.0) AS avg_nll
         FROM documents d LEFT JOIN sc s USING (doc_id)""",
+    # source-pair syndication at 20-word-segment granularity: distinct
+    # (source, segment-hash) first, so the self-join fan-out per hash is
+    # bounded by the source count
+    "q51_cross_source_overlap": f"""
+        WITH nrm AS (SELECT source, {_NORM} AS text FROM documents),
+        w AS (SELECT source, string_split(text, ' ') AS ws FROM nrm),
+        segs AS (SELECT source AS s,
+                        array_to_string(ws[t.i*20+1 : t.i*20+20], ' ') AS seg
+                 FROM w, unnest(range(greatest(
+                      CAST(ceil(len(ws) / 20.0) AS BIGINT), 1))) t(i)),
+        sh AS (SELECT DISTINCT s, md5(seg) AS h FROM segs WHERE seg <> '')
+        SELECT a.s AS source_a, b.s AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.s < b.s
+        GROUP BY a.s, b.s""",
+    # top-3 TF-IDF keywords; ties by word ascending (total order)
+    "q52_tfidf_topk": f"""
+        WITH nrm AS (SELECT doc_id, {_NORM} AS text FROM documents),
+        toks AS (SELECT doc_id, t.w FROM nrm,
+                 unnest(string_split(text, ' ')) t(w) WHERE t.w <> ''),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        nq AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        sc AS (SELECT doc_id, w, tf, df,
+                      round(tf * ln(nd::DOUBLE / df), 4) AS score
+               FROM tf JOIN dfq USING (w) CROSS JOIN nq),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, w ASC) AS rn FROM sc)
+        SELECT doc_id, CAST(rn AS INT) AS "rank", w AS word,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        FROM rk WHERE rn <= 3""",
+    # per-label centroid (position-wise mean) → cosine of each vector
+    # to its label's centroid (1-based list indexing over range())
+    "q53_centroid_outliers": """
+        WITH cells AS (SELECT label, t.i AS pos,
+                              avg(embedding[t.i + 1]::DOUBLE) AS m
+                       FROM embeddings, unnest(range(len(embedding))) t(i)
+                       GROUP BY label, t.i),
+        cents AS (SELECT label, list(m ORDER BY pos) AS c
+                  FROM cells GROUP BY label)
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], c.c), 4)
+                   AS centroid_cos
+        FROM embeddings e JOIN cents c USING (label)""",
 }
+
+# Composed oracles — DuckDB permits a WITH chain inside a derived table,
+# so these wrap the already-verified q40 / q49 SQL verbatim (single
+# source of truth for the shared semantics).
+ORACLE_SQL["q50_dedup_keep_corpus"] = (
+    """
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           (doc_id = cluster_id) AS is_keeper
+    FROM ("""
+    + ORACLE_SQL["q40_dup_clusters"]
+    + ")"
+)
+# rank-based percentile gate: row_number over the TOTAL order
+# (avg_nll, doc_id); keep = rank < ceil(n·0.9) with DECIMAL arithmetic
+# (the Spark side uses Fraction for the same decimal-exact ceil)
+ORACLE_SQL["q54_quality_gate"] = (
+    """
+    WITH sc AS (SELECT * FROM ("""
+    + ORACLE_SQL["q49_lm_score"]
+    + """)),
+    nq AS (SELECT count(*) AS nd FROM sc),
+    rk AS (SELECT *, row_number() OVER (ORDER BY avg_nll, doc_id) - 1 AS rk
+           FROM sc)
+    SELECT doc_id, n_words, avg_nll,
+           round(rk::DOUBLE / greatest(nd - 1, 1), 6) AS quality_pct,
+           rk < ceil(nd * 0.9) AS keep
+    FROM rk CROSS JOIN nq"""
+)

@@ -724,3 +724,81 @@ def test_lm_score_orders_rare_above_common(spark):
     import math
     expect_common = -math.log(250 / 253)
     assert abs(got[0]["avg_nll"] - round(expect_common, 4)) < 5e-4
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: keep-list, cross-source overlap, tf-idf, centroid
+# gate, percentile gate
+# ---------------------------------------------------------------------------
+
+
+def test_keep_corpus_sizes_and_keepers(spark):
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 0), (4, 4)],
+        "doc_id long, cluster_id long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in D.keep_corpus(clusters).collect()}
+    assert got[0]["is_keeper"] and got[0]["cluster_size"] == 3
+    assert not got[1]["is_keeper"] and got[1]["cluster_size"] == 3
+    assert got[2]["is_keeper"] and got[2]["cluster_size"] == 1
+    assert sum(r["is_keeper"] for r in got.values()) == 3
+
+
+def test_cross_source_overlap_planted(spark):
+    from crab_spark.operators import scrub as SC
+
+    shared = " ".join(f"s{i}" for i in range(4))     # one shared 4-word segment
+    rows = [
+        (0, "A", f"{shared}"),
+        (1, "B", f"{shared}"),
+        (2, "B", "totally different words here"),
+        (3, "C", "other content entirely present"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in SC.cross_source_overlap(docs, window_words=4).collect()}
+    assert got == {("A", "B"): 1}
+
+
+def test_tfidf_topk_distinctive_word_wins(spark):
+    rows = [
+        (0, "common common common zebra"),
+        (1, "common common common"),
+        (2, "common words only common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = X.tfidf_topk(docs, k=1).collect()
+    top = {r["doc_id"]: r["word"] for r in got}
+    # 'zebra' appears in 1 of 3 docs → highest idf; 'common' has idf 0
+    assert top[0] == "zebra"
+    for r in got:
+        assert r["rank"] == 1
+
+
+def test_label_centroid_cosine_known_geometry(spark):
+    from crab_spark.operators import similarity as S2
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),   # label-0 centroid = (.5, .5)
+        (2, [1.0, 1.0], 1),   # label-1 centroid = itself → cos 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"]: r["centroid_cos"] for r in
+           S2.label_centroid_cosine(emb).collect()}
+    assert abs(got[0] - 0.7071) < 1e-4 and abs(got[1] - 0.7071) < 1e-4
+    assert abs(got[2] - 1.0) < 1e-9
+
+
+def test_quality_percentile_gate_keep_count(spark):
+    rows = [(i, ("rare" + str(i) + " ") * 3 if i < 3 else "the common text")
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.quality_percentile_gate(docs, cut=0.8)
+    rowsc = out.collect()
+    kept = [r for r in rowsc if r["keep"]]
+    assert len(kept) == 8  # ceil(10 * 0.8) exactly, decimal-exact
+    # the unique-word docs (highest NLL) are the dropped ones
+    dropped = {r["doc_id"] for r in rowsc if not r["keep"]}
+    assert dropped <= {0, 1, 2}
+    out.df_ordered_cache.unpersist()
