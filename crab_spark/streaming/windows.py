@@ -129,3 +129,26 @@ def run_available_now(df: DataFrame, query_name: str, checkpoint: str,
     )
     q.awaitTermination()
     return df.sparkSession.table(query_name)
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (same symlinked-dir
+    trick as stream_events). The stateless curation operators (PII
+    scrub, chunking, token counts, quality features) apply to this
+    stream UNCHANGED — same DataFrame graph, micro-batch at a time —
+    which is how a live ingest pipeline runs the scrub gate before
+    anything lands in the lake."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="documents_stream_")
+        os.symlink(os.path.abspath(src), os.path.join(d, "documents.parquet"))
+        src = d
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)

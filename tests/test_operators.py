@@ -802,3 +802,28 @@ def test_quality_percentile_gate_keep_count(spark):
     dropped = {r["doc_id"] for r in rowsc if not r["keep"]}
     assert dropped <= {0, 1, 2}
     out.df_ordered_cache.unpersist()
+
+
+def test_new_op_plan_contracts(spark, sf_dir):
+    """Scale contracts as plan assertions: the centroid join broadcasts
+    (labels×D cells, never a shuffle of the vector table); the
+    cross-source self-join and the TF-IDF pipeline never degenerate
+    into cartesian/nested-loop joins."""
+    from crab_spark.operators import scrub as SC
+    from crab_spark.operators import similarity as S2
+    from crab_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cent = S2.label_centroid_cosine(emb)
+    assert_broadcast_join(cent)
+    assert_no_cartesian(cent)
+    assert_no_cartesian(SC.cross_source_overlap(docs))
+    assert_no_cartesian(SC.paragraph_dedup(docs))
+    # tfidf attaches the 1-row doc-count via a broadcast cross join —
+    # that SHOWS UP as BroadcastNestedLoopJoin and is the correct plan
+    # for a scalar attach; the forbidden shape is a true CartesianProduct
+    # (both sides row-scale)
+    from crab_spark.plans import formatted_plan
+
+    assert "CartesianProduct" not in formatted_plan(X.tfidf_topk(docs))

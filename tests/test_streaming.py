@@ -69,3 +69,28 @@ def test_streaming_register_dedups_across_microbatches(spark, tmp_path):
     urls = [r["url"] for r in out.collect()]
     assert sorted(urls) == sorted({f"http://h/{i}" for i in range(75)})
     assert len(urls) == len(set(urls)) == 75
+
+
+def test_streaming_pii_scrub_equals_batch(spark, sf_dir, tmp_path):
+    """The stateless scrub gate runs on a stream unchanged: streaming
+    pii_scrub over the documents file-source == the batch q46 result
+    (same injected-PII layer not applied here — raw corpus, so this
+    also pins the zero-PII negative path end-to-end)."""
+    from crab_spark.operators import scrub as SC
+    from crab_spark.streaming.windows import (
+        run_available_now,
+        stream_documents,
+    )
+
+    got = run_available_now(
+        SC.pii_scrub(stream_documents(spark, sf_dir)),
+        "pii_stream_test", str(tmp_path / "ck_pii"), output_mode="append",
+    )
+    want = SC.pii_scrub(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    g = {r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"],
+                       r["redacted_hash"]) for r in got.collect()}
+    w = {r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"],
+                       r["redacted_hash"]) for r in want.collect()}
+    assert g == w and len(g) > 0
