@@ -5,7 +5,8 @@
 - ``queries()``         — one entry per implemented operator from
   SURVEY.md §2 + the training-data operator suite
   (see crab_spark/queries.py for the full inventory).
-- ``oracle_sql()``      — matching DuckDB SQL for ALL 45 queries:
+- ``oracle_sql()``      — matching DuckDB SQL for EVERY query in the
+  registry (len(queries()) == len(oracle_sql()), asserted in tests):
   simhash via md5_number_upper bit math, the IVF assign/probe pipeline,
   and the media decode pipeline via the stub decoder's md5-derived
   contract (one SQL expression reproduces its widths/frames/features).

@@ -361,15 +361,15 @@ def _resume_epoch(store: TableStore) -> int:
     consulted so maintenance commands (navigate-all) that consumed an
     epoch number without fetching anything never get their tag reused."""
     state_epoch = int(store.read_state("crawl", {"epoch": 0})["epoch"])
-    # historic_tags: a compact()/reset rewrite of the fetched log
-    # collapses the done-* dirs but must not rewind the resume epoch —
-    # the collapsed tags stay visible through the manifest history
-    done = [
-        int(t.split("-", 1)[1])
-        for t in store.historic_tags("fetched")
-        if t.startswith("done-")
-    ] if store.exists("fetched") else []
-    return max([state_epoch] + done)
+    # done-tag derivation is shared with the rescore snapshot's as-of
+    # epoch (frontier.last_done_epoch) — ONE implementation, so resume
+    # and snapshot visibility can never silently diverge. historic_tags:
+    # a compact()/reset rewrite of the fetched log collapses the done-*
+    # dirs but must not rewind the resume epoch — the collapsed tags
+    # stay visible through the manifest history.
+    from .frontier import last_done_epoch
+
+    return max(state_epoch, last_done_epoch(store))
 
 
 def crawl(
@@ -445,6 +445,15 @@ def crawl(
     """
     spark = store.spark
     stats = CrawlStats()
+    # One driver-side probe per crawl (the robots cache is tiny): when
+    # NO host declares a Crawl-delay, the dispatch drops the all-NULL
+    # crawl_delay column so delay_sec=0 fetchers keep their zero-cost
+    # fast path (no politeness shuffle, no sleep-0 Arrow crossing).
+    robots_has_delay = (
+        robots is not None
+        and "crawl_delay" in robots.columns
+        and robots.filter(F.col("crawl_delay").isNotNull()).limit(1).count() > 0
+    )
     t0 = time.monotonic()
     epoch = _resume_epoch(store)
 
@@ -649,6 +658,8 @@ def crawl(
             flagged = with_robots_flag(batch, robots).cache()
             denied = flagged.filter(~F.col("robots_ok"))
             dispatch = flagged.filter(F.col("robots_ok")).drop("robots_ok")
+            if not robots_has_delay and "crawl_delay" in dispatch.columns:
+                dispatch = dispatch.drop("crawl_delay")
             n = dispatch.count()
             stats.robots_denied += n_total - n
         else:

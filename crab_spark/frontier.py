@@ -436,6 +436,13 @@ def scored_head(store: TableStore, cutoff: int,
         .filter(F.col("depth") <= cutoff)
     )
     if exclude_epoch is not None:
+        # BOTH slices must exclude the being-rerun epoch's registrations
+        # — a standalone apply_host_budget run between a crash and the
+        # resume snapshots epoch N's own rows (as-of defaults to
+        # max(done, reg) = N); without this filter the rerun would
+        # dequeue a different batch and register() would overwrite the
+        # committed reg-N rows (exactly-once resume contract)
+        snap = snap.filter(F.col("epoch_discovered") != exclude_epoch)
         fresh = fresh.filter(F.col("epoch_discovered") != exclude_epoch)
     head = snap.unionByName(fresh.select(cols))
     if store.exists("fetched"):
@@ -461,10 +468,13 @@ def pending_priority_counts(
     else:
         # same construction as scored_head without a cutoff
         cols = [f.name for f in FRONTIER.fields]
+        snap = store.read("rescore").select(cols)
         fresh = store.read("frontier").filter(F.col("epoch_discovered") > r_epoch)
         if exclude_epoch is not None:
+            # same exactly-once-resume exclusion as scored_head
+            snap = snap.filter(F.col("epoch_discovered") != exclude_epoch)
             fresh = fresh.filter(F.col("epoch_discovered") != exclude_epoch)
-        pend = store.read("rescore").select(cols).unionByName(fresh.select(cols))
+        pend = snap.unionByName(fresh.select(cols))
         if store.exists("fetched"):
             done_since = (
                 store.read("fetched")
@@ -644,7 +654,15 @@ def apply_host_budget(store: TableStore, host_budget: int = 100,
     crash between them re-runs this pass before any dequeue)."""
     if epoch is None:
         epoch = _snapshot_as_of(store)
-    if not store.exists("rescore") and store.partition_by("rescore") is None:
+    if store.partition_by("rescore") is None:
+        # adopt the banded layout even over a LEGACY flat delta table
+        # (pre-banded version): the rescore table is derived state,
+        # rebuilt wholesale every pass, so clearing it first is safe —
+        # without this upgrade the cutoff-pruned dequeue would silently
+        # never activate on upgraded stores (fall back to O(pending))
+        if store.exists("rescore"):
+            store._commit("rescore", [], record_collapsed=False)
+            store.vacuum("rescore")
         store.set_partitioning("rescore", "pband")
     scored = score_host_budget(pending(store), host_budget).withColumn(
         "pband", F.floor("priority").cast("int")

@@ -222,9 +222,14 @@ def allowed_udf():
     practice). Compiled rule lists are memoized per distinct rule set —
     one compile per host per worker, not per row."""
 
+    # memo lives in the UDF *closure*, not the per-batch call frame:
+    # one compile per distinct host rule set per worker process, shared
+    # across every Arrow batch of the crawl (a big crawl evaluates
+    # thousands of batches against the same few hosts)
+    cache: dict[tuple, list] = {}
+
     @F.pandas_udf(T.BooleanType())
     def allowed(urls: pd.Series, rule_col: pd.Series) -> pd.Series:
-        cache: dict[tuple, list] = {}
         out = []
         for url, rules in zip(urls, rule_col):
             if rules is None or len(rules) == 0:

@@ -429,3 +429,15 @@ def test_fetch_robots_http_via_file_urls(spark, tmp_path):
            for r in robots.collect()}
     assert got[str(site_a)] == [(False, "/private/")]
     assert got[str(site_b)] == []  # fetch failure ⇒ allow-all
+
+
+def test_query_registry_fully_oracled():
+    """Driver contract: every queries() entry has an oracle_sql() twin
+    (the correctness gate compares them side-by-side), and names follow
+    the qNN_* convention the registry's sorted-globals discovery keys on."""
+    from crab_spark.queries import ORACLE_SQL, QUERIES
+
+    assert set(QUERIES) == set(ORACLE_SQL)
+    assert len(QUERIES) >= 54
+    for name in QUERIES:
+        assert name[0] == "q" and name[1:3].isdigit() and name[3] == "_", name

@@ -713,3 +713,49 @@ def test_host_budget_rescore_scores_pending_only(spark, store):
     # pending seqs 3,4,5 under budget 2: two at level 0, overflow at 1
     assert [s for s, _ in got] == [3, 4, 5]
     assert [p for _, p in got] == [0.0, 0.0, 1.0]
+
+
+def test_priority_snapshot_excludes_rerun_epoch(spark, store):
+    """Exactly-once resume vs a standalone rescore: a snapshot taken
+    BETWEEN a crashed epoch's register and its resume (its as-of then
+    covers the crashed epoch's own registrations) must not leak those
+    rows into the rerun's dequeue — both the banded snapshot AND the
+    fresh slice honor exclude_epoch."""
+    fr.register(store, _cands(spark, [(f"http://a/{i}", 1, 0, 0, i)
+                                      for i in range(4)]), epoch=1)
+    # epoch 2 crashed after register: its rows are committed
+    fr.register(store, _cands(spark, [(f"http://b/{i}", 1, 1, 0, i)
+                                      for i in range(3)]), epoch=2)
+    # operator runs the maintenance pass before resuming: default as-of
+    # = max(done, reg) = 2 → snapshot includes epoch-2 rows
+    counts = fr.apply_host_budget(store, host_budget=10)
+    assert sum(counts.values()) == 7
+    got = fr.dequeue(store, batch_size=10, by_priority=True,
+                     exclude_epoch=2).collect()
+    assert sorted(r["url"] for r in got) == [f"http://a/{i}" for i in range(4)]
+    # and the counts helper sees the same visibility
+    pc = fr.pending_priority_counts(store, exclude_epoch=2)
+    assert sum(pc.values()) == 4
+
+
+def test_legacy_flat_rescore_upgrades_to_banded(spark, store):
+    """A store whose rescore table predates the banded layout (flat,
+    unpartitioned) must be upgraded by the next apply_host_budget —
+    otherwise the cutoff-pruned dequeue silently never activates."""
+    fr.register(store, _cands(spark, [(f"http://h/{i}", 1, 0, 0, i)
+                                      for i in range(5)]), epoch=1)
+    # simulate the legacy layout: unpartitioned delta written directly
+    store.overwrite(
+        "rescore",
+        store.read("frontier").select("url_hash", "url", "priority"),
+        tag="rescore",
+    )
+    assert store.partition_by("rescore") is None
+    assert fr._rescore_epoch(store) is None  # banded path inactive
+    counts = fr.apply_host_budget(store, host_budget=3)
+    assert store.partition_by("rescore") == "pband"
+    assert fr._rescore_epoch(store) is not None  # banded path active
+    assert sum(counts.values()) == 5
+    got = fr.dequeue(store, batch_size=5, by_priority=True,
+                     prio_counts=counts).collect()
+    assert len(got) == 5
