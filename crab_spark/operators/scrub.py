@@ -12,11 +12,15 @@ expressions (whole-stage codegen); nothing crosses into Python.
   document is segmented into fixed word-windows, every segment is
   hashed, and the FIRST occurrence corpus-wide (min (doc_id, pos))
   survives; later copies (boilerplate, mirrored nav blocks, syndicated
-  paragraphs) are dropped. Scale shape: one shuffle on the segment hash
-  (a window min — no self-join), one map-side-combinable per-doc
-  reassembly aggregation. Hash skew (the empty / ultra-common segment)
-  is the classic AQE skew-partition case; segments are filtered
-  non-empty before the shuffle.
+  paragraphs) are dropped. Scale shape: the first-wins rule is a
+  map-side-combinable groupBy(hash).min joined back on the hash —
+  deliberately NOT a window over partitionBy(hash): AQE's skew
+  splitting applies only to joins, so a mega-common boilerplate
+  segment (one 20-word nav block in 10⁷ docs) would pin every copy
+  into ONE unsplittable window partition, while the join form both
+  combines map-side and skew-splits at runtime. Then one per-doc
+  reassembly aggregation. Empty segments are filtered before any
+  shuffle.
 
 - ``chunk_documents``: fixed-size overlapping word chunks (the
   context-window shaping step before tokenization/packing). Pure
@@ -27,7 +31,7 @@ expressions (whole-stage codegen); nothing crosses into Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalized
@@ -105,10 +109,12 @@ def paragraph_dedup(
     reassembled from only its surviving segments (md5('') when nothing
     survives), so the dedup is verifiable without shipping full text.
 
-    Plan: ONE shuffle on the segment hash (window min — no self-join),
-    then one per-doc aggregation; the winner rule min(doc_id, pos) is
-    total and engine-portable, so the DuckDB oracle reproduces it
-    exactly."""
+    Plan: groupBy(hash).min (map-side combinable — the per-hash winner
+    reduces inside each map task before the shuffle) joined back on the
+    hash, where AQE skew-splits the boilerplate mega-hashes a window
+    over partitionBy(hash) would serialize; then one per-doc
+    aggregation. The winner rule min(doc_id, pos) is total and
+    engine-portable, so the DuckDB oracle reproduces it exactly."""
     segs = (
         docs.select(
             F.col(id_col),
@@ -119,11 +125,12 @@ def paragraph_dedup(
         .filter(F.col("seg") != "")
         .withColumn("h", F.md5("seg"))
     )
-    w = Window.partitionBy("h")
-    marked = segs.withColumn(
+    first = segs.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_seen")
+    )
+    marked = segs.join(first, "h").withColumn(
         "kept",
-        F.struct(F.col(id_col), F.col("pos"))
-        == F.min(F.struct(F.col(id_col), F.col("pos"))).over(w),
+        F.struct(F.col(id_col), F.col("pos")) == F.col("first_seen"),
     )
     per_doc = marked.groupBy(id_col).agg(
         F.count("*").alias("n_segs"),

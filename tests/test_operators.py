@@ -811,7 +811,11 @@ def test_new_op_plan_contracts(spark, sf_dir):
     into cartesian/nested-loop joins."""
     from crab_spark.operators import scrub as SC
     from crab_spark.operators import similarity as S2
-    from crab_spark.plans import assert_broadcast_join, assert_no_cartesian
+    from crab_spark.plans import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+        formatted_plan,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -819,11 +823,16 @@ def test_new_op_plan_contracts(spark, sf_dir):
     assert_broadcast_join(cent)
     assert_no_cartesian(cent)
     assert_no_cartesian(SC.cross_source_overlap(docs))
-    assert_no_cartesian(SC.paragraph_dedup(docs))
+    pd_plan = formatted_plan(SC.paragraph_dedup(docs))
+    assert "CartesianProduct" not in pd_plan
+    # first-wins must be groupBy(min)+join, never a window over
+    # partitionBy(hash): AQE skew-splits only joins, so a window would
+    # pin every copy of a boilerplate mega-segment into one
+    # unsplittable partition (scrub.paragraph_dedup docstring)
+    assert "Window" not in pd_plan
+    assert "partial_min" in pd_plan  # map-side combine of the winner
     # tfidf attaches the 1-row doc-count via a broadcast cross join —
     # that SHOWS UP as BroadcastNestedLoopJoin and is the correct plan
     # for a scalar attach; the forbidden shape is a true CartesianProduct
     # (both sides row-scale)
-    from crab_spark.plans import formatted_plan
-
     assert "CartesianProduct" not in formatted_plan(X.tfidf_topk(docs))
