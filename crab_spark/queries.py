@@ -524,8 +524,8 @@ def q46_pii_scrub(spark, sf):
 def q47_paragraph_dedup(spark, sf):
     """CCNet-style paragraph-level exact dedup: 20-word segments, first
     occurrence corpus-wide wins (min (doc_id, pos)); per-doc survival
-    stats + retained-text hash. One hash shuffle (window min, no
-    self-join) + one per-doc aggregation."""
+    stats + retained-text hash. Combinable groupBy(hash).min + a
+    skew-splittable join-back + one per-doc aggregation."""
     return SC.paragraph_dedup(t(spark, sf, "documents"), window_words=20)
 
 
