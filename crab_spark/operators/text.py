@@ -252,11 +252,19 @@ def quality_percentile_gate(
 
     Scale shape: the rank comes from util.ordered_index — the two-pass
     range-partitioned rank, NO single-task global window; the doc count
-    is known from the same pass."""
+    is known from the same pass.
+
+    Empty/whitespace-only documents (n_words == 0, whose avg_nll
+    coalesces to 0.0 — nominally the BEST score) are ranked LAST, not
+    first: an empty doc passing a quality gate while displacing a real
+    document is exactly backwards. The oracle orders by the same
+    (n_words = 0, avg_nll, doc_id) key."""
     from ..util import ordered_index
 
-    scored = lm_score(docs, text_col=text_col, id_col=id_col)
-    ranked = ordered_index(scored, ["avg_nll", id_col], "_rk", start=0)
+    scored = lm_score(docs, text_col=text_col, id_col=id_col).withColumn(
+        "_empty", F.col("n_words") == 0
+    )
+    ranked = ordered_index(scored, ["_empty", "avg_nll", id_col], "_rk", start=0)
     cache = ranked.df_ordered_cache
     n = ranked.count()  # cached by ordered_index; count is free-ish
     out = ranked.select(

@@ -1177,15 +1177,18 @@ ORACLE_SQL["q50_dedup_keep_corpus"] = (
     + ")"
 )
 # rank-based percentile gate: row_number over the TOTAL order
-# (avg_nll, doc_id); keep = rank < ceil(n·0.9) with DECIMAL arithmetic
-# (the Spark side uses Fraction for the same decimal-exact ceil)
+# (n_words = 0, avg_nll, doc_id) — empty docs rank LAST, never gaming
+# the gate with their coalesced 0.0 score; keep = rank < ceil(n·0.9)
+# with DECIMAL arithmetic (the Spark side uses Fraction for the same
+# decimal-exact ceil)
 ORACLE_SQL["q54_quality_gate"] = (
     """
     WITH sc AS (SELECT * FROM ("""
     + ORACLE_SQL["q49_lm_score"]
     + """)),
     nq AS (SELECT count(*) AS nd FROM sc),
-    rk AS (SELECT *, row_number() OVER (ORDER BY avg_nll, doc_id) - 1 AS rk
+    rk AS (SELECT *, row_number()
+                     OVER (ORDER BY (n_words = 0), avg_nll, doc_id) - 1 AS rk
            FROM sc)
     SELECT doc_id, n_words, avg_nll,
            round(rk::DOUBLE / greatest(nd - 1, 1), 6) AS quality_pct,

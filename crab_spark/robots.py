@@ -225,8 +225,13 @@ def allowed_udf():
     # memo lives in the UDF *closure*, not the per-batch call frame:
     # one compile per distinct host rule set per worker process, shared
     # across every Arrow batch of the crawl (a big crawl evaluates
-    # thousands of batches against the same few hosts)
+    # thousands of batches against the same few hosts). Size-capped:
+    # the hit rate only needs per-crawl locality, and a reused
+    # long-lived worker serving many crawls over many distinct hosts
+    # must not grow the dict unboundedly — on overflow we drop the
+    # whole memo (recompiling a rule set is microseconds).
     cache: dict[tuple, list] = {}
+    cache_max = 4096
 
     @F.pandas_udf(T.BooleanType())
     def allowed(urls: pd.Series, rule_col: pd.Series) -> pd.Series:
@@ -238,6 +243,8 @@ def allowed_udf():
             key = tuple((r["allow"], r["pattern"]) for r in rules)
             compiled = cache.get(key)
             if compiled is None:
+                if len(cache) >= cache_max:
+                    cache.clear()
                 compiled = cache[key] = _compile_rules(rules)
             out.append(rules_allow(_match_target(url), compiled))
         return pd.Series(out)

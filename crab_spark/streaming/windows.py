@@ -148,7 +148,17 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = f"{sf_dir}/documents.parquet"
     if os.path.isfile(src):
-        d = tempfile.mkdtemp(prefix="documents_stream_")
-        os.symlink(os.path.abspath(src), os.path.join(d, "documents.parquet"))
+        key = os.path.abspath(src)
+        d = _STREAM_SYMLINK_DIRS.get(key)
+        if d is None or not os.path.isdir(d):
+            d = tempfile.mkdtemp(prefix="documents_stream_")
+            os.symlink(key, os.path.join(d, "documents.parquet"))
+            _STREAM_SYMLINK_DIRS[key] = d
         src = d
     return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
+
+
+# one symlink dir per distinct source file for the process lifetime —
+# repeated stream_documents calls reuse it instead of leaking a fresh
+# mkdtemp per invocation
+_STREAM_SYMLINK_DIRS: dict[str, str] = {}

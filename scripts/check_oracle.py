@@ -35,10 +35,13 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf = "/root/testdata/sf0.01"
-    if "--sf" in sys.argv:
-        sf = sys.argv[sys.argv.index("--sf") + 1]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     names = args or [n for n in QUERIES if n in ORACLE_SQL]
     spark = get_spark(app_name="oracle-check",
                       master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",

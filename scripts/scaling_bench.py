@@ -104,6 +104,12 @@ def main() -> None:
     per_level = [int(x) for x in runs_arg.split(",")]
     if len(per_level) == 1:
         per_level = per_level * 3
+    if len(per_level) != 3:
+        sys.exit(
+            f"usage: scaling_bench.py [n_pages] [runs]  — ``runs`` is ONE "
+            f"integer (best-of-R everywhere) or a 3-item comma-list for the "
+            f"levels 2,4,8; got {len(per_level)} items: {runs_arg!r}"
+        )
     runs_by_cpu = dict(zip((2, 4, 8), per_level))
     print(f"scaling bench: n_pages={n_pages} (~{n_pages * 11} URLs), "
           f"runs per level {runs_by_cpu}")
@@ -158,8 +164,12 @@ N→4N = (thr_4N / thr_N) / 4 = {eff:.2f}** (north_rule target: ≥ 0.8).
         for sec in parts[1:]:
             header = sec.split("\n", 1)[0]
             same_size = f"n_pages={n_pages})" in header
-            legacy = "n_pages=" not in header  # pre-job-size-label era
-            if not (same_size or legacy):
+            # pre-job-size-label sections were all measured at the old
+            # default job size (1000 pages): treat them as n_pages=1000 —
+            # replaced only when re-measuring THAT size, never silently
+            # dropped by a run at a different size
+            legacy_same = "n_pages=" not in header and n_pages == 1000
+            if not (same_size or legacy_same):
                 kept.append("\n## Measured scaling" + sec.rstrip())
         prev = "\n".join(kept) + "\n"
     else:

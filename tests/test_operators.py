@@ -804,6 +804,24 @@ def test_quality_percentile_gate_keep_count(spark):
     out.df_ordered_cache.unpersist()
 
 
+def test_quality_gate_empty_docs_rank_last(spark):
+    """r4 ADVICE regression: empty/whitespace-only docs coalesce
+    avg_nll to 0.0 (nominally the BEST score) — they must rank LAST,
+    never displacing a real document from the keep set."""
+    rows = [(i, f"meaningful text number {i} words") for i in range(8)]
+    rows += [(8, ""), (9, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.quality_percentile_gate(docs, cut=0.8)
+    rowsc = out.collect()
+    assert {r["doc_id"] for r in rowsc if not r["keep"]} == {8, 9}
+    # and they sit at the bottom of the percentile order
+    empty_pcts = [r["quality_pct"] for r in rowsc if r["doc_id"] in (8, 9)]
+    assert min(empty_pcts) > max(
+        r["quality_pct"] for r in rowsc if r["doc_id"] < 8
+    )
+    out.df_ordered_cache.unpersist()
+
+
 def test_new_op_plan_contracts(spark, sf_dir):
     """Scale contracts as plan assertions: the centroid join broadcasts
     (labels×D cells, never a shuffle of the vector table); the
