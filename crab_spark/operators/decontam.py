@@ -27,6 +27,8 @@ Three first-class ops, all pure built-in expressions on the hot path
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,19 +74,35 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    max_frac: float = 0.0,
 ) -> DataFrame:
-    """Per-document count of distinct k-grams shared with ``benchmark``
-    plus a contaminated flag. Docs sharing ANY k-gram with an eval set
-    are flagged (drop or audit them before training).
+    """Per-document decontamination stats against ``benchmark``:
+    ``n_contaminated`` (distinct k-grams shared with the eval set),
+    ``n_shingles`` (the doc's distinct non-empty k-grams),
+    ``contam_frac`` = n_contaminated / n_shingles (rounded 4 dp), and
+    ``contaminated`` = contam_frac > ``max_frac`` — the thresholded
+    contaminated-fraction form real pipelines gate on (a long document
+    legitimately quoting one benchmark phrase survives a 5% cutoff; a
+    verbatim eval-set copy doesn't). The default ``max_frac=0.0``
+    reproduces the strict any-hit rule.
+
+    The flag is decided in EXACT integer arithmetic — ``max_frac`` is
+    parsed as a decimal Fraction and the comparison runs as
+    ``n_contaminated · denom > numer · n_shingles`` — so a boundary
+    document (frac exactly == max_frac, NOT contaminated) gets the
+    identical verdict from Spark, the DuckDB oracle, or any engine,
+    with no float-rounding coin flips.
 
     Plan: corpus shingles (exploded per doc, deduped per doc via
     array_distinct BEFORE the explode — no double counting) LEFT join
     the broadcast benchmark shingle set, then one map-side-combinable
-    conditional count per doc. Exactly one shuffle (the doc_id
-    aggregation, partial-combined), zero joins that could ever shuffle
-    the corpus on shingle values — and every doc keeps ≥1 exploded row
-    (word_shingles yields at least one, possibly empty, shingle), so
-    zero-hit docs stay in the output without a second join."""
+    aggregation per doc computing both counts. Exactly one shuffle (the
+    doc_id aggregation, partial-combined), zero joins that could ever
+    shuffle the corpus on shingle values — and every doc keeps ≥1
+    exploded row (word_shingles yields at least one, possibly empty,
+    shingle), so zero-hit docs stay in the output without a second
+    join."""
+    frac = Fraction(str(max_frac))
     bench = F.broadcast(
         benchmark_shingles(benchmark, text_col, k).withColumn("_hit", F.lit(1))
     )
@@ -98,9 +116,24 @@ def ngram_contamination(
         doc_sh.join(bench, "shingle", "left")
         .groupBy(id_col)
         .agg(
-            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_contaminated")
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_contaminated"),
+            F.sum((F.col("shingle") != "").cast("long"))
+            .cast("long")
+            .alias("n_shingles"),
         )
-        .withColumn("contaminated", F.col("n_contaminated") > 0)
+        .withColumn(
+            "contam_frac",
+            F.round(
+                F.col("n_contaminated")
+                / F.greatest(F.col("n_shingles"), F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn(
+            "contaminated",
+            F.col("n_contaminated") * F.lit(frac.denominator)
+            > F.lit(frac.numerator) * F.col("n_shingles"),
+        )
     )
 
 

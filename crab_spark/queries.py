@@ -24,6 +24,7 @@ accumulation.
 from __future__ import annotations
 
 from collections.abc import Callable
+from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -461,20 +462,26 @@ def q43_repetition_stats(spark, sf):
 
 # contamination probe: the 'benchmark' is a deterministic 2% hash-sample
 # of the corpus (stand-in for an eval set; salt decorrelates it from the
-# q37 sample), checked against every NON-benchmark doc
+# q37 sample), checked against every NON-benchmark doc. The flag is the
+# thresholded contaminated-fraction form (shared distinct 5-grams /
+# doc's distinct 5-grams > cutoff), decided in exact integer arithmetic
+# on both engines.
 _BENCH_RATE, _BENCH_SALT = 0.02, "bench"
+_CONTAM_MAX_FRAC = 0.05
 
 
 def q44_ngram_contamination(spark, sf):
     """Benchmark decontamination: per non-benchmark doc, the count of
-    distinct 5-grams shared with the benchmark set + contaminated flag.
-    The benchmark shingle set is broadcast (eval sets are MBs against a
-    100 TB corpus), the corpus is scanned once and never shuffled on
-    shingle values; per-doc counts are map-side combinable."""
+    distinct 5-grams shared with the benchmark set, the doc's own
+    distinct-5-gram count, their ratio, and the thresholded
+    contaminated flag (ratio > 5%). The benchmark shingle set is
+    broadcast (eval sets are MBs against a 100 TB corpus), the corpus
+    is scanned once and never shuffled on shingle values; per-doc
+    counts are map-side combinable."""
     docs = t(spark, sf, "documents")
     bench = SA.hash_sample(docs, _BENCH_RATE, salt=_BENCH_SALT)
     corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
-    return DC.ngram_contamination(corpus, bench, k=5)
+    return DC.ngram_contamination(corpus, bench, k=5, max_frac=_CONTAM_MAX_FRAC)
 
 
 def q45_source_mix(spark, sf):
@@ -1013,13 +1020,22 @@ ORACLE_SQL: dict[str, str] = {
                 WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
         corpus AS (SELECT doc_id FROM documents
                    WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
+        nsh AS (SELECT doc_id, count(*) AS ns FROM shd GROUP BY doc_id),
         hits AS (SELECT shd.doc_id, count(*) AS n FROM shd
                  JOIN bsh USING (s)
                  WHERE shd.doc_id IN (SELECT doc_id FROM corpus)
                  GROUP BY shd.doc_id)
         SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
-               coalesce(h.n, 0) > 0 AS contaminated
-        FROM corpus c LEFT JOIN hits h USING (doc_id)"""
+               CAST(coalesce(s.ns, 0) AS BIGINT) AS n_shingles,
+               round(coalesce(h.n, 0)::DOUBLE
+                     / greatest(coalesce(s.ns, 0), 1), 4) AS contam_frac,
+               coalesce(h.n, 0) * """
+        + str(Fraction(str(_CONTAM_MAX_FRAC)).denominator)
+        + " > "
+        + str(Fraction(str(_CONTAM_MAX_FRAC)).numerator)
+        + """ * coalesce(s.ns, 0) AS contaminated
+        FROM corpus c LEFT JOIN hits h USING (doc_id)
+                      LEFT JOIN nsh s USING (doc_id)"""
     ),
     # per-source mixture-weighting rollup; dup rate over normalized-
     # content hashes

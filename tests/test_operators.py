@@ -397,6 +397,35 @@ def test_ngram_contamination_planted_and_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ngram_contamination_threshold_boundary(spark):
+    """The thresholded fraction flag at its exact boundary: a doc whose
+    contaminated fraction EQUALS max_frac is NOT contaminated (strict
+    >, exact integer arithmetic); one shingle fewer tips it over."""
+    from crab_spark.operators import decontam as DC
+
+    bench = spark.createDataFrame(
+        [("eval1", "alpha beta")], "doc_id string, text string"
+    )
+    docs = spark.createDataFrame(
+        # k=2: 'at' has 4 distinct 2-grams, 1 shared -> frac = 0.25 == max_frac
+        #      'over' has 3 distinct 2-grams, 1 shared -> 1/3 > 0.25
+        [("at", "alpha beta gamma delta epsilon"),
+         ("over", "alpha beta gamma delta")],
+        "doc_id string, text string",
+    )
+    out = DC.ngram_contamination(docs, bench, k=2, max_frac=0.25)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert (got["at"]["n_contaminated"], got["at"]["n_shingles"]) == (1, 4)
+    assert got["at"]["contam_frac"] == 0.25
+    assert got["at"]["contaminated"] is False
+    assert (got["over"]["n_contaminated"], got["over"]["n_shingles"]) == (1, 3)
+    assert got["over"]["contaminated"] is True
+    # default max_frac=0.0 keeps the strict any-hit rule
+    strict = {r["doc_id"]: r["contaminated"]
+              for r in DC.ngram_contamination(docs, bench, k=2).collect()}
+    assert strict == {"at": True, "over": True}
+
+
 def test_source_mix_report_values(spark):
     from crab_spark.operators import decontam as DC
 
