@@ -90,11 +90,81 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language ID: score(lang) = number of tokens that are
-    that language's function words; predict argmax (ties broken by
-    language code order). Pure expressions — the profile table is tiny
-    and inlined; at scale you'd broadcast-join a profile table instead."""
+class StopwordModel:
+    """Reference ``lang_id`` model: the SAME stopword-hit heuristic as
+    the expression path, executed in pandas — the template a real
+    model swap-in (fastText & co.) follows, and the equivalence-test
+    fixture proving both paths agree. A model object must be picklable
+    and expose ``predict(texts: pd.Series) -> pd.DataFrame`` with
+    columns ``pred_lang`` (str) and ``hits`` (int)."""
+
+    def __init__(self, profiles: dict[str, list[str]] | None = None):
+        self.profiles = {
+            lang: frozenset(ws)
+            for lang, ws in (profiles or LANG_STOPWORDS).items()
+        }
+
+    def predict(self, texts):
+        import re
+
+        import pandas as pd
+
+        langs = sorted(self.profiles)
+        preds, hits = [], []
+        for t in texts:
+            toks = set(re.sub(r"\s+", " ", (t or "").lower()).split(" "))
+            scores = [len(toks & self.profiles[lang]) for lang in langs]
+            best = max(scores)
+            # argmax with ties broken by language-code order — the
+            # identical rule as the expression path's coalesce chain
+            preds.append(next(l for l, s in zip(langs, scores) if s == best))
+            hits.append(best)
+        return pd.DataFrame({"pred_lang": preds, "hits": hits})
+
+
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model=None,
+) -> DataFrame:
+    """Language ID. Default path: stopword-hit heuristic — score(lang)
+    = number of distinct tokens that are that language's function
+    words; predict argmax (ties broken by language code order). Pure
+    expressions — the profile table is tiny and inlined; at scale you'd
+    broadcast-join a profile table instead. This is the oracle-able
+    path q32 verifies.
+
+    Pass ``model`` (see ``StopwordModel`` for the contract — mirrors
+    the tokenizer plug of ``token_count``) to swap in a real
+    model-based classifier: one Arrow-batched crossing per batch, SAME
+    output schema (id, pred_lang, hits), so downstream consumers
+    (stratified sampling, the source-mix report) don't change."""
+    if model is not None:
+        import pandas as pd  # noqa: F401 — contract dependency
+        from pyspark.sql import types as T
+
+        pred_t = T.StructType(
+            [
+                T.StructField("pred_lang", T.StringType(), True),
+                T.StructField("hits", T.IntegerType(), True),
+            ]
+        )
+
+        @F.pandas_udf(pred_t)
+        def predict(texts):
+            out = model.predict(texts)
+            return out[["pred_lang", "hits"]].astype(
+                {"pred_lang": str, "hits": "int32"}
+            )
+
+        return docs.select(
+            F.col(id_col), predict(F.col(text_col)).alias("_p")
+        ).select(
+            id_col,
+            F.col("_p.pred_lang").alias("pred_lang"),
+            F.col("_p.hits").alias("hits"),
+        )
     toks = tokens(normalized(F.col(text_col)))
     scores = [
         F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in ws])))

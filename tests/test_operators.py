@@ -349,6 +349,31 @@ def test_lang_id_confusion_on_planted_multilingual_docs(spark):
     assert got == want, {k: (got[k], want[k]) for k in want if got[k] != want[k]}
 
 
+def test_lang_id_model_path_equivalence(spark, sf_dir):
+    """The pluggable model path (mirroring the tokenizer plug): a
+    StopwordModel — the reference implementation of the model contract
+    — must agree with the default expression path row-for-row on real
+    corpus text, including pred ties and hit counts, and produce the
+    IDENTICAL output schema so downstream consumers don't change."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    expr = X.lang_id(docs)
+    modeled = X.lang_id(docs, model=X.StopwordModel())
+    assert expr.columns == modeled.columns == ["doc_id", "pred_lang", "hits"]
+    e = {r["doc_id"]: (r["pred_lang"], r["hits"]) for r in expr.collect()}
+    m = {r["doc_id"]: (r["pred_lang"], r["hits"]) for r in modeled.collect()}
+    assert e == m
+    # and a non-heuristic model slots in: constant-prediction stub
+    class ConstModel:
+        def predict(self, texts):
+            import pandas as pd
+            return pd.DataFrame(
+                {"pred_lang": ["xx"] * len(texts), "hits": [0] * len(texts)}
+            )
+
+    got = X.lang_id(docs.limit(3), model=ConstModel()).collect()
+    assert {r["pred_lang"] for r in got} == {"xx"}
+
+
 def test_repetition_stats_planted(spark):
     """Planted repetition: a doc that is one phrase looped scores near
     1-ish rep_ratio; a repetition-free doc scores 0."""
