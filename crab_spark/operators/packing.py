@@ -29,16 +29,27 @@ def with_pack_ids(
     text_col: str = "text",
     num_partitions: int | None = None,
     tokenizer=None,
+    order_cols: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Adds (n_tokens, pack_id) to each document. Default token measure
     is the whitespace count (codegen'd); pass an
     ``operators.tokenizer.BPETokenizer`` to budget in EXACT subword
     tokens (one Arrow crossing, evaluated once per doc inside the
-    ranged cache — the cumsum machinery is unchanged)."""
+    ranged cache — the cumsum machinery is unchanged).
+
+    ``order_cols`` replaces the single ``order_col`` with a composite
+    packing order (e.g. (doc_id, chunk_id) for chunk streams), and
+    ``weight_col`` budgets on a precomputed count column instead of
+    tokenizing ``text_col`` — the corpus-build pipeline packs chunks
+    that already carry ``n_words``."""
     spark = docs.sparkSession
+    order = list(order_cols) if order_cols else [order_col]
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if tokenizer is not None:
+    if weight_col is not None:
+        tokens = F.col(weight_col)
+    elif tokenizer is not None:
         from .tokenizer import token_count_udf
 
         tokens = token_count_udf(tokenizer)(F.col(text_col))
@@ -46,7 +57,7 @@ def with_pack_ids(
         tokens = F.size(F.split(F.col(text_col), " "))
     ranged = (
         docs.withColumn("n_tokens", tokens.cast("long"))
-        .repartitionByRange(num_partitions, F.col(order_col))
+        .repartitionByRange(num_partitions, *[F.col(c) for c in order])
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
@@ -57,7 +68,7 @@ def with_pack_ids(
         "_off", F.coalesce(F.sum("_tot").over(w_tot), F.lit(0))
     ).select("_pid", "_off")
     # level 1: parallel per-partition running sum + broadcast offset
-    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+    w = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     out = (

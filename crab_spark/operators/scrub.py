@@ -95,6 +95,34 @@ def word_windows(text: Column, window_words: int) -> Column:
     )
 
 
+def _first_wins_marked(
+    docs: DataFrame, text_col: str, id_col: str, window_words: int
+) -> DataFrame:
+    """Non-empty posexploded word-window segments with the corpus-wide
+    first-wins ``kept`` flag — the shared core of ``paragraph_dedup``
+    (audit stats) and ``paragraph_retained`` (surviving text). The
+    first-wins rule is a map-side-combinable groupBy(hash).min joined
+    back on the hash (AQE skew-splittable), never a window — see the
+    module docstring."""
+    segs = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(word_windows(F.col(text_col), window_words)).alias(
+                "pos", "seg"
+            ),
+        )
+        .filter(F.col("seg") != "")
+        .withColumn("h", F.md5("seg"))
+    )
+    first = segs.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_seen")
+    )
+    return segs.join(first, "h").withColumn(
+        "kept",
+        F.struct(F.col(id_col), F.col("pos")) == F.col("first_seen"),
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -115,23 +143,7 @@ def paragraph_dedup(
     over partitionBy(hash) would serialize; then one per-doc
     aggregation. The winner rule min(doc_id, pos) is total and
     engine-portable, so the DuckDB oracle reproduces it exactly."""
-    segs = (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(word_windows(F.col(text_col), window_words)).alias(
-                "pos", "seg"
-            ),
-        )
-        .filter(F.col("seg") != "")
-        .withColumn("h", F.md5("seg"))
-    )
-    first = segs.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_seen")
-    )
-    marked = segs.join(first, "h").withColumn(
-        "kept",
-        F.struct(F.col(id_col), F.col("pos")) == F.col("first_seen"),
-    )
+    marked = _first_wins_marked(docs, text_col, id_col, window_words)
     per_doc = marked.groupBy(id_col).agg(
         F.count("*").alias("n_segs"),
         F.sum((~F.col("kept")).cast("long")).alias("n_dup_segs"),
@@ -157,6 +169,39 @@ def paragraph_dedup(
             F.coalesce("n_dup_segs", F.lit(0)).cast("long").alias("n_dup_segs"),
             F.coalesce("retained_hash", F.lit(empty_hash)).alias("retained_hash"),
         )
+    )
+
+
+def paragraph_retained(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 20,
+) -> DataFrame:
+    """The retained TEXT per document after corpus-wide first-wins
+    paragraph dedup — the composition form the corpus-build pipeline
+    consumes (``paragraph_dedup`` returns the audit stats + hash of the
+    same text; ``md5(paragraph_retained.text) == retained_hash`` by
+    construction). Documents with no surviving segments return ``''``
+    (callers typically filter them out). Same plan shape as
+    ``paragraph_dedup``: one skew-splittable join + one per-doc
+    aggregation."""
+    marked = _first_wins_marked(docs, text_col, id_col, window_words)
+    per_doc = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "seg")))
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(id_col, F.coalesce("text", F.lit("")).alias("text"))
     )
 
 

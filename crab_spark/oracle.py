@@ -1,98 +1,63 @@
-"""Pure-Python oracle: the reference crawl loop's exact semantics.
-
-An independent, driver-only reimplementation of crab's scheduler at its
-default config (threads=1 ⇒ strictly sequential; crawler.rs:52-125,
-storage.rs:84-123) used ONLY by tests to verify the Spark engine's
-crawl order and URL-seen set byte-for-byte:
-
-- frontier rows carry (url, type_id, depth, status, seq=rowid)
-- refill: status=1, ORDER BY depth ASC then seq ASC, LIMIT batch
-- dispatch: ``pages.swap_remove(0)`` (crawler.rs:71) — a refill of
-  [p1..pn] dispatches as p1, pn, pn-1, ..., p2; registration (hence
-  rowid/seq and later depth-tie dequeue order) follows dispatch order
-- per page: fetch from the corpus dict → validate → mark downloaded →
-  navigate → absolutize each link → register (first wins) at depth+1
-- fetch miss ⇒ page stays status=1 (retried next refill)
-
-This file deliberately shares the urlnorm module with the engine (URL
-canonicalization parity is an *input* to both, tested separately) but
-shares no Spark code.
-"""
+"""Shared oracle-parity comparison: run a registry query's Spark
+implementation AND its DuckDB oracle on the same parquet tables and
+compare row count, column set, and (order-insensitively) values. Used
+by both scripts/check_oracle.py (the local stand-in for the driver's
+correctness gate) and tests/test_oracle_parity.py (the in-suite gate
+that makes ``pytest`` itself fail if any registry entry ever lacks
+oracle parity — so no query can ship driver-unverified)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import numpy as np
+import pandas as pd
 
-from .parsers import ParserRegistry
-from .schemas import STATUS_DOWNLOADED, STATUS_NOT_DOWNLOADED
-from .urlnorm import absolutize, canonicalize
+from .queries import ORACLE_SQL, QUERIES
 
-
-@dataclass
-class OracleResult:
-    crawl_order: list[str] = field(default_factory=list)
-    seen: dict[str, tuple[int, int, int]] = field(default_factory=dict)  # url -> (seq, depth, type)
-    documents: dict[str, list[dict]] = field(default_factory=dict)
-    new_links: int = 0
-    requests: int = 0
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
-def run_oracle(
-    seeds: list[tuple[str, int]],
-    corpus: dict[str, list[dict]],
-    registry: ParserRegistry,
-    navigate: bool = True,
-    batch_size: int = 100,
-    depth_offset: int = 1,
-    max_requests: int = 1_000_000,
-) -> OracleResult:
-    res = OracleResult()
-    rows: list[dict] = []  # the pages table; index = rowid order
-    seen: set[str] = set()
+def register_views(con, sf_dir: str) -> None:
+    """CREATE VIEWs for the standard table set on a DuckDB connection."""
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    def register(url: str, type_id: int, depth: int) -> bool:
-        if url in seen:
-            return False
-        seen.add(url)
-        rows.append(
-            {"url": url, "type_id": type_id, "depth": depth,
-             "status": STATUS_NOT_DOWNLOADED, "seq": len(rows)}
-        )
-        res.seen[url] = (len(rows) - 1, depth, type_id)
-        return True
 
-    for url, type_id in seeds:
-        cu = canonicalize(url)
-        if cu is not None:
-            register(cu, type_id, 0)
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: columns sorted by name, floats
+    rounded, rows sorted by every column — the driver's convention."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif np.issubdtype(pdf[c].dtype, np.floating):
+            pdf[c] = pdf[c].round(6)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
-    while res.requests < max_requests:
-        batch = sorted(
-            (r for r in rows if r["status"] == STATUS_NOT_DOWNLOADED),
-            key=lambda r: (r["depth"], r["seq"]),
-        )[:batch_size]
-        if not batch:
-            break
-        if len(batch) > 1:
-            # swap_remove(0) dispatch order (crawler.rs:71): first
-            # element, then the remainder back-to-front
-            batch = [batch[0]] + batch[:0:-1]
-        for page in batch:
-            res.requests += 1
-            res.crawl_order.append(page["url"])
-            spans = corpus.get(page["url"])
-            if spans is None:
-                continue  # fetch error: stays NotDownloaded (crawler.rs:109-113)
-            if not registry.run_validate(page["type_id"], spans):
-                continue  # invalid: not stored, retried (lib.rs:119-124)
-            page["status"] = STATUS_DOWNLOADED
-            res.documents[page["url"]] = spans
-            if navigate:
-                for href, t in registry.run_navigate(page["type_id"], spans):
-                    absu = absolutize(href, page["url"])
-                    if absu is None:
-                        continue  # dropped with warning (lib.rs:185-192)
-                    if register(absu, t, page["depth"] + depth_offset):
-                        res.new_links += 1
-        # loop: next refill sees everything registered so far
-    return res
+
+def compare_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
+    """(ok, detail) for one registry query vs its DuckDB oracle.
+    ``detail`` carries the first mismatch for the failure message."""
+    got = canon(QUERIES[name](spark, sf_dir).toPandas())
+    want = canon(con.sql(ORACLE_SQL[name]).df())
+    if len(got) != len(want):
+        return False, f"rows: spark={len(got)} oracle={len(want)}"
+    if list(got.columns) != list(want.columns):
+        return False, (f"cols: spark={list(got.columns)} "
+                       f"oracle={list(want.columns)}")
+    if got.equals(want):
+        return True, f"{len(got)} rows"
+    # float tolerance second chance (duckdb DOUBLE vs spark rounding)
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if np.issubdtype(a.dtype, np.number) and np.issubdtype(b.dtype, np.number):
+            if not np.allclose(a.astype(float), b.astype(float),
+                               rtol=1e-9, atol=1e-9, equal_nan=True):
+                i = int(np.argmax(~np.isclose(a.astype(float), b.astype(float),
+                                              rtol=1e-9, atol=1e-9,
+                                              equal_nan=True)))
+                return False, f"{c}[{i}]: spark={a[i]!r} oracle={b[i]!r}"
+        elif not a.astype(str).equals(b.astype(str)):
+            i = int(np.argmax((a.astype(str) != b.astype(str)).to_numpy()))
+            return False, f"{c}[{i}]: spark={a[i]!r} oracle={b[i]!r}"
+    return True, f"{len(got)} rows (float-tol)"

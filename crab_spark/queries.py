@@ -33,6 +33,7 @@ from .operators import decontam as DC
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import packing as P
+from .operators import pipeline as PL
 from .operators import sampling as SA
 from .operators import scrub as SC
 from .operators import similarity as S
@@ -577,6 +578,23 @@ def q54_quality_gate(spark, sf):
     (two-pass range rank, no global window) and keep the best 90% —
     an integer rank rule, so the keep set is engine-exact."""
     return X.quality_percentile_gate(t(spark, sf, "documents"), cut=0.9)
+
+
+def q55_corpus_build(spark, sf):
+    """The flagship end-to-end corpus build (operators/pipeline.py):
+    scrub → paragraph dedup → repetition gate → decontamination gate →
+    LM-quality percentile gate → hash sample → chunk → pack, composed
+    over the documents table with the SAME constants as the per-stage
+    queries (q44's benchmark sample and 5% contamination cutoff).
+    Output is the packed training-chunk stream. Every gate is exact
+    integer arithmetic, so the one DuckDB oracle chains the per-stage
+    CTEs and must agree row-for-row."""
+    return PL.corpus_build(
+        t(spark, sf, "documents"),
+        bench_rate=_BENCH_RATE,
+        bench_salt=_BENCH_SALT,
+        contam_max_frac=_CONTAM_MAX_FRAC,
+    )
 
 
 def q49_lm_score(spark, sf):
@@ -1211,3 +1229,105 @@ ORACLE_SQL["q54_quality_gate"] = (
            rk < ceil(nd * 0.9) AS keep
     FROM rk CROSS JOIN nq"""
 )
+
+# q55: the full corpus-build arc as ONE CTE chain — each stage is the
+# SAME SQL shape as its per-stage oracle (q46 scrub, q47 dedup, q43
+# repetition, q44 contamination, q49 LM score, q54 rank gate, q37
+# sample, q48 chunk, q39 pack), re-rooted on the previous stage's CTE.
+# Gate cutoffs are exact integer cross-multiplications from the same
+# Fraction constants the Spark pipeline uses; the percentile ceil runs
+# in DuckDB DECIMAL (exact, matching the Spark side's Fraction ceil).
+# All survivors have n_words > 0 (empty retained text is dropped at the
+# dedup stage), so the q54 (n_words = 0) empty-last key is constant
+# here and the rank order reduces to (avg_nll, doc_id).
+_Q55_REP = Fraction("0.3")
+_Q55_CONTAM = Fraction(str(_CONTAM_MAX_FRAC))
+ORACLE_SQL["q55_corpus_build"] = f"""
+    WITH bench_ids AS (SELECT doc_id FROM documents
+                       WHERE md5('{_BENCH_SALT}' || CAST(doc_id AS VARCHAR))
+                             < '{SA._hex_threshold(_BENCH_RATE)}'),
+    scrub AS (SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(
+                         text, '{SC.EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{SC.IPV4_RE}', '<IP>', 'g'),
+                         '{SC.PHONE_RE}', '<PHONE>', 'g') AS text
+              FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
+    nrm AS (SELECT doc_id, {_NORM} AS text FROM scrub),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM nrm),
+    segs AS (SELECT doc_id, CAST(t.i AS INT) AS pos,
+                    array_to_string(ws[t.i*20+1 : t.i*20+20], ' ') AS seg
+             FROM w, unnest(range(greatest(
+                  CAST(ceil(len(ws) / 20.0) AS BIGINT), 1))) t(i)),
+    segf AS (SELECT doc_id, pos, seg, md5(seg) AS h
+             FROM segs WHERE seg <> ''),
+    marked AS (SELECT doc_id, pos, seg,
+                      row_number() OVER (PARTITION BY h
+                                         ORDER BY doc_id, pos) = 1 AS kept
+               FROM segf),
+    retn AS (SELECT doc_id, text FROM (
+                 SELECT doc_id, string_agg(CASE WHEN kept THEN seg END,
+                                           ' ' ORDER BY pos) AS text
+                 FROM marked GROUP BY doc_id)
+             WHERE text IS NOT NULL AND text <> ''),
+    rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM retn),
+    rsh AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+            FROM rw, unnest(range(1, greatest(len(ws) - 3, 0) + 2)) t(i)),
+    rep AS (SELECT doc_id, count(*) AS n, count(DISTINCT s) AS d
+            FROM rsh GROUP BY doc_id),
+    repk AS (SELECT doc_id FROM rep
+             WHERE (n - d) * {_Q55_REP.denominator}
+                   <= {_Q55_REP.numerator} * n),
+    bn AS (SELECT doc_id, {_NORM} AS text FROM documents
+           WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+    bw AS (SELECT string_split(text, ' ') AS ws FROM bn),
+    bshf AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS s
+             FROM bw, unnest(range(1, greatest(len(ws) - 5, 0) + 2)) t(i)),
+    cw AS (SELECT r.doc_id, string_split(r.text, ' ') AS ws
+           FROM retn r JOIN repk USING (doc_id)),
+    cshf AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s
+             FROM cw, unnest(range(1, greatest(len(ws) - 5, 0) + 2)) t(i)),
+    cn AS (SELECT doc_id, count(*) AS ns FROM cshf
+           WHERE s <> '' GROUP BY doc_id),
+    chit AS (SELECT doc_id, count(*) AS nh FROM cshf
+             JOIN (SELECT s FROM bshf WHERE s <> '') b USING (s)
+             GROUP BY doc_id),
+    surv AS (SELECT r.doc_id, r.text
+             FROM retn r JOIN repk USING (doc_id)
+             LEFT JOIN cn USING (doc_id) LEFT JOIN chit USING (doc_id)
+             WHERE coalesce(chit.nh, 0) * {_Q55_CONTAM.denominator}
+                   <= {_Q55_CONTAM.numerator} * coalesce(cn.ns, 0)),
+    toks AS (SELECT doc_id, t.w FROM surv,
+             unnest(string_split(text, ' ')) t(w) WHERE t.w <> ''),
+    tfq AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    frq AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+    tot AS (SELECT sum(n) AS t FROM frq),
+    scq AS (SELECT doc_id,
+                   round(sum(c * -ln(n::DOUBLE / t)) / sum(c), 4) AS avg_nll
+            FROM tfq JOIN frq USING (w) CROSS JOIN tot GROUP BY doc_id),
+    nq AS (SELECT count(*) AS nd FROM scq),
+    rkq AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY avg_nll, doc_id) - 1 AS rk
+            FROM scq),
+    keepq AS (SELECT doc_id FROM rkq CROSS JOIN nq
+              WHERE rk < ceil(nd * 0.9)),
+    samp AS (SELECT doc_id FROM keepq
+             WHERE md5('mix' || CAST(doc_id AS VARCHAR))
+                   < '{SA._hex_threshold(0.5)}'),
+    chw AS (SELECT s.doc_id, string_split(s.text, ' ') AS ws,
+                   len(string_split(s.text, ' ')) AS n
+            FROM surv s JOIN samp USING (doc_id)),
+    ch AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_id,
+                  ws[t.i*48+1 : t.i*48+64] AS cw
+           FROM chw, unnest(range(CASE WHEN n <= 64 THEN 1
+                                       ELSE (n - 64 + 47) // 48 + 1 END)) t(i)),
+    chx AS (SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_words,
+                   md5(array_to_string(cw, ' ')) AS chunk_hash
+            FROM ch),
+    packed AS (SELECT *, sum(n_words) OVER (ORDER BY doc_id, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_words AS cum_before
+               FROM chx)
+    SELECT doc_id, chunk_id, n_words, chunk_hash,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
+    FROM packed"""
