@@ -173,3 +173,87 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
     )
+
+
+def caption_candidates(docs: DataFrame, spans_col: str = "spans",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Interleaved media→caption alignment: for every ``media`` span,
+    the nearest ``text`` span in the same document by span-offset
+    distance (the PRECEDING span wins ties — captions usually lead
+    their figure). Media spans in documents with no text span at all
+    are dropped: there is no caption candidate to emit.
+
+    Input is the engine's interleaved DOCUMENTS shape (BASELINE.json
+    input_hint): ``spans: array<struct<kind,text,media_ref,offset>>``.
+    Output: (doc_id, media_ref, media_offset, caption, caption_offset,
+    distance) — the (image, alt-text) pair stream a multimodal training
+    pipeline consumes.
+
+    Scale shape: one explode, then two running-value window passes
+    partitioned BY DOCUMENT and ordered by offset — each window is
+    bounded by a single document's span count (same contract as the
+    per-doc TF-IDF window, text.py tfidf_topk), never corpus-wide; no
+    self-join, no Python crossing."""
+    from pyspark.sql import Window
+
+    s = docs.select(F.col(id_col), F.explode(spans_col).alias("s")).select(
+        id_col,
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    txt = F.when(F.col("kind") == "text",
+                 F.struct(F.col("offset"), F.col("text")))
+    base = Window.partitionBy(id_col).orderBy("offset")
+    prev = F.last(txt, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.first(txt, ignorenulls=True).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    prefer_prev = prev.isNotNull() & (
+        nxt.isNull()
+        | ((F.col("offset") - prev["offset"]) <= (nxt["offset"] - F.col("offset")))
+    )
+    chosen = F.when(prefer_prev, prev).otherwise(nxt)
+    return (
+        s.withColumn("_c", chosen)
+        .filter((F.col("kind") == "media") & F.col("_c").isNotNull())
+        .select(
+            id_col,
+            "media_ref",
+            F.col("offset").alias("media_offset"),
+            F.col("_c.text").alias("caption"),
+            F.col("_c.offset").alias("caption_offset"),
+            F.abs(F.col("_c.offset") - F.col("offset")).alias("distance"),
+        )
+    )
+
+
+def interleave_stats(docs: DataFrame, spans_col: str = "spans",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document interleaving profile over the engine's span shape:
+    span count, media-span count, media fraction, and the offset of the
+    first media span (NULL for text-only docs) — the density signals a
+    multimodal pipeline gates on (drop docs that are all images, or
+    whose first image sits past the context window).
+
+    Pure per-row codegen (size/filter over the spans array), zero
+    shuffles, never touches span text or payloads."""
+    s = F.col(spans_col)
+    media_offsets = F.transform(
+        F.filter(s, lambda x: x["kind"] == F.lit("media")),
+        lambda x: x["offset"],
+    )
+    n_spans = F.size(s)
+    n_media = F.size(media_offsets)
+    return docs.select(
+        id_col,
+        n_spans.alias("n_spans"),
+        n_media.alias("n_media"),
+        F.round(
+            n_media.cast("double") / F.greatest(n_spans, F.lit(1)), 4
+        ).alias("media_frac"),
+        F.array_min(media_offsets).alias("first_media_offset"),
+    )

@@ -59,3 +59,89 @@ def stratified_sample(
         else thresh.otherwise(F.lit(_hex_threshold(default_rate)))
     )
     return df.filter(_key_hash(key_col, salt) < thresh)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget mixture construction: each source contributes
+    documents — in the deterministic md5(salt‖key) order, so the mix is
+    reproducible on any engine/run/retry — until its token budget
+    fills. A document is kept iff the tokens BEFORE it within its
+    source are under budget (a source may overflow by at most one
+    document — the packing.py rule, and exactly expressible as a
+    running sum, so the DuckDB oracle is one window function). Sources
+    absent from ``budgets`` get ``default_budget`` (0 = excluded).
+
+    This is the "sample source s until B_s tokens" step every mixture
+    recipe ends with, downstream of the per-source weights q45/q51
+    inform.
+
+    Scale shape: the KEYED two-level cumsum (the per-source
+    generalization of packing.with_pack_ids): range-partition by
+    (source, hash) — a mega-source spreads over many partitions, so
+    source skew cannot serialize the pass —, per-partition window
+    cumsum in parallel, per-(partition, source) totals cumsum'd on an
+    O(#partitions·#sources)-row frame and broadcast back as offsets.
+    Never a corpus-wide single-task window.
+
+    Output: the kept rows as (key, source, n_tokens, cum_before).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    budget = None
+    for s, b in sorted(budgets.items()):
+        cond = F.col(source_col) == s
+        lit = F.lit(int(b))
+        budget = F.when(cond, lit) if budget is None else budget.when(cond, lit)
+    budget = (
+        F.lit(int(default_budget)) if budget is None
+        else budget.otherwise(F.lit(int(default_budget)))
+    )
+    ranged = (
+        df.select(
+            F.col(key_col),
+            F.col(source_col).alias("source"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+            _key_hash(key_col, salt).alias("_h"),
+            budget.cast("long").alias("_budget"),
+        )
+        .repartitionByRange(num_partitions, F.col("source"), F.col("_h"))
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    # level 2: one row per (partition, source) — tiny — cumsum'd per
+    # source in _pid order (range partitioning makes _pid order = hash
+    # order within each source)
+    totals = ranged.groupBy("_pid", "source").agg(F.sum("n_tokens").alias("_tot"))
+    w_tot = Window.partitionBy("source").orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_tot), F.lit(0))
+    ).select("_pid", "source", "_off")
+    # level 1: parallel per-(partition, source) running sum + offset
+    w = Window.partitionBy("_pid", "source").orderBy("_h", key_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        ranged.join(F.broadcast(offsets), ["_pid", "source"])
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_off"),
+        )
+        .filter(F.col("cum_before") < F.col("_budget"))
+        .select(key_col, "source", "n_tokens", "cum_before")
+    )
+    out.df_ordered_cache = ranged  # caller may unpersist after its action
+    return out

@@ -277,3 +277,64 @@ def chunk_documents(
         F.size("cw").cast("long").alias("n_words"),
         F.md5(F.array_join("cw", " ")).alias("chunk_hash"),
     )
+
+
+def cross_source_neardup(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    sig_k: int = 2,
+    verify_k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate DOCUMENT pairs across DIFFERENT sources — the
+    syndication signal ``cross_source_overlap`` (exact shared segments)
+    cannot see when mirrors lightly rewrite: full MinHash→LSH→Jaccard
+    near-dup detection restricted to cross-source pairs, aggregated to
+    one row per unordered source pair (source_a < source_b,
+    n_neardup_pairs). Thresholding uses the same round(·,6) ≥ cutoff
+    convention as the q40 cluster pipeline so any engine reproduces the
+    keep set exactly.
+
+    Scale shape — everything reuses the audited near-dup plans
+    (dedup.minhash_signatures / lsh_candidate_pairs / ngram_jaccard):
+    banded signatures with capped buckets (never all-pairs), the
+    cross-source restriction applied on the CANDIDATE pairs (two joins
+    against the O(#docs) (id, source) projection, broadcast-eligible
+    per AQE) BEFORE the expensive shingle-set verify, then one
+    combinable count per source pair. The verify join fans out per
+    candidate pair, not per document."""
+    from .dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
+
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes, k=sig_k
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col=id_col, n_hashes=n_hashes, band_size=band_size,
+        max_bucket=max_bucket,
+    )
+    src = docs.select(F.col(id_col), F.col(source_col))
+    cross = (
+        pairs.join(
+            src.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed(source_col, "_sa"), "id_a")
+        .join(
+            src.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed(source_col, "_sb"), "id_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    ver = ngram_jaccard(docs, cross.select("id_a", "id_b"),
+                        text_col=text_col, id_col=id_col, k=verify_k)
+    return (
+        ver.filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .join(cross.select("id_a", "id_b", "_sa", "_sb"), ["id_a", "id_b"])
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_neardup_pairs"))
+    )

@@ -352,3 +352,67 @@ def quality_percentile_gate(
     )
     out.df_ordered_cache = cache
     return out
+
+
+def source_reputation_gate(
+    docs: DataFrame,
+    min_mean_words: int = 5,
+    max_dup_frac: Fraction | str = "0.2",
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source-level (host/domain-level) corpus gate — the CommonCrawl-
+    style reputation filter: a SOURCE is kept only when (a) its mean
+    document length clears ``min_mean_words`` whitespace words and (b)
+    its within-source exact-duplicate fraction stays at or under
+    ``max_dup_frac``. Low-quality or heavily-syndicated hosts get
+    dropped wholesale — per-doc gates can't see that a domain is 90%
+    boilerplate, this one can.
+
+    Both rules are decided in EXACT integer arithmetic (Fraction
+    cross-multiplication, the q54 convention), so the keep set is
+    engine-portable: keep ⇔ sum_words ≥ min_mean_words·n_docs AND
+    (n_docs − n_distinct_texts)·denom ≤ num·n_docs.
+
+    Output: one row per document (doc_id, source, src_n_docs,
+    src_mean_words, src_dup_frac, keep) — what a corpus build consumes
+    is ``filter(keep)``.
+
+    Scale shape: dup counting is two map-side-combinable aggregations
+    (groupBy(source, text-hash) then groupBy(source) — never a distinct
+    over raw text); the per-source reputation table is O(#sources),
+    broadcast back onto the corpus. Zero corpus-wide shuffles beyond
+    the two combinable aggs."""
+    frac = Fraction(str(max_dup_frac))
+    n_words = F.size(tokens(F.col(text_col))).cast("long")
+    per_text = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            n_words.alias("_w"),
+            F.md5(F.col(text_col)).alias("_th"),
+        )
+        .groupBy("source", "_th")
+        .agg(F.count("*").alias("_n"), F.sum("_w").alias("_wsum"))
+    )
+    rep = per_text.groupBy("source").agg(
+        F.sum("_n").alias("src_n_docs"),
+        F.sum("_wsum").alias("_words"),
+        F.count("*").alias("_distinct"),
+    )
+    dups = F.col("src_n_docs") - F.col("_distinct")
+    rep = rep.select(
+        "source",
+        "src_n_docs",
+        F.round(F.col("_words") / F.col("src_n_docs"), 4).alias("src_mean_words"),
+        F.round(dups / F.col("src_n_docs"), 4).alias("src_dup_frac"),
+        (
+            (F.col("_words") >= F.lit(min_mean_words) * F.col("src_n_docs"))
+            & (dups * F.lit(frac.denominator)
+               <= F.lit(frac.numerator) * F.col("src_n_docs"))
+        ).alias("keep"),
+    )
+    return docs.select(F.col(id_col), F.col(source_col).alias("source")).join(
+        F.broadcast(rep), "source"
+    ).select(id_col, "source", "src_n_docs", "src_mean_words",
+             "src_dup_frac", "keep")

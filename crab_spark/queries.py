@@ -597,6 +597,115 @@ def q55_corpus_build(spark, sf):
     )
 
 
+def q56_caption_align(spark, sf):
+    """Interleaved media→caption alignment over the engine's span shape
+    (BASELINE.json input_hint): the flat testdata documents are lifted
+    into spans deterministically — word indices ≡ 3 and ≡ 4 (mod 7)
+    become media spans whose refs are md5 of the word, the rest are
+    text spans — then caption_candidates pairs each media span with its
+    nearest text span (preceding wins ties). Two CONSECUTIVE media
+    spans make both selection branches fire: the first one's preceding
+    text wins its tie, the second must reach FORWARD across distance 2.
+    The lift is the test harness; the operator itself consumes any
+    DOCUMENTS-shaped spans column. Per-doc windows only — no corpus
+    window, no Python."""
+    is_media = lambda i: (i % 7).isin(3, 4)  # noqa: E731
+    spans = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w, i: F.struct(
+            F.when(is_media(i), F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            w.alias("text"),
+            F.when(is_media(i), F.concat(F.lit("m-"), F.md5(w)))
+            .otherwise(F.lit("")).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    docs = t(spark, sf, "documents").select("doc_id", spans.alias("spans"))
+    return M.caption_candidates(docs)
+
+
+# q57 source gate: testdata has no exact-duplicate texts, so a
+# deterministic syndication layer (25% of docs per the md5 coin become
+# their source's 50-word boilerplate — the SAME expression in the
+# oracle) gives the dup-fraction gate real signal; thresholds chosen so
+# BOTH gates fire independently at sf0.01 (src19 fails mean-length
+# only, src1 fails dup-fraction only).
+_SRC_MIN_MEAN_WORDS, _SRC_MAX_DUP_FRAC = 52, "0.12"
+
+
+def q57_source_gate(spark, sf):
+    """Source-level reputation gate: drop whole sources whose mean doc
+    length is too low or whose within-source exact-dup fraction is too
+    high (the domain-level filter per-doc gates can't express). Two
+    combinable aggs + an O(#sources) broadcast join-back."""
+    did = F.col("doc_id")
+    coin = F.substring(F.md5(F.concat(F.lit("dup"), did.cast("string"))), 1, 1)
+    boiler = F.concat(
+        F.repeat(F.lit("syndicated boilerplate "), 24),
+        F.lit("from "), F.col("source"),
+    )
+    injected = t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(coin.isin("0", "1", "2", "3"), boiler).otherwise(F.col("text")),
+    )
+    return X.source_reputation_gate(
+        injected,
+        min_mean_words=_SRC_MIN_MEAN_WORDS,
+        max_dup_frac=_SRC_MAX_DUP_FRAC,
+    )
+
+
+# per-source token budgets: src0 exceeds its source's total (~1.4k
+# tokens at sf0.01 — keeps everything), src1/src2 cut at different
+# depths, every other source fills the 400-token default
+_MIX_BUDGETS = {"src0": 4000, "src1": 700, "src2": 150}
+
+
+def q58_token_budget_mix(spark, sf):
+    """Token-budget mixture construction: per source, keep documents in
+    deterministic md5 order until the source's token budget fills (≤1
+    doc overflow, the packing rule). Keyed two-level cumsum — never a
+    single-task global window."""
+    return SA.token_budget_sample(
+        t(spark, sf, "documents"), _MIX_BUDGETS,
+        default_budget=400, salt="budget",
+    )
+
+
+def q59_interleave_stats(spark, sf):
+    """Per-doc interleaving profile (span counts, media fraction, first
+    media offset) over the same deterministic span lift as q56 — the
+    gate signals for multimodal context shaping. Zero shuffles."""
+    is_media = lambda i: (i % 7).isin(3, 4)  # noqa: E731
+    spans = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w, i: F.struct(
+            F.when(is_media(i), F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            w.alias("text"),
+            F.when(is_media(i), F.concat(F.lit("m-"), F.md5(w)))
+            .otherwise(F.lit("")).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    docs = t(spark, sf, "documents").select("doc_id", spans.alias("spans"))
+    return M.interleave_stats(docs)
+
+
+def q60_cross_source_neardup(spark, sf):
+    """Cross-source NEAR-duplicate source pairs: the full
+    MinHash→LSH→Jaccard near-dup pipeline (q23/q24's banding and verify,
+    same parameters so the oracle reuses the shared CTE chain)
+    restricted to pairs from DIFFERENT sources, one row per unordered
+    source pair. Extends q51's exact-segment overlap to lightly-
+    rewritten mirrors. Candidate-bounded everywhere — the cross-source
+    filter runs on the capped LSH candidates, never on all pairs."""
+    return SC.cross_source_neardup(
+        t(spark, sf, "documents"), min_jaccard=0.5,
+        n_hashes=8, band_size=2, sig_k=2, verify_k=3,
+        max_bucket=_MAX_BUCKET,
+    )
+
+
 def q49_lm_score(spark, sf):
     """Unigram-LM quality score (mean negative log-likelihood in nats
     under the corpus's own unigram distribution) — the cheap perplexity
@@ -1331,3 +1440,121 @@ ORACLE_SQL["q55_corpus_build"] = f"""
     SELECT doc_id, chunk_id, n_words, chunk_hash,
            CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
     FROM packed"""
+
+# q56: the same deterministic span lift (word index ≡ 3 or 4 mod 7 ⇒
+# media), then nearest-text-span selection via two IGNORE NULLS
+# running-value windows per document — the SQL mirror of
+# caption_candidates
+ORACLE_SQL["q56_caption_align"] = """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, t.i AS off, ws[t.i + 1] AS w
+            FROM s, unnest(range(len(ws))) t(i)),
+    lab AS (SELECT doc_id, off, w,
+                   CASE WHEN off % 7 IN (3, 4) THEN 'media' ELSE 'text' END AS kind
+            FROM tok),
+    j AS (SELECT doc_id, off, w, kind,
+            last_value(CASE WHEN kind = 'text' THEN off END IGNORE NULLS)
+                OVER prevw AS poff,
+            last_value(CASE WHEN kind = 'text' THEN w END IGNORE NULLS)
+                OVER prevw AS ptxt,
+            first_value(CASE WHEN kind = 'text' THEN off END IGNORE NULLS)
+                OVER nextw AS noff,
+            first_value(CASE WHEN kind = 'text' THEN w END IGNORE NULLS)
+                OVER nextw AS ntxt
+          FROM lab
+          WINDOW prevw AS (PARTITION BY doc_id ORDER BY off
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 nextw AS (PARTITION BY doc_id ORDER BY off
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT doc_id, 'm-' || md5(w) AS media_ref, CAST(off AS INT) AS media_offset,
+           CASE WHEN poff IS NOT NULL AND (noff IS NULL OR off - poff <= noff - off)
+                THEN ptxt ELSE ntxt END AS caption,
+           CAST(CASE WHEN poff IS NOT NULL
+                          AND (noff IS NULL OR off - poff <= noff - off)
+                THEN poff ELSE noff END AS INT) AS caption_offset,
+           CAST(CASE WHEN poff IS NOT NULL
+                          AND (noff IS NULL OR off - poff <= noff - off)
+                THEN off - poff ELSE noff - off END AS INT) AS distance
+    FROM j WHERE kind = 'media' AND (poff IS NOT NULL OR noff IS NOT NULL)"""
+
+# q57: the same dup-injection layer, then the two-level dup count
+# (GROUP BY (source, text-hash) → GROUP BY source) and the exact
+# integer keep rule (Fraction 0.12 = 3/25 cross-multiplied)
+ORACLE_SQL["q57_source_gate"] = f"""
+    WITH inj AS (SELECT doc_id, source,
+            CASE WHEN substr(md5('dup' || CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2', '3')
+                 THEN repeat('syndicated boilerplate ', 24) || 'from ' || source
+                 ELSE text END AS text
+          FROM documents),
+    pt AS (SELECT source, md5(text) AS th, count(*) AS n,
+                  sum(len(string_split(text, ' '))) AS wsum
+           FROM inj GROUP BY source, md5(text)),
+    rep AS (SELECT source, sum(n) AS src_n_docs, sum(wsum) AS words,
+                   count(*) AS dist
+            FROM pt GROUP BY source),
+    g AS (SELECT source, CAST(src_n_docs AS BIGINT) AS src_n_docs,
+                 round(words::DOUBLE / src_n_docs, 4) AS src_mean_words,
+                 round((src_n_docs - dist)::DOUBLE / src_n_docs, 4)
+                     AS src_dup_frac,
+                 (words >= {_SRC_MIN_MEAN_WORDS} * src_n_docs)
+                 AND ((src_n_docs - dist) * {Fraction(_SRC_MAX_DUP_FRAC).denominator}
+                      <= {Fraction(_SRC_MAX_DUP_FRAC).numerator} * src_n_docs)
+                     AS keep
+          FROM rep)
+    SELECT d.doc_id, d.source, g.src_n_docs, g.src_mean_words,
+           g.src_dup_frac, g.keep
+    FROM documents d JOIN g USING (source)"""
+
+# q58: one window-function running sum per source in md5 order — the
+# oracle form of the keyed two-level cumsum; keep iff the tokens
+# BEFORE the doc are under its source's budget
+ORACLE_SQL["q58_token_budget_mix"] = f"""
+    WITH ord AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                        md5('budget' || CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                     PARTITION BY source ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM ord)
+    SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+    FROM c
+    WHERE cum_before < CASE source
+        {' '.join(f"WHEN '{s}' THEN {b}" for s, b in sorted(_MIX_BUDGETS.items()))}
+        ELSE 400 END"""
+
+# q59: the q56 span lift reduced to per-doc aggregates (offset ≡ 3 or 4
+# mod 7 ⇒ media span)
+ORACLE_SQL["q59_interleave_stats"] = """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, t.i AS off FROM s, unnest(range(len(ws))) t(i)),
+    agg AS (SELECT doc_id, count(*) AS n_spans,
+                   sum(CASE WHEN off % 7 IN (3, 4) THEN 1 ELSE 0 END) AS n_media,
+                   min(CASE WHEN off % 7 IN (3, 4) THEN off END) AS fmo
+            FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST(n_spans AS INT) AS n_spans,
+           CAST(n_media AS INT) AS n_media,
+           round(n_media::DOUBLE / greatest(n_spans, 1), 4) AS media_frac,
+           CAST(fmo AS INT) AS first_media_offset
+    FROM agg"""
+
+# q60: q40's verified near-dup pairs (shared _LSH_CAND_SETS chain,
+# round(·,6) ≥ 0.5) restricted to cross-source pairs, counted per
+# unordered source pair
+ORACLE_SQL["q60_cross_source_neardup"] = "WITH " + _LSH_CAND_SETS + """,
+    ver AS (SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sets a ON a.doc_id = c.id_a
+            JOIN sets b ON b.doc_id = c.id_b
+            WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5)
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_neardup_pairs
+    FROM ver v JOIN documents da ON da.doc_id = v.id_a
+               JOIN documents db ON db.doc_id = v.id_b
+    WHERE da.source <> db.source
+    GROUP BY 1, 2"""

@@ -15,9 +15,12 @@ implements RFC 9309 §2.2.2:
 - ``*`` wildcards and the ``$`` end-anchor inside patterns;
 - longest-match-wins precedence (most octets in the matched pattern),
   with Allow winning exact-length ties;
-- groups merge: every group whose User-agent set contains ``*``
-  contributes rules (RFC 9309 §2.2.1 — rules of matching groups are
-  combined, not last-one-wins);
+- named-agent group selection (RFC 9309 §2.2.1): the crawler's product
+  token picks the most specific matching User-agent group (longest
+  prefix match, exact match being the longest possible prefix), falling
+  back to the ``*`` groups; every group carrying the winning value
+  contributes rules (rules of matching groups are combined, not
+  last-one-wins);
 - the de-facto ``Crawl-delay:`` extension is parsed per host and
   carried on the dispatch rows so the fetchers' per-host token buckets
   honor it (max of the configured politeness delay and the host's own).
@@ -41,18 +44,25 @@ from .schemas import ROBOTS, ROBOTS_RULE
 from .util import local_df
 
 
-def parse_robots_txt(body: str) -> dict:
-    """Parse a robots.txt body into the rules that apply to ``*``
-    agents: {"rules": [(allow: bool, pattern: str), ...],
-    "crawl_delay": float | None}. Rule order is file order (precedence
-    is by pattern length at match time, so order doesn't matter
-    semantically). Empty Allow/Disallow values are no-ops (RFC 9309:
-    an empty Disallow means allow-all)."""
+def _parse_groups(body: str) -> list[tuple[list[str], list, float | None]]:
+    """First pass: split a robots.txt body into its groups —
+    (user-agent values, [(allow, pattern), ...], crawl_delay) per group.
+    A group is a run of consecutive User-agent lines followed by its
+    rule lines (RFC 9309 §2.1). Empty Allow/Disallow values are no-ops
+    (an empty Disallow means allow-all)."""
+    groups: list[tuple[list[str], list, float | None]] = []
+    uas: list[str] = []
     rules: list[tuple[bool, str]] = []
     delay: float | None = None
-    group_uas: list[str] = []
     in_group_header = False  # inside a run of consecutive User-agent lines
-    applies = False
+    started = False
+
+    def flush():
+        nonlocal uas, rules, delay
+        if started:
+            groups.append((uas, rules, delay))
+        uas, rules, delay = [], [], None
+
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -61,14 +71,14 @@ def parse_robots_txt(body: str) -> dict:
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
             if not in_group_header:  # a new group starts
-                group_uas = []
+                flush()
+                started = True
                 in_group_header = True
-            group_uas.append(val.lower())
-            applies = "*" in group_uas
+            uas.append(val.lower())
             continue
         in_group_header = False
-        if not applies:
-            continue
+        if not started:
+            continue  # rule lines before any User-agent line: no group
         if key == "disallow" and val:
             rules.append((False, val))
         elif key == "allow" and val:
@@ -79,6 +89,46 @@ def parse_robots_txt(body: str) -> dict:
             except ValueError:
                 continue
             delay = d if delay is None else max(delay, d)
+    flush()
+    return groups
+
+
+def parse_robots_txt(body: str, agent: str = "*") -> dict:
+    """Parse a robots.txt body into the rules that apply to ``agent``:
+    {"rules": [(allow: bool, pattern: str), ...],
+    "crawl_delay": float | None}.
+
+    Group selection (RFC 9309 §2.2.1, with the de-facto most-specific
+    extension every major crawler implements): a named User-agent value
+    matches when it equals the agent's product token or is a prefix of
+    it (case-insensitive) — e.g. ``googlebot`` applies to agent
+    ``googlebot-news``. Among matching named values the LONGEST wins
+    (exact match is the longest possible prefix, so RFC exact-match
+    semantics are a special case), and ALL groups carrying that winning
+    value are combined (RFC: rules of matching groups MUST be merged).
+    If no named value matches — or ``agent`` is ``"*"``, the default —
+    the ``*`` groups apply.
+
+    Rule order is file order (precedence is by pattern length at match
+    time, so order doesn't matter semantically)."""
+    groups = _parse_groups(body)
+    token = agent.lower()
+    winner: str | None = None  # longest named UA value matching the token
+    if token != "*":
+        for uas, _, _ in groups:
+            for v in uas:
+                if v and v != "*" and token.startswith(v):
+                    if winner is None or len(v) > len(winner):
+                        winner = v
+    rules: list[tuple[bool, str]] = []
+    delay: float | None = None
+    for uas, grules, gdelay in groups:
+        applies = (winner in uas) if winner is not None else ("*" in uas)
+        if not applies:
+            continue
+        rules.extend(grules)
+        if gdelay is not None:
+            delay = gdelay if delay is None else max(delay, gdelay)
     return {"rules": rules, "crawl_delay": delay}
 
 
@@ -185,10 +235,13 @@ _PARSED = T.StructType(
 )
 
 
-def robots_from_bodies(bodies: DataFrame, epoch: int = 0) -> DataFrame:
+def robots_from_bodies(bodies: DataFrame, epoch: int = 0,
+                       agent: str = "*") -> DataFrame:
     """Parse fetched robots.txt bodies into the broadcastable cache
     table — rule extraction runs vectorized (one Arrow batch per task).
-    bodies: DataFrame[host, body]."""
+    bodies: DataFrame[host, body]. ``agent`` is the crawler's product
+    token: named robots groups matching it take precedence over the
+    ``*`` groups (RFC 9309 §2.2.1; see parse_robots_txt)."""
 
     @F.pandas_udf(_PARSED)
     def parse(bod: pd.Series) -> pd.DataFrame:
@@ -200,7 +253,7 @@ def robots_from_bodies(bodies: DataFrame, epoch: int = 0) -> DataFrame:
                 rules.append([])
                 delays.append(None)
                 continue
-            p = parse_robots_txt(b)
+            p = parse_robots_txt(b, agent=agent)
             rules.append(
                 [{"allow": a, "pattern": pat} for a, pat in p["rules"]]
             )

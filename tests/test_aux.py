@@ -143,6 +143,48 @@ def test_parse_robots_allow_groups_and_delay():
     assert got["crawl_delay"] == 2.5
 
 
+def test_parse_robots_named_agent_groups():
+    """RFC 9309 §2.2.1 named-agent selection: the crawler's product
+    token picks the most specific matching UA group (longest prefix,
+    exact match included); all groups carrying the winning value merge;
+    no named match ⇒ the * groups apply."""
+    body = """
+    User-agent: googlebot-news
+    Disallow: /news-only
+    Crawl-delay: 7
+
+    User-agent: googlebot
+    Disallow: /google-only
+
+    User-agent: *
+    Disallow: /private
+    Crawl-delay: 2
+
+    User-agent: googlebot-news
+    Allow: /news-ok
+    """
+    # exact token: both googlebot-news groups merge, * excluded
+    got = parse_robots_txt(body, agent="googlebot-news")
+    assert got["rules"] == [(False, "/news-only"), (True, "/news-ok")]
+    assert got["crawl_delay"] == 7.0
+    # prefix (de-facto most-specific): googlebot-image falls to googlebot
+    got = parse_robots_txt(body, agent="Googlebot-Image")
+    assert got["rules"] == [(False, "/google-only")]
+    assert got["crawl_delay"] is None
+    # unknown token ⇒ * group
+    got = parse_robots_txt(body, agent="crabbot")
+    assert got["rules"] == [(False, "/private")]
+    assert got["crawl_delay"] == 2.0
+    # default agent is * — legacy behavior unchanged
+    assert parse_robots_txt(body)["rules"] == [(False, "/private")]
+    # longest prefix beats shorter: googlebot-newsfeed → googlebot-news
+    got = parse_robots_txt(body, agent="googlebot-newsfeed")
+    assert got["rules"] == [(False, "/news-only"), (True, "/news-ok")]
+    # named group does NOT inherit * rules (RFC: the matched group only)
+    assert (False, "/private") not in parse_robots_txt(
+        body, agent="googlebot")["rules"]
+
+
 def test_robots_longest_match_wins():
     """RFC 9309 §2.2.2 precedence: most octets wins; Allow wins an
     exact-length tie; * and $ pattern forms; no match ⇒ allowed."""
@@ -410,6 +452,28 @@ def test_robots_from_bodies_roundtrip(spark):
     flags = {r["url"]: r["robots_ok"] for r in with_robots_flag(batch, robots).collect()}
     assert flags == {"http://a.com/private/x": False, "http://a.com/ok": True,
                      "http://b.com/anything": True, "http://c.com/x": True}
+
+
+def test_robots_from_bodies_named_agent(spark):
+    """agent= plumbs through the vectorized parse: a configured crawler
+    UA picks its own group (crawl-delay included) and ignores *."""
+    from crab_spark.robots import ROBOTS_BODY, robots_from_bodies
+
+    body = ("User-agent: crabbot\nDisallow: /crab-only\nCrawl-delay: 9\n\n"
+            "User-agent: *\nDisallow: /private\n")
+    bodies = spark.createDataFrame(
+        [("a.com", body), ("b.com", "User-agent: *\nDisallow: /x\n")],
+        ROBOTS_BODY,
+    )
+    got = {r["host"]: ([(x["allow"], x["pattern"]) for x in r["rules"]],
+                       r["crawl_delay"])
+           for r in robots_from_bodies(bodies, agent="crabbot").collect()}
+    assert got["a.com"] == ([(False, "/crab-only")], 9.0)
+    assert got["b.com"] == ([(False, "/x")], None)  # falls back to *
+    # default agent stays on legacy * behavior
+    star = {r["host"]: [(x["allow"], x["pattern"]) for x in r["rules"]]
+            for r in robots_from_bodies(bodies).collect()}
+    assert star["a.com"] == [(False, "/private")]
 
 
 def test_fetch_robots_http_via_file_urls(spark, tmp_path):

@@ -908,3 +908,113 @@ def test_new_op_plan_contracts(spark, sf_dir):
     # for a scalar attach; the forbidden shape is a true CartesianProduct
     # (both sides row-scale)
     assert "CartesianProduct" not in formatted_plan(X.tfidf_topk(docs))
+
+
+def test_caption_candidates_planted(spark):
+    """Interleaved alignment over hand-built spans: preceding text wins
+    ties, the nearer side wins otherwise, forward reach works when no
+    text precedes, and media in text-free documents is dropped."""
+    from crab_spark.schemas import DOCUMENTS
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        # d1: media at 1 → nearer prev 'a'; media at 2 → nearer next 'b'
+        ("d1", [sp("text", "a", "", 0), sp("media", "", "m1", 1),
+                sp("media", "", "m2", 2), sp("text", "b", "", 3)], 0),
+        # d2: exact tie (1 away both sides) → PRECEDING 'x' wins
+        ("d2", [sp("text", "x", "", 0), sp("media", "", "m3", 1),
+                sp("text", "y", "", 2)], 0),
+        # d3: media first, text only ahead → forward caption 'z'
+        ("d3", [sp("media", "", "m4", 0), sp("text", "z", "", 2)], 0),
+        # d4: no text span at all → no candidate emitted
+        ("d4", [sp("media", "", "m5", 0), sp("media", "", "m6", 1)], 0),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS)
+    got = {r["media_ref"]: r for r in M.caption_candidates(docs).collect()}
+    assert set(got) == {"m1", "m2", "m3", "m4"}
+    assert (got["m1"]["caption"], got["m1"]["distance"]) == ("a", 1)
+    assert (got["m2"]["caption"], got["m2"]["distance"]) == ("b", 1)
+    assert (got["m3"]["caption"], got["m3"]["caption_offset"]) == ("x", 0)
+    assert (got["m4"]["caption"], got["m4"]["distance"]) == ("z", 2)
+
+
+def test_source_reputation_gate_planted(spark):
+    """Each gate fires independently: 'dupey' fails only the dup
+    fraction, 'short' fails only the mean length, 'good' passes both;
+    and the per-source join-back is broadcast."""
+    from crab_spark.plans import assert_broadcast_join
+
+    long = "one two three four five six seven eight"
+    rows = (
+        [(i, "good", long + f" unique{i}") for i in range(3)]
+        + [(10, "dupey", long), (11, "dupey", long), (12, "dupey", long),
+           (13, "dupey", long + " extra")]      # 2 dups of 4 → 0.5
+        + [(20, "short", "tiny text"), (21, "short", "also tiny")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = X.source_reputation_gate(docs, min_mean_words=5, max_dup_frac="0.2")
+    assert_broadcast_join(out)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["keep"] and got[0]["src_n_docs"] == 3
+    assert not got[10]["keep"] and abs(got[10]["src_dup_frac"] - 0.5) < 1e-9
+    assert got[10]["src_mean_words"] > 5           # fails ONLY on dups
+    assert not got[20]["keep"] and got[20]["src_dup_frac"] == 0.0
+    assert got[20]["src_mean_words"] == 2.0        # fails ONLY on length
+    assert len(got) == 9                           # one row per document
+
+
+def test_token_budget_sample_planted(spark):
+    """Greedy per-source budget fill in md5 order: keep iff tokens
+    BEFORE the doc are under budget (≤1-doc overflow), absent sources
+    take the default (0 = excluded); cum_before matches a from-scratch
+    Python replay of the same definition."""
+    import hashlib
+
+    from crab_spark.operators import sampling as SA2
+
+    rows = [(i, "s", " ".join(["w"] * 10)) for i in range(5)]          # 10 tokens
+    rows += [(10 + i, "t", " ".join(["w"] * 7)) for i in range(3)]     # 7 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = SA2.token_budget_sample(
+        docs, {"s": 25, "t": 7}, default_budget=0, salt="b",
+    ).collect()
+    got = {r["doc_id"]: r["cum_before"] for r in out}
+    # python replay: md5('b'||id) order within source, running sum rule
+    def replay(ids, per, budget):
+        order = sorted(ids, key=lambda i: hashlib.md5(f"b{i}".encode()).hexdigest())
+        cum, keep = 0, {}
+        for i in order:
+            if cum < budget:
+                keep[i] = cum
+            cum += per
+        return keep
+    want = replay(range(5), 10, 25) | replay(range(10, 13), 7, 7)
+    assert got == want
+    # budget 25 over 10-token docs keeps exactly 3 (cum_before 0,10,20)
+    assert sorted(v for k, v in got.items() if k < 5) == [0, 10, 20]
+    # budget == one doc's tokens keeps exactly the first 't' doc
+    assert sorted(v for k, v in got.items() if k >= 10) == [0]
+
+
+def test_cross_source_neardup_planted(spark):
+    """Near-identical docs in DIFFERENT sources count; the same pair
+    within ONE source is excluded; an unrelated doc pairs with nobody.
+    Base text is long enough that one swapped word keeps Jaccard ≥ 0.5
+    while distinct texts share no shingles."""
+    from crab_spark.operators import scrub as SC
+
+    base = " ".join(f"w{i}" for i in range(20))
+    near = base.replace("w19", "zz")                 # jaccard 17/19 ≈ 0.89
+    rows = [
+        (0, "A", base),
+        (1, "B", near),                              # cross-source near-dup
+        (2, "B", base),                              # near-dup of 0 AND 1
+        (3, "C", "entirely unrelated words only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["source_a"], r["source_b"]): r["n_neardup_pairs"]
+           for r in SC.cross_source_neardup(docs).collect()}
+    # pairs: (0,1) A-B, (0,2) A-B count; (1,2) is within B — excluded
+    assert got == {("A", "B"): 2}
