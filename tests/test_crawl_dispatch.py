@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from crab_spark import corpus as C
 from crab_spark.crawler import CorpusFetcher, crawl
 from crab_spark.frontier import pending, seed_frontier
-from crab_spark.oracle import run_oracle
+from crab_spark.crawl_oracle import run_oracle
 from crab_spark.parsers import load_registry
 from crab_spark.parsers import data as parser_data
 from crab_spark.parsers import listing as parser_listing
