@@ -163,12 +163,30 @@ def register(
     # the hash is the partitioner, the full string is the identity — a
     # 64-bit collision must not merge two distinct URLs (the reference's
     # UNIQUE index compares strings; at 10^10 URLs a few 64-bit
-    # collisions are statistically expected)
-    w = Window.partitionBy("url_hash", "url").orderBy("parent_pos", "link_idx")
+    # collisions are statistically expected). First-wins = min over
+    # struct(parent_pos, link_idx, ...): (parent_pos, link_idx) is
+    # unique per candidate row (one row per link slot), so the struct's
+    # lexicographic min IS the first occurrence — expressed as a
+    # map-combinable groupBy, not a window, because crawl batches are
+    # duplicate-heavy (every page links the shared nav set) and the
+    # partial agg collapses dups map-side before the shuffle; a window
+    # would shuffle + sort every candidate row and hot-key on
+    # boilerplate URLs (same restructure as scrub.paragraph_dedup).
     cands = (
-        cands.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        cands.groupBy("url_hash", "url")
+        .agg(
+            F.min(
+                F.struct("parent_pos", "link_idx", "type_id", "depth")
+            ).alias("_f")
+        )
+        .select(
+            "url_hash",
+            "url",
+            F.col("_f.type_id").alias("type_id"),
+            F.col("_f.depth").alias("depth"),
+            F.col("_f.parent_pos").alias("parent_pos"),
+            F.col("_f.link_idx").alias("link_idx"),
+        )
         .withColumn("part", F.pmod(F.col("url_hash"), F.lit(N_BUCKETS)).cast("int"))
     )
 
