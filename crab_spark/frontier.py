@@ -589,9 +589,17 @@ def dequeue(
                 .select("url_hash", "url")
             )
             head = frontier.join(done, ["url_hash", "url"], "left_anti")
-    if batch_size <= TAKE_ORDERED_MAX_K:
+    # Strategy pick on the EFFECTIVE k — min(batch, actual pending) —
+    # not the nominal batch size: a crawl's first/last epochs (and any
+    # drain-down) have tiny heads, and the two-pass range index costs an
+    # extra job barrier the TakeOrderedAndProject path doesn't. The
+    # counts only steer the physical strategy; both paths return the
+    # same rows (limit stays batch_size), so a stale count can never
+    # change the batch.
+    n_pending = sum((prio_counts if by_priority else depth_counts).values())
+    if min(batch_size, n_pending) <= TAKE_ORDERED_MAX_K:
         topk = head.orderBy(*keys).limit(batch_size)
-        w = Window.orderBy(*keys)  # over ≤ batch_size rows — one tiny task
+        w = Window.orderBy(*keys)  # over ≤ k_eff rows — one tiny task
         return topk.withColumn("pos", F.row_number().over(w).cast("long"))
     # epoch-scale k: TakeOrderedAndProject would merge k×partitions rows
     # on the driver — use the two-pass range index over the (already
