@@ -159,18 +159,28 @@ N→4N = (thr_4N / thr_N) / 4 = {eff:.2f}** (north_rule target: ≥ 0.8).
     # THIS n_pages, keep every other job size's table (the efficiency
     # curve is a function of job size — both points are evidence).
     if os.path.exists(bench_md):
-        parts = open(bench_md).read().split("\n## Measured scaling")
+        # Split on EVERY section header, not just "Measured scaling"
+        # ones: splitting on the latter makes each blob run until the
+        # NEXT Measured-scaling header, so dropping a blob silently
+        # swallowed every unrelated section that followed it (this ate
+        # the n_pages=3000 amortization section once). Only a
+        # Measured-scaling section for THIS job size is replaced; every
+        # other section survives verbatim, in order.
+        parts = open(bench_md).read().split("\n## ")
         kept = [parts[0].rstrip()]
         for sec in parts[1:]:
             header = sec.split("\n", 1)[0]
-            same_size = f"n_pages={n_pages})" in header
+            is_scaling = header.startswith("Measured scaling")
+            same_size = is_scaling and f"n_pages={n_pages})" in header
             # pre-job-size-label sections were all measured at the old
             # default job size (1000 pages): treat them as n_pages=1000 —
             # replaced only when re-measuring THAT size, never silently
             # dropped by a run at a different size
-            legacy_same = "n_pages=" not in header and n_pages == 1000
+            legacy_same = (
+                is_scaling and "n_pages=" not in header and n_pages == 1000
+            )
             if not (same_size or legacy_same):
-                kept.append("\n## Measured scaling" + sec.rstrip())
+                kept.append("\n## " + sec.rstrip())
         prev = "\n".join(kept) + "\n"
     else:
         prev = "# BENCH — crawl engine measurements\n"
