@@ -428,13 +428,18 @@ def crawl(
     the post-crash pending set would change the batch and overwrite the
     epoch's committed registrations with different rows).
 
-    ``compact_threshold``: when the frontier's live delta-dir count
-    exceeds this, the crawl folds them into one compacted snapshot
-    before the epoch starts (never on a crashed-epoch re-run) — the
-    partitioned frontier read unions per-dir scans, so unbounded delta
-    drip would grow plan/listing cost linearly with epochs. None
-    disables (e.g. when an external Iceberg-style rewrite service owns
-    compaction).
+    ``compact_threshold``: when the frontier's (or fetched log's) live
+    delta-dir count exceeds this, the crawl folds that table into one
+    compacted snapshot before the epoch starts (never on a crashed-epoch
+    re-run) — the partitioned frontier read unions per-dir scans, and
+    the fetched log drips one done-* dir per epoch even after the
+    frontier stabilizes, so unbounded delta drip would grow plan/listing
+    cost linearly with epochs. Each fold sorts to preserve its
+    consumers' row-group pruning (frontier by depth; fetched by (depth,
+    epoch): within a depth run epochs stay ascending, so both the BFS
+    depth cutoff and priority mode's epoch>r suffix read keep pruning).
+    None disables (e.g. when an external Iceberg-style rewrite service
+    owns compaction).
 
     Crash-resume contract: an epoch's writes commit in the order
     documents → register → metrics → fetched; the fetched append is the
@@ -606,6 +611,24 @@ def crawl(
                 bloom_mod.rewrite_covered(
                     bloom_path, set(store.historic_tags("frontier"))
                 )
+        if (compact_threshold and not rerun and store.exists("fetched")
+                and len(store.tags("fetched")) > compact_threshold):
+            # the fetched log drips one done-* dir per epoch too — and
+            # keeps dripping after the frontier stabilizes (late epochs
+            # register 0 new URLs but still resolve rows), so its
+            # trigger is independent of the frontier's. dequeue
+            # anti-joins fetched EVERY epoch (depth-pruned) and priority
+            # mode folds its epoch>r suffix; at 10^6 epochs the
+            # per-epoch file listing alone is O(epochs) without folding.
+            # Same snapshot-swap rewrite; resume is immune because
+            # _resume_epoch derives from historic_tags, which keep the
+            # collapsed done-* tags visible. Sorting (depth, epoch)
+            # preserves BOTH consumers' row-group pruning.
+            store.compact(
+                "fetched",
+                n_files=max(1, (max_seq + 1) // 500_000 + 1),
+                sort_within=["depth", "epoch"],
+            )
         if (host_budget is not None and not rerun
                 and (stats.epochs % max(rescore_every, 1)) == 0):
             # priority mode: refresh the host-budget scoring snapshot

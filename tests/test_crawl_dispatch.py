@@ -300,8 +300,13 @@ def test_auto_compaction_bounds_dirs_and_preserves_state(spark, store, registry)
     fetcher = CorpusFetcher(_corpus(spark))
     crawl(store, fetcher, registry, batch_size=10, compact_threshold=3)
     assert len(store._read_manifest("frontier")["dirs"]) <= 5
+    # the fetched log is folded at the same threshold (dequeue anti-joins
+    # it every epoch; without folding its listing grows one dir/epoch)
+    assert len(store._read_manifest("fetched")["dirs"]) <= 5
     got = {r["url"]: (r["seq"], r["depth"], r["type_id"])
            for r in store.read("frontier").collect()}
+    got_f = {(r["url_hash"], r["url"], r["depth"], r["epoch"], r["reason"])
+             for r in store.read("fetched").collect()}
 
     store2 = type(store)(store.root.parent / "wh-nocompact", spark)
     _seed(spark, store2)
@@ -309,8 +314,41 @@ def test_auto_compaction_bounds_dirs_and_preserves_state(spark, store, registry)
     want = {r["url"]: (r["seq"], r["depth"], r["type_id"])
             for r in store2.read("frontier").collect()}
     assert got == want
+    want_f = {(r["url_hash"], r["url"], r["depth"], r["epoch"], r["reason"])
+              for r in store2.read("fetched").collect()}
+    assert got_f == want_f
 
     # resume on the compacted store: the sidecar's covered set was
     # re-baselined at compaction time, so this is a clean no-op
     s2 = crawl(store, fetcher, registry, batch_size=10, compact_threshold=3)
+    assert s2.requests == 0
+
+
+def test_priority_mode_crawl_order_survives_compaction(spark, store, registry):
+    """Priority mode's scored_head folds the fetched epoch>r suffix and
+    the since-rescore frontier deltas; in-crawl compaction collapses
+    both tables' delta dirs mid-crawl (rescore_every=2 forces rescores
+    to interleave with folds). The dequeue ORDER — not just the final
+    set — must match an uncompacted priority run, and resume must stay
+    a no-op."""
+    _seed(spark, store)
+    fetcher = CorpusFetcher(_corpus(spark))
+    stats = crawl(store, fetcher, registry, batch_size=10, host_budget=4,
+                  rescore_every=2, compact_threshold=3, record_order=True)
+    assert len(store._read_manifest("frontier")["dirs"]) <= 5
+    assert len(store._read_manifest("fetched")["dirs"]) <= 5
+
+    store2 = type(store)(store.root.parent / "wh-prio-nocompact", spark)
+    _seed(spark, store2)
+    want = crawl(store2, fetcher, registry, batch_size=10, host_budget=4,
+                 rescore_every=2, compact_threshold=None, record_order=True)
+    assert stats.crawl_order == want.crawl_order
+    got = {r["url"]: (r["seq"], r["depth"])
+           for r in store.read("frontier").collect()}
+    exp = {r["url"]: (r["seq"], r["depth"])
+           for r in store2.read("frontier").collect()}
+    assert got == exp
+
+    s2 = crawl(store, fetcher, registry, batch_size=10, host_budget=4,
+               rescore_every=2, compact_threshold=3)
     assert s2.requests == 0
