@@ -193,6 +193,49 @@ def test_dequeue_head_scan_survives_sorted_compaction(spark, store):
     assert all("LessThanOrEqual(depth,1)" in l for l in pushed), pushed
 
 
+def test_fetched_fold_keeps_both_consumers_pruning(spark, store):
+    """r5: the fetched log folds at the same compact_threshold as the
+    frontier, sorted (depth, epoch). Physical contract: within each
+    rewritten file depth runs are ascending and epochs ascend inside a
+    depth run — so the BFS dequeue's depth cutoff AND priority mode's
+    epoch>r suffix read both keep row-group MIN/MAX pruning. Plan
+    contract: post-fold, the dequeue's depth predicate still reaches
+    the fetched parquet scan."""
+    import pyarrow.parquet as pq
+
+    for e, d in enumerate(range(4)):
+        fr.register(
+            store,
+            _cands(spark, [(f"http://h/{d}/{i}", 1, d, 0, i) for i in range(10)]),
+            epoch=e + 1,
+        )
+    # resolve depths 0 and 1 across two epochs each (4 done-* deltas)
+    for e, d in [(1, 0), (2, 0), (3, 1), (4, 1)]:
+        half = store.read("frontier").filter(
+            (F.col("depth") == d) & (F.col("seq") % 2 == e % 2))
+        fr.mark_fetched(store, half, epoch=e)
+    assert store.compact("fetched", n_files=1,
+                         sort_within=["depth", "epoch"]) == 4
+
+    files = list((store.root / "fetched").glob("snap-compact-*/**/*.parquet"))
+    assert files
+    for f in files:
+        rows = pq.read_table(f, columns=["depth", "epoch"])
+        pairs = list(zip(rows["depth"].to_pylist(), rows["epoch"].to_pylist()))
+        assert pairs == sorted(pairs), f
+    # rows survived the fold exactly
+    assert store.read("fetched").count() == 20
+
+    batch = fr.dequeue(store, batch_size=5)
+    assert batch.count() == 5
+    plan = batch._sc._jvm.PythonSQLUtils.explainString(
+        batch._jdf.queryExecution(), "formatted"
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert len(pushed) >= 2  # frontier scan + post-fold fetched scan
+    assert all("LessThanOrEqual(depth," in l for l in pushed), pushed
+
+
 def test_register_seen_side_is_pruned_and_streamed(spark, store):
     """r3 scale contract for register (the r2 verdict's top item):
     (a) frontier appends are Hive-partitioned by `part`, so the
