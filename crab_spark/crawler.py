@@ -439,7 +439,12 @@ def crawl(
     epoch): within a depth run epochs stay ascending, so both the BFS
     depth cutoff and priority mode's epoch>r suffix read keep pruning).
     None disables (e.g. when an external Iceberg-style rewrite service
-    owns compaction).
+    owns compaction). ``documents`` and ``metrics`` also drip one delta
+    dir per epoch but are deliberately NOT folded in-crawl: nothing in
+    the epoch loop reads them (docs are parsed in-task, metrics are
+    dashboard-only), documents folds would rewrite payload bytes every
+    threshold epochs, and the offline ``cli compact`` / an Iceberg
+    rewrite service own their maintenance.
 
     Crash-resume contract: an epoch's writes commit in the order
     documents → register → metrics → fetched; the fetched append is the
