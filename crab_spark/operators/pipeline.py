@@ -93,7 +93,13 @@ def corpus_build(
     to unpersist after their terminal action.
     """
     did = F.col(id_col)
-    bench = SA.hash_sample(docs, bench_rate, key_col=id_col, salt=bench_salt)
+    # project the benchmark side to the pipeline's internal "text"
+    # column up front — every later stage (incl. the contamination
+    # gate's benchmark_shingles) reads "text", regardless of the
+    # caller's text_col
+    bench = SA.hash_sample(docs, bench_rate, key_col=id_col, salt=bench_salt).select(
+        did, F.col(text_col).alias("text")
+    )
     corpus = docs.join(bench.select(id_col), id_col, "left_anti")
     scrubbed = corpus.select(did, SC.redacted(F.col(text_col)).alias("text"))
     retained = SC.paragraph_retained(

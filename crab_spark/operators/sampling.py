@@ -134,8 +134,18 @@ def token_budget_sample(
     w = Window.partitionBy("_pid", "source").orderBy("_h", key_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # null-safe on source: NULL-source rows form their own mixture
+    # group (they get default_budget from the CASE above) and must
+    # match their own offsets row, not vanish at the join
+    off_r = offsets.withColumnRenamed("_pid", "_opid").withColumnRenamed(
+        "source", "_osrc"
+    )
     out = (
-        ranged.join(F.broadcast(offsets), ["_pid", "source"])
+        ranged.join(
+            F.broadcast(off_r),
+            (F.col("_pid") == F.col("_opid"))
+            & F.col("source").eqNullSafe(F.col("_osrc")),
+        )
         .withColumn(
             "cum_before",
             F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_off"),

@@ -329,9 +329,20 @@ def cross_source_neardup(
     )
     ver = ngram_jaccard(docs, cross.select("id_a", "id_b"),
                         text_col=text_col, id_col=id_col, k=verify_k)
+    # re-attach sources to the few SURVIVING pairs from the O(#docs)
+    # (id, source) projection — joining back to `cross` would
+    # re-execute the whole sigs→bands→self-join LSH subplan (the
+    # dominant cost) a second time just to recover two small columns
+    survivors = ver.filter(F.col("jaccard") >= F.lit(min_jaccard)).select(
+        "id_a", "id_b"
+    )
     return (
-        ver.filter(F.col("jaccard") >= F.lit(min_jaccard))
-        .join(cross.select("id_a", "id_b", "_sa", "_sb"), ["id_a", "id_b"])
+        survivors.join(
+            src.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed(source_col, "_sa"), "id_a")
+        .join(
+            src.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed(source_col, "_sb"), "id_b")
         .groupBy(
             F.least("_sa", "_sb").alias("source_a"),
             F.greatest("_sa", "_sb").alias("source_b"),

@@ -112,7 +112,13 @@ class StopwordModel:
         langs = sorted(self.profiles)
         preds, hits = [], []
         for t in texts:
-            toks = set(re.sub(r"\s+", " ", (t or "").lower()).split(" "))
+            # ASCII whitespace class, NOT \s: Python's \s is
+            # unicode-aware (NBSP, U+3000) while the expression path's
+            # normalized() uses Java \s (ASCII-only) — the equivalence
+            # contract requires identical tokenization on both paths
+            toks = set(
+                re.sub(r"[ \t\n\x0b\f\r]+", " ", (t or "").lower()).split(" ")
+            )
             scores = [len(toks & self.profiles[lang]) for lang in langs]
             best = max(scores)
             # argmax with ties broken by language-code order — the
@@ -412,7 +418,13 @@ def source_reputation_gate(
                <= F.lit(frac.numerator) * F.col("src_n_docs"))
         ).alias("keep"),
     )
-    return docs.select(F.col(id_col), F.col(source_col).alias("source")).join(
-        F.broadcast(rep), "source"
+    # null-safe equality: a NULL source is a legitimate reputation
+    # group (per_text/rep aggregate it like any other) and its docs
+    # must still get a gate verdict — a plain "source" equi-join would
+    # silently drop them
+    lhs = docs.select(F.col(id_col), F.col(source_col).alias("source"))
+    return lhs.join(
+        F.broadcast(rep.withColumnRenamed("source", "_rsrc")),
+        lhs["source"].eqNullSafe(F.col("_rsrc")),
     ).select(id_col, "source", "src_n_docs", "src_mean_words",
              "src_dup_frac", "keep")

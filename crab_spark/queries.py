@@ -597,18 +597,12 @@ def q55_corpus_build(spark, sf):
     )
 
 
-def q56_caption_align(spark, sf):
-    """Interleaved media→caption alignment over the engine's span shape
-    (BASELINE.json input_hint): the flat testdata documents are lifted
-    into spans deterministically — word indices ≡ 3 and ≡ 4 (mod 7)
-    become media spans whose refs are md5 of the word, the rest are
-    text spans — then caption_candidates pairs each media span with its
-    nearest text span (preceding wins ties). Two CONSECUTIVE media
-    spans make both selection branches fire: the first one's preceding
-    text wins its tie, the second must reach FORWARD across distance 2.
-    The lift is the test harness; the operator itself consumes any
-    DOCUMENTS-shaped spans column. Per-doc windows only — no corpus
-    window, no Python."""
+def _span_lift(spark, sf):
+    """Deterministic flat-text → spans lift shared by q56/q59 (and the
+    mod-7 rule hard-coded in their oracles): word indices ≡ 3 and ≡ 4
+    (mod 7) become media spans whose refs are md5 of the word, the rest
+    are text spans. ONE definition so the Spark side can't drift from
+    itself — the oracle SQL mirrors the same rule."""
     is_media = lambda i: (i % 7).isin(3, 4)  # noqa: E731
     spans = F.transform(
         F.split(F.col("text"), " "),
@@ -620,8 +614,20 @@ def q56_caption_align(spark, sf):
             i.cast("int").alias("offset"),
         ),
     )
-    docs = t(spark, sf, "documents").select("doc_id", spans.alias("spans"))
-    return M.caption_candidates(docs)
+    return t(spark, sf, "documents").select("doc_id", spans.alias("spans"))
+
+
+def q56_caption_align(spark, sf):
+    """Interleaved media→caption alignment over the engine's span shape
+    (BASELINE.json input_hint): the flat testdata documents are lifted
+    into spans deterministically (``_span_lift``), then
+    caption_candidates pairs each media span with its nearest text span
+    (preceding wins ties). Two CONSECUTIVE media spans make both
+    selection branches fire: the first one's preceding text wins its
+    tie, the second must reach FORWARD across distance 2. The lift is
+    the test harness; the operator itself consumes any DOCUMENTS-shaped
+    spans column. Per-doc windows only — no corpus window, no Python."""
+    return M.caption_candidates(_span_lift(spark, sf))
 
 
 # q57 source gate: testdata has no exact-duplicate texts, so a
@@ -676,19 +682,7 @@ def q59_interleave_stats(spark, sf):
     """Per-doc interleaving profile (span counts, media fraction, first
     media offset) over the same deterministic span lift as q56 — the
     gate signals for multimodal context shaping. Zero shuffles."""
-    is_media = lambda i: (i % 7).isin(3, 4)  # noqa: E731
-    spans = F.transform(
-        F.split(F.col("text"), " "),
-        lambda w, i: F.struct(
-            F.when(is_media(i), F.lit("media")).otherwise(F.lit("text")).alias("kind"),
-            w.alias("text"),
-            F.when(is_media(i), F.concat(F.lit("m-"), F.md5(w)))
-            .otherwise(F.lit("")).alias("media_ref"),
-            i.cast("int").alias("offset"),
-        ),
-    )
-    docs = t(spark, sf, "documents").select("doc_id", spans.alias("spans"))
-    return M.interleave_stats(docs)
+    return M.interleave_stats(_span_lift(spark, sf))
 
 
 def q60_cross_source_neardup(spark, sf):
@@ -1504,7 +1498,7 @@ ORACLE_SQL["q57_source_gate"] = f"""
           FROM rep)
     SELECT d.doc_id, d.source, g.src_n_docs, g.src_mean_words,
            g.src_dup_frac, g.keep
-    FROM documents d JOIN g USING (source)"""
+    FROM documents d JOIN g ON d.source IS NOT DISTINCT FROM g.source"""
 
 # q58: one window-function running sum per source in md5 order — the
 # oracle form of the keyed two-level cumsum; keep iff the tokens

@@ -1018,3 +1018,85 @@ def test_cross_source_neardup_planted(spark):
            for r in SC.cross_source_neardup(docs).collect()}
     # pairs: (0,1) A-B, (0,2) A-B count; (1,2) is within B — excluded
     assert got == {("A", "B"): 2}
+
+
+def test_lang_id_model_path_unicode_whitespace(spark):
+    """The StopwordModel must tokenize EXACTLY like the expression
+    path's Java regex \\s (ASCII-only): non-ASCII whitespace (NBSP,
+    ideographic space) is NOT a separator on either path, so
+    "the\\u00a0cat" stays one (non-stopword) token. Guards the
+    equivalence contract where the sf0.001 ASCII corpus can't."""
+    rows = [
+        (0, "the cat is　here and the dog"),   # NBSP + U+3000
+        (1, "le chat est une des dans que pour"),  # fr with NBSP
+        (2, " 　"),                            # only exotic ws
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r["doc_id"]: (r["pred_lang"], r["hits"])
+            for r in X.lang_id(d).collect()}
+    modeled = {r["doc_id"]: (r["pred_lang"], r["hits"])
+               for r in X.lang_id(d, model=X.StopwordModel()).collect()}
+    assert expr == modeled
+    # and the tokenization really is ASCII-\s: "is<U+3000>here" stays
+    # ONE token, so en hits are just {"the", "and"} — not "is"
+    assert expr[0][1] == 2
+
+
+def test_source_reputation_gate_null_source(spark):
+    """NULL source is a legitimate reputation group: its documents get
+    a gate verdict (null-safe join-back) instead of silently vanishing
+    from the one-row-per-document output."""
+    long = "one two three four five six seven eight"
+    rows = [
+        (0, "good", long + " u0"), (1, "good", long + " u1"),
+        (10, None, long), (11, None, long), (12, None, long + " x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = X.source_reputation_gate(docs, min_mean_words=5, max_dup_frac="0.2")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 5                       # one row per doc, NULLs kept
+    assert got[10]["source"] is None
+    assert got[10]["src_n_docs"] == 3
+    # 1 dup of 3 → 1/3 > 0.2 → the NULL group fails the dup gate
+    assert not got[10]["keep"] and got[0]["keep"]
+
+
+def test_token_budget_sample_null_source(spark):
+    """NULL-source rows form their own mixture group under
+    default_budget — they must match their offsets row via the
+    null-safe join, not disappear from the output."""
+    from crab_spark.operators import sampling as SA2
+
+    rows = [(i, "s", " ".join(["w"] * 10)) for i in range(2)]
+    rows += [(10 + i, None, " ".join(["w"] * 5)) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = SA2.token_budget_sample(
+        docs, {"s": 100}, default_budget=8, salt="b",
+    ).collect()
+    got = {r["doc_id"]: (r["source"], r["cum_before"]) for r in out}
+    assert all(k < 10 for k in got if got[k][0] == "s")
+    nulls = {k: v for k, v in got.items() if v[0] is None}
+    # budget 8 over 5-token docs: first doc (cum 0) and second (cum 5)
+    # keep, third (cum 10) is cut
+    assert sorted(c for _, c in nulls.values()) == [0, 5]
+
+
+def test_cross_source_neardup_single_lsh_subplan(spark):
+    """The source re-attach after the Jaccard verify must come from the
+    O(#docs) (id, source) projection, NOT a join back to the candidate
+    frame — that would re-execute the whole sigs→bands→self-join LSH
+    chain a second time. Proxy: the MinHash aggregate (its distinctive
+    murmur-seeded min-hash expressions) appears ONCE per explode arm in
+    the optimized plan, not twice."""
+    from crab_spark.operators import scrub as SC
+
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = [(0, "A", base), (1, "B", base.replace("w19", "zz"))]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = SC.cross_source_neardup(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the banded-signature self-join contributes exactly 2 Generate
+    # (explode) arms for bands + 2 for the verify's shingle sets; a
+    # duplicated LSH subplan doubles the band arms to 4+2=6
+    n_gen = plan.count("Generate explode")
+    assert n_gen <= 4, f"LSH subplan duplicated ({n_gen} explode arms):\n{plan}"

@@ -18,6 +18,8 @@ import re
 from decimal import ROUND_HALF_UP, Decimal
 from fractions import Fraction
 
+from pyspark.sql import functions as F
+
 from crab_spark.operators import scrub as SC
 from crab_spark.operators.pipeline import corpus_build
 from crab_spark.operators.sampling import _hex_threshold
@@ -168,6 +170,26 @@ def test_corpus_build_planted_values(spark):
 
     docs = spark.createDataFrame(ROWS, "doc_id long, text string")
     got = corpus_build(docs, **PARAMS)
+    rows = [(r["doc_id"], r["chunk_id"], r["n_words"], r["chunk_hash"],
+             r["pack_id"]) for r in got.collect()]
+    for df in got.df_pipeline_caches:
+        df.unpersist()
+    assert sorted(rows) == expected
+
+
+def test_corpus_build_custom_text_col(spark):
+    """The caller's text column name must thread through EVERY stage —
+    in particular the benchmark side of the contamination gate (a
+    regression: bench kept the original column while the corpus side
+    was aliased to "text", so any text_col != "text" raised, and a
+    stray unrelated "text" column silently decontaminated against the
+    wrong text)."""
+    bench_ids, *_, expected = _reference(ROWS, PARAMS)
+    docs = spark.createDataFrame(ROWS, "doc_id long, body string")
+    # adversarial decoy: an unrelated column literally named "text"
+    # must NOT be consulted by any stage
+    docs = docs.withColumn("text", F.lit("decoy decoy decoy"))
+    got = corpus_build(docs, text_col="body", **PARAMS)
     rows = [(r["doc_id"], r["chunk_id"], r["n_words"], r["chunk_hash"],
              r["pack_id"]) for r in got.collect()]
     for df in got.df_pipeline_caches:
