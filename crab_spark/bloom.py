@@ -226,7 +226,16 @@ def might_contain_udf(spark, bloom):
     """Arrow-vectorized membership probe over a long column (flat or
     bucketed filter), with the bitmap(s) broadcast once per executor and
     the deserialized filter memoized per worker process (keyed on the
-    broadcast id; read-only zero-copy reconstruction)."""
+    broadcast id; read-only zero-copy reconstruction).
+
+    Every call broadcasts a fresh snapshot of the filter (the filter
+    may have gained keys since the last call), and broadcast blocks
+    live in the BlockManager for the SparkContext lifetime unless
+    released — on the module's own ~12 GiB large-filter sizing that is
+    an unbounded leak across epochs. The handle is exposed as
+    ``probe.broadcast``; callers that own the probe must destroy it
+    once no plan referencing the UDF will run again (register() does
+    this for probes it creates itself)."""
     bc = spark.sparkContext.broadcast(bloom.to_state())
     bc_id = uuid.uuid4().hex  # one deserialization per (UDF, worker)
 
@@ -240,6 +249,7 @@ def might_contain_udf(spark, bloom):
             _BC_FILTER_CACHE[bc_id] = b
         return pd.Series(b.might_contain(keys.to_numpy(dtype=np.int64).view(np.uint64)))
 
+    probe.broadcast = bc
     return probe
 
 
@@ -263,16 +273,29 @@ def might_contain_udf(spark, bloom):
 # is ~12 GiB: per-part files are the only layout that scales.
 #
 # Crash safety: part files are replaced atomically, meta last. A part
-# file newer than meta only ever contains a SUPERSET of the keys meta
+# file newer than meta either contains a SUPERSET of the keys meta
 # covers (bloom bits only gain; cuckoo inserts keep existing
-# fingerprints, duplicates allowed), so a torn save can cause extra
-# 'maybe' probes but never a false negative.
+# fingerprints, duplicates allowed) or — when a cuckoo kick chain
+# exhausted mid-insert, which displaces one stored fingerprint and
+# skips the insert call's remaining keys — carries the saturation flag
+# IN-BAND (shard_to_bytes' trailing byte), making every probe answer
+# 'maybe'. Either way a torn save can cause extra 'maybe' probes but
+# never a false negative, even against a stale meta.
 # ---------------------------------------------------------------------------
 
 def _atomic_write(path: Path, data: bytes) -> None:
     tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex}")
     tmp.write_bytes(data)
     os.replace(tmp, path)
+
+
+def _sweep_tmp(d: Path) -> None:
+    """Remove orphaned _atomic_write temp files (a crash or task kill
+    between write_bytes and os.replace leaves a part-sized *.tmp-* file
+    nothing else ever touches). Called driver-side at save/fold entry —
+    before any task starts writing — so it never races a live writer."""
+    for f in d.glob("*.tmp-*"):
+        f.unlink(missing_ok=True)
 
 
 def _filter_meta(filt) -> dict:
@@ -299,10 +322,16 @@ def save_sidecar(path: str | Path, filt, covered_tags: set[str],
     being invalidated wholesale by every save."""
     d = Path(path)
     d.mkdir(parents=True, exist_ok=True)
+    _sweep_tmp(d)
     meta = _filter_meta(filt)
     meta["covered"] = sorted(covered_tags)
     old = _read_meta(d)
     meta["version"] = (old.get("version", 0) if old else 0) + 1
+    # generation id: survives across saves, changes when the sidecar is
+    # rebuilt after meta loss (where the version counter restarts) —
+    # executor part caches key on it so they can never serve a previous
+    # generation's filter objects
+    meta["gen"] = old.get("gen", uuid.uuid4().hex) if old else uuid.uuid4().hex
     part_versions: dict[str, int] = dict(old.get("part_versions", {})) if old else {}
     if old is not None:
         params = ("kind", "n_bits", "n_hashes", "n_buckets", "shard_bkts")
@@ -333,12 +362,15 @@ def save_sidecar(path: str | Path, filt, covered_tags: set[str],
             part_versions[str(int(p))] = meta["version"]
             written.add(str(int(p)))
     else:  # cuckoo: one file per existing shard
+        from .cuckoo import shard_to_bytes
+
         parts = (
             filt.shards.keys() if changed_parts is None
             else (set(changed_parts) & set(filt.shards))
         )
         for p in parts:
-            _atomic_write(d / f"part-{int(p)}.bin", filt.shards[int(p)].table.tobytes())
+            _atomic_write(d / f"part-{int(p)}.bin",
+                          shard_to_bytes(filt.shards[int(p)]))
             part_versions[str(int(p))] = meta["version"]
             written.add(str(int(p)))
     if changed_parts is None:
@@ -388,15 +420,16 @@ def load_sidecar(path: str | Path):
                     b.bits[p] = np.frombuffer(f.read_bytes(), dtype=np.uint8)
             return b, set(meta["covered"])
         # cuckoo
-        from .cuckoo import CuckooFilter, CuckooShard
+        from .cuckoo import CuckooFilter, shard_from_bytes
 
         filt = CuckooFilter({}, meta["n_buckets"], meta["shard_bkts"])
         for p in meta.get("parts", []):
-            raw = np.frombuffer(
-                (d / f"part-{int(p)}.bin").read_bytes(), dtype=np.uint16
-            ).reshape(meta["shard_bkts"], -1).copy()
-            filt.shards[int(p)] = CuckooShard(meta["shard_bkts"], raw)
+            filt.shards[int(p)] = shard_from_bytes(
+                (d / f"part-{int(p)}.bin").read_bytes(), meta["shard_bkts"]
+            )
         for p in meta.get("sat_parts", []):
+            # meta saturation is a superset of in-band flags only for
+            # legacy files; union the two sources
             filt.shards[int(p)].saturated = True
         return filt, set(meta["covered"])
     except Exception:
@@ -405,15 +438,19 @@ def load_sidecar(path: str | Path):
 
 # Worker-process cache of loaded part files, keyed (dir, version, part).
 # Bounded: old versions evicted wholesale when the cache grows.
-_PART_CACHE: dict[tuple[str, int, int], object] = {}
+_PART_CACHE: dict[tuple[str, str, int, int], object] = {}
 
 
 def _load_part(d: str, version: int, part: int, meta: dict):
     """One part's probe-ready filter object, loaded lazily and memoized
-    per worker process, keyed on the part's OWN version (unchanged parts
-    stay cached across epochs). Missing file = no keys in that part
-    (all-new)."""
-    key = (d, version, part)
+    per worker process, keyed on the sidecar's generation id AND the
+    part's OWN version (unchanged parts stay cached across epochs).
+    The generation id guards meta-loss rebuilds: a sidecar rebuilt from
+    scratch restarts its version counter at 1, and without the
+    generation in the key a long-lived worker would keep serving the
+    PREVIOUS sidecar's cached parts — reporting seen URLs as
+    'definitely new'. Missing file = no keys in that part (all-new)."""
+    key = (d, str(meta.get("gen", "")), version, part)
     got = _PART_CACHE.get(key)
     if got is not None:
         return got
@@ -426,12 +463,12 @@ def _load_part(d: str, version: int, part: int, meta: dict):
         return False
     raw = f.read_bytes()
     if kind == "cuckoo":
-        from .cuckoo import CuckooShard
+        from .cuckoo import shard_from_bytes
 
-        obj = CuckooShard(
-            meta["shard_bkts"],
-            np.frombuffer(raw, dtype=np.uint16).reshape(meta["shard_bkts"], -1),
-        )
+        # writable=False: probes never mutate; the in-band saturation
+        # flag makes a post-saturation file answer 'maybe' even when
+        # paired with a stale meta that lacks the sat_parts entry
+        obj = shard_from_bytes(raw, meta["shard_bkts"], writable=False)
     else:
         obj = Bloom(meta["n_bits"], meta["n_hashes"],
                     np.frombuffer(raw, dtype=np.uint8))
@@ -487,16 +524,20 @@ def fold_delta_files(spark, delta: DataFrame, path: str | Path,
     entries, zero key bytes.
 
     Crash/retry safety: part files only ever gain keys (bloom bits OR
-    in; cuckoo inserts keep existing fingerprints, duplicates allowed),
-    so a torn fold or a retried task yields extra 'maybe' probes, never
-    a false negative; meta commits last, and re-folding an
-    already-folded tag is idempotent for bloom and superset-safe for
-    cuckoo. Returns the updated meta, or None if no sidecar exists
-    (caller cold-builds)."""
+    in; cuckoo inserts keep existing fingerprints, duplicates allowed)
+    — except a cuckoo shard whose kick chain exhausts, which evicts one
+    fingerprint and skips the call's remaining keys; that file carries
+    its saturation flag in-band (shard_to_bytes), so readers answer
+    'maybe' for everything even under a stale meta. A torn fold or a
+    retried task therefore yields extra 'maybe' probes, never a false
+    negative; meta commits last, and re-folding an already-folded tag
+    is idempotent for bloom and superset-safe for cuckoo. Returns the
+    updated meta, or None if no sidecar exists (caller cold-builds)."""
     d = Path(path)
     meta = _read_meta(d)
     if meta is None:
         return None
+    _sweep_tmp(d)  # driver-side, before any task writes
     kind = meta["kind"]
     ds = str(d)
     fold_schema = T.StructType([
@@ -536,6 +577,9 @@ def fold_delta_files(spark, delta: DataFrame, path: str | Path,
         keyed = keyed.repartition(n_parts, "part")
         mparams = {k: meta[k] for k in ("kind", "n_bits", "n_hashes",
                                         "n_buckets", "shard_bkts") if k in meta}
+        # known-saturated shards (monotone union on the driver) ship to
+        # the tasks so legacy flag-less files skip their insert loops
+        msat = {int(x) for x in meta.get("sat_parts", [])}
 
         def fold_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             acc: dict[int, list[np.ndarray]] = {}
@@ -552,18 +596,20 @@ def fold_delta_files(spark, delta: DataFrame, path: str | Path,
                 f = Path(ds) / f"part-{p}.bin"
                 raw = f.read_bytes() if f.exists() else None
                 if mparams["kind"] == "cuckoo":
-                    from .cuckoo import CuckooShard
+                    from .cuckoo import CuckooShard, shard_from_bytes, shard_to_bytes
 
                     shard = (
-                        CuckooShard(
-                            mparams["shard_bkts"],
-                            np.frombuffer(raw, dtype=np.uint16)
-                            .reshape(mparams["shard_bkts"], -1).copy(),
-                        )
+                        shard_from_bytes(raw, mparams["shard_bkts"])
                         if raw is not None else CuckooShard(mparams["shard_bkts"])
                     )
+                    if not shard.saturated and int(p) in msat:
+                        # legacy file (flag only in meta): restore the
+                        # flag so insert() is a free early return
+                        # instead of a guaranteed-to-fail kick chain
+                        # per key, every epoch, forever
+                        shard.saturated = True
                     shard.insert(keys)
-                    _atomic_write(f, shard.table.tobytes())
+                    _atomic_write(f, shard_to_bytes(shard))
                     sat = bool(shard.saturated)
                 else:
                     bits = (

@@ -52,6 +52,29 @@ def _index2(i1: np.ndarray, fp: np.ndarray, n_bkts: int) -> np.ndarray:
     return (alt % np.uint64(n_bkts)).astype(np.int64)
 
 
+def shard_to_bytes(shard: "CuckooShard") -> bytes:
+    """Serialize a shard WITH its saturation flag in-band (one trailing
+    byte). A saturated table is missing the fingerprint its failed kick
+    chain held in hand (plus any keys the insert call skipped after
+    flipping) — the flag is the only thing making those reads answer
+    'maybe', so it must travel WITH the bytes: a reader pairing the
+    file with stale metadata (sidecar meta.json not yet committed)
+    would otherwise see false negatives."""
+    return shard.table.tobytes() + (b"\x01" if shard.saturated else b"\x00")
+
+
+def shard_from_bytes(raw: bytes, shard_bkts: int,
+                     writable: bool = True) -> "CuckooShard":
+    """Inverse of shard_to_bytes. Legacy files without the trailing
+    flag byte load as unsaturated (their writers predate the in-band
+    flag; their saturation, if any, lives in sidecar meta)."""
+    n = shard_bkts * _SLOTS * 2
+    table = np.frombuffer(raw[:n], dtype=np.uint16).reshape(shard_bkts, _SLOTS)
+    shard = CuckooShard(shard_bkts, table.copy() if writable else table)
+    shard.saturated = len(raw) > n and raw[n] != 0
+    return shard
+
+
 class CuckooShard:
     """One part-bucket's filter: (n_bkts, 4) uint16 table.
 

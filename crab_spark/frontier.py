@@ -192,25 +192,15 @@ def register(
 
     cached_cands = None
     n_cands = None
+    probe = None
     if store.exists("frontier"):
-        # one action on the (cached) deduped candidates yields the part
-        # list for partition pruning AND the batch size for the
-        # broadcast-vs-shuffle decision
-        cached_cands = cands.cache()
-        cands = cached_cands
-        part_rows = cands.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
-        n_cands = sum(int(r["n"]) for r in part_rows)
-        if n_cands == 0:
-            cached_cands.unpersist()
-            return 0
-        seen = seen_slice(store, [int(r["part"]) for r in part_rows])
-        if max_seq is None:  # caller may track it to skip the full-scan agg
-            max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
-        use_broadcast = n_cands <= BROADCAST_CANDIDATE_LIMIT
+        # Bloom split setup: the probe column is added BEFORE the cache
+        # so the (pandas) probe UDF runs exactly once — during the
+        # part-count materialization below — and the cached frame
+        # carries its verdict as one boolean column. (Caching below the
+        # probe would make the two filter branches of the union
+        # re-evaluate the UDF over the full candidate set each.)
         if seen_bloom is not None:
-            # Bloom split: definite-new rows skip the membership check
-            # entirely. (A colliding NEW url probes 'maybe' and falls
-            # through to the exact check — the prefilter stays sound.)
             # ``seen_bloom`` is either a filter object (broadcast probe)
             # or an already-built probe UDF (callable) — the crawl
             # passes bloom_mod.sidecar_probe_udf so executors load only
@@ -221,6 +211,26 @@ def register(
                 else bloom_mod.might_contain_udf(spark, seen_bloom)
             )
             cands = cands.withColumn("_maybe", probe(F.col("url_hash")))
+        # one action on the (cached) deduped candidates yields the part
+        # list for partition pruning AND the batch size for the
+        # broadcast-vs-shuffle decision (and pays the probe UDF cost)
+        cached_cands = cands.cache()
+        cands = cached_cands
+        part_rows = cands.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
+        n_cands = sum(int(r["n"]) for r in part_rows)
+        if n_cands == 0:
+            cached_cands.unpersist()
+            if probe is not None and not callable(seen_bloom):
+                probe.broadcast.destroy()
+            return 0
+        seen = seen_slice(store, [int(r["part"]) for r in part_rows])
+        if max_seq is None:  # caller may track it to skip the full-scan agg
+            max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
+        use_broadcast = n_cands <= BROADCAST_CANDIDATE_LIMIT
+        if probe is not None:
+            # definite-new rows skip the membership check entirely. (A
+            # colliding NEW url probes 'maybe' and falls through to the
+            # exact check — the prefilter stays sound.)
             definite_new = cands.filter(~F.col("_maybe")).drop("_maybe")
             maybe = cands.filter(F.col("_maybe")).drop("_maybe")
             new = definite_new.unionByName(
@@ -287,6 +297,13 @@ def register(
         index_cache.unpersist()
     if cached_cands is not None:
         cached_cands.unpersist()
+    if probe is not None and not callable(seen_bloom):
+        # register created this probe from a filter OBJECT, so it owns
+        # the whole-filter broadcast — release it now (no plan using the
+        # UDF runs after this point; the next call re-broadcasts the
+        # then-current filter). Caller-provided probe UDFs (the crawl's
+        # sidecar probe) own their own lifecycle.
+        probe.broadcast.destroy()
     return n_new
 
 
@@ -375,16 +392,27 @@ def pending_scored(store: TableStore, exclude_epoch: int | None = None) -> DataF
     return pend
 
 
-def _rescore_epoch(store: TableStore) -> int | None:
-    """The epoch as-of which the ``rescore`` snapshot was taken (all
-    fetched/registered rows up to and including it are reflected in the
-    snapshot), or None when no banded snapshot exists. Detection is
-    manifest/state-only — no parquet footer read on the per-epoch path
-    (the banded layout is exactly the partition_by('pband') one)."""
+def _rescore_epochs(store: TableStore) -> tuple[int, int] | None:
+    """The (registration, fetched) watermarks as-of which the
+    ``rescore`` snapshot was taken — all frontier rows registered up to
+    reg_epoch and all fetched rows committed up to done_epoch are
+    reflected in the snapshot — or None when no banded snapshot exists.
+    The two watermarks are SEPARATE state: during a crash window reg-N
+    can exist while done-N doesn't, and a snapshot taken then must
+    tell its readers to fold fetched[epoch > N-1] but only frontier
+    [epoch_discovered > N] — one conflated epoch would permanently miss
+    the rerun's done-N rows from the anti-join side (re-dequeuing the
+    whole batch). Legacy state with a single "epoch" key means both
+    watermarks equal it. Detection is manifest/state-only — no parquet
+    footer read on the per-epoch path (the banded layout is exactly the
+    partition_by('pband') one)."""
     if not store.exists("rescore") or store.partition_by("rescore") != "pband":
         return None
     st = store.read_state("rescore")
-    return int(st["epoch"]) if "epoch" in st else None
+    if "epoch" not in st:
+        return None
+    reg = int(st["epoch"])
+    return reg, int(st.get("done_epoch", reg))
 
 
 def last_done_epoch(store: TableStore) -> int:
@@ -400,73 +428,77 @@ def last_done_epoch(store: TableStore) -> int:
     )
 
 
-def _snapshot_as_of(store: TableStore) -> int:
-    """Default as-of epoch for a rescore snapshot: must cover BOTH the
-    newest fetched commit and the newest registration (registrations
-    can outpace fetches — e.g. a standalone register with no crawl), or
-    rows land in the snapshot AND the since-snapshot fresh slice and
-    get dequeued twice. Both derivations are manifest-only (free)."""
-    last_reg = 0
-    if store.exists("frontier"):
-        last_reg = max(
-            (int(t.split("-", 1)[1]) for t in store.historic_tags("frontier")
-             if t.startswith("reg-")),
-            default=0,
-        )
-    return max(last_done_epoch(store), last_reg)
+def _last_reg_epoch(store: TableStore) -> int:
+    """Newest reg-* epoch in the frontier's manifest history
+    (compaction-tolerant, manifest-only). The snapshot scores
+    pending() as of NOW, so every committed registration is reflected —
+    this is the snapshot's registration watermark."""
+    if not store.exists("frontier"):
+        return 0
+    return max(
+        (int(t.split("-", 1)[1]) for t in store.historic_tags("frontier")
+         if t.startswith("reg-")),
+        default=0,
+    )
 
 
-def scored_head(store: TableStore, cutoff: int,
+def scored_head(store: TableStore, cutoff: int | None,
                 exclude_epoch: int | None = None) -> DataFrame | None:
     """Priority-mode head slice, O(head + since-rescore churn) — the
     by_priority twin of the BFS depth-cutoff scan (the r3 verdict's
     remaining weak item). Requires the banded rescore snapshot written
     by apply_host_budget; returns None when only the legacy delta (or
     nothing) exists, and the caller falls back to pending_scored.
+    ``cutoff=None`` returns the FULL snapshot ∪ delta assembly (the
+    whole pending set) — pending_priority_counts uses it so the
+    since-snapshot delta semantics live in exactly one place.
 
-    The snapshot IS the scored pending set as of ``rescore_epoch``, laid
-    out Hive-partitioned by integer priority band, so ``pband <= cutoff``
-    prunes whole partition directories. Rows that changed since are a
-    bounded delta:
+    The snapshot IS the scored pending set as of the recorded
+    (registration, fetched) watermarks, laid out Hive-partitioned by
+    integer priority band, so ``pband <= cutoff`` prunes whole
+    partition directories. Rows that changed since are a bounded delta:
 
       head = snapshot[pband <= cutoff]                      (file-pruned)
-           ∪ frontier[epoch_discovered > E ∧ depth <= cutoff]  (row-group
-             pruned; fresh rows score at registration priority = depth,
-             and overrides only ever RAISE priority, so depth <= cutoff
-             is exact for them)
-           ∖ broadcast(fetched[epoch > E])                   (row-group
+           ∪ frontier[epoch_discovered > REG ∧ depth <= cutoff]
+             (row-group pruned; fresh rows score at registration
+             priority = depth, and overrides only ever RAISE priority,
+             so depth <= cutoff is exact for them)
+           ∖ broadcast(fetched[epoch > DONE])               (row-group
              pruned; O(batch × rescore_every) rows)
+
+    REG and DONE are separate watermarks (_rescore_epochs): a snapshot
+    taken in a crash window (reg-N committed, done-N not) must still
+    remove the rerun's done-N rows from the head.
 
     No scan ever reads the full pending set; the fetched anti-join side
     is broadcast, so the head is never shuffled."""
-    r_epoch = _rescore_epoch(store)
-    if r_epoch is None:
+    epochs = _rescore_epochs(store)
+    if epochs is None:
         return None
+    reg_epoch, done_epoch = epochs
     cols = [f.name for f in FRONTIER.fields]
-    snap = (
-        store.read("rescore")
-        .filter(F.col("pband") <= cutoff)
-        .select(cols)
+    snap = store.read("rescore")
+    fresh = store.read("frontier").filter(
+        F.col("epoch_discovered") > reg_epoch
     )
-    fresh = (
-        store.read("frontier")
-        .filter(F.col("epoch_discovered") > r_epoch)
-        .filter(F.col("depth") <= cutoff)
-    )
+    if cutoff is not None:
+        snap = snap.filter(F.col("pband") <= cutoff)
+        fresh = fresh.filter(F.col("depth") <= cutoff)
+    snap = snap.select(cols)
     if exclude_epoch is not None:
         # BOTH slices must exclude the being-rerun epoch's registrations
         # — a standalone apply_host_budget run between a crash and the
-        # resume snapshots epoch N's own rows (as-of defaults to
-        # max(done, reg) = N); without this filter the rerun would
-        # dequeue a different batch and register() would overwrite the
-        # committed reg-N rows (exactly-once resume contract)
+        # resume snapshots epoch N's own rows; without this filter the
+        # rerun would dequeue a different batch and register() would
+        # overwrite the committed reg-N rows (exactly-once resume
+        # contract)
         snap = snap.filter(F.col("epoch_discovered") != exclude_epoch)
         fresh = fresh.filter(F.col("epoch_discovered") != exclude_epoch)
     head = snap.unionByName(fresh.select(cols))
     if store.exists("fetched"):
         done_since = (
             store.read("fetched")
-            .filter(F.col("epoch") > r_epoch)
+            .filter(F.col("epoch") > done_epoch)
             .select("url_hash", "url")
         )
         head = head.join(F.broadcast(done_since), ["url_hash", "url"], "left_anti")
@@ -480,28 +512,9 @@ def pending_priority_counts(
     standalone only; the crawl loop maintains the dict incrementally
     (apply_host_budget returns the snapshot's counts; per epoch,
     +registered at band=depth, −resolved from the batch's bands)."""
-    r_epoch = _rescore_epoch(store)
-    if r_epoch is None:
+    pend = scored_head(store, cutoff=None, exclude_epoch=exclude_epoch)
+    if pend is None:
         pend = pending_scored(store, exclude_epoch)
-    else:
-        # same construction as scored_head without a cutoff
-        cols = [f.name for f in FRONTIER.fields]
-        snap = store.read("rescore").select(cols)
-        fresh = store.read("frontier").filter(F.col("epoch_discovered") > r_epoch)
-        if exclude_epoch is not None:
-            # same exactly-once-resume exclusion as scored_head
-            snap = snap.filter(F.col("epoch_discovered") != exclude_epoch)
-            fresh = fresh.filter(F.col("epoch_discovered") != exclude_epoch)
-        pend = snap.unionByName(fresh.select(cols))
-        if store.exists("fetched"):
-            done_since = (
-                store.read("fetched")
-                .filter(F.col("epoch") > r_epoch)
-                .select("url_hash", "url")
-            )
-            pend = pend.join(
-                F.broadcast(done_since), ["url_hash", "url"], "left_anti"
-            )
     return {
         int(r["b"]): int(r["n"])
         for r in pend.groupBy(
@@ -671,15 +684,23 @@ def apply_host_budget(store: TableStore, host_budget: int = 100,
     only (a fetched page shouldn't hold a slot); each pass replaces the
     previous snapshot wholesale.
 
-    ``epoch``: the last committed crawl epoch the snapshot reflects
-    (defaults to the newest of the fetched log's done-* and the
-    frontier's reg-* tags). Recorded in the
-    ``rescore`` state so dequeue knows which frontier/fetched suffix to
-    fold in as the since-snapshot delta. Commit order is snapshot first,
-    state second; the crawl only consumes the pair after both land (a
-    crash between them re-runs this pass before any dequeue)."""
+    ``epoch``: the last committed crawl epoch the snapshot reflects;
+    when given (the crawl loop's path, where registrations and fetches
+    are in lock-step) it is recorded as BOTH watermarks. When omitted,
+    the registration and fetched watermarks are derived SEPARATELY from
+    the manifests (newest reg-* and done-* tags): in a crash window
+    reg-N can exist without done-N, and recording one conflated
+    max(reg, done) = N would make readers fold only fetched[epoch > N]
+    — permanently missing the rerun's done-N rows from the anti-join
+    and re-dequeuing the whole batch. Recorded in the ``rescore`` state
+    so dequeue knows which frontier/fetched suffixes to fold in as the
+    since-snapshot delta. Commit order is snapshot first, state second;
+    the crawl only consumes the pair after both land (a crash between
+    them re-runs this pass before any dequeue)."""
     if epoch is None:
-        epoch = _snapshot_as_of(store)
+        reg_epoch, done_epoch = _last_reg_epoch(store), last_done_epoch(store)
+    else:
+        reg_epoch = done_epoch = int(epoch)
     if store.partition_by("rescore") is None:
         # adopt the banded layout even over a LEGACY flat delta table
         # (pre-banded version): the rescore table is derived state,
@@ -717,7 +738,8 @@ def apply_host_budget(store: TableStore, host_budget: int = 100,
         tag="rescore",
         vacuum_now=True,
     )
-    store.write_state("rescore", {"epoch": int(epoch),
+    store.write_state("rescore", {"epoch": int(reg_epoch),
+                                  "done_epoch": int(done_epoch),
                                   "host_budget": int(host_budget)})
     scored.unpersist()
     return counts

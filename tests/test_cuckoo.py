@@ -200,3 +200,82 @@ def test_recrawl_with_cuckoo_delete_forgets_urls(spark, store):
     assert n == 1
     got = store.read("frontier").filter(F.col("url") == victim).collect()[0]
     assert got["seq"] == max_seq + 1  # re-registered with a fresh seq
+
+
+def test_saturation_flag_travels_in_band(tmp_path):
+    """A saturated shard's part file must self-describe: the failed
+    kick chain evicted one stored fingerprint (and skipped the call's
+    remaining keys), so a reader pairing the file with a STALE meta
+    (no sat_parts entry — the driver crashed before the meta commit)
+    must still answer 'maybe' for everything."""
+    from crab_spark import bloom as bm
+    from crab_spark.cuckoo import shard_from_bytes, shard_to_bytes
+
+    s = CuckooShard(2)  # tiny: 8 slots
+    s.insert(_keys(64))  # guaranteed to saturate
+    assert s.saturated
+    # round-trip keeps the flag
+    rt = shard_from_bytes(shard_to_bytes(s), 2)
+    assert rt.saturated and rt.contains(_keys(200, off=500)).all()
+    # legacy flag-less bytes load unsaturated (meta carries the flag)
+    legacy = shard_from_bytes(s.table.tobytes(), 2)
+    assert not legacy.saturated
+
+    # crash-window probe: file has the in-band flag, meta does NOT
+    d = tmp_path / "side.d"
+    d.mkdir()
+    (d / "part-3.bin").write_bytes(shard_to_bytes(s))
+    meta = {"kind": "cuckoo", "n_buckets": 32, "shard_bkts": 2,
+            "parts": [3], "sat_parts": [], "version": 1,
+            "part_versions": {"3": 1}}
+    bm._PART_CACHE.clear()
+    probe_keys = _keys(64, off=900)
+    probe_keys = probe_keys[(probe_keys.view(np.int64) % 32) == 3][:8]
+    assert len(probe_keys) > 0
+    got = bm.probe_sidecar(probe_keys, str(d), meta)
+    assert got.all()  # stale meta, in-band flag still says 'maybe'
+
+
+def test_part_cache_generation_guards_meta_loss_rebuild(tmp_path):
+    """A sidecar rebuilt after meta.json loss restarts its version
+    counter — the worker part cache must key on the generation id too,
+    or it keeps serving the PREVIOUS sidecar's filters (reporting seen
+    URLs as definitely-new)."""
+    from crab_spark import bloom as bm
+    from crab_spark.bloom import BucketedBloom
+
+    d = tmp_path / "side.d"
+    old_keys, new_keys = _keys(500), _keys(500, off=5000)
+    b1 = BucketedBloom.sized_for(1000)
+    b1.add(old_keys)
+    save_sidecar(d, b1, set())
+    meta1 = bm._read_meta(d)
+    bm._PART_CACHE.clear()
+    assert bm.probe_sidecar(old_keys[:64], str(d), meta1).all()  # cache warm
+
+    (d / "meta.json").unlink()  # meta loss → cold rebuild from scratch
+    b2 = BucketedBloom.sized_for(1000)
+    b2.add(new_keys)
+    save_sidecar(d, b2, set())
+    meta2 = bm._read_meta(d)
+    assert meta2["version"] == 1 == meta1["version"]  # counter restarted
+    assert meta2["gen"] != meta1["gen"]
+    # same (dir, version, part) keys — only the generation differs; the
+    # probe must see the NEW filter, not the warm cache entries
+    assert bm.probe_sidecar(new_keys[:64], str(d), meta2).all()
+
+
+def test_sidecar_sweeps_orphaned_tmp_files(tmp_path):
+    """A crash between _atomic_write's write_bytes and os.replace
+    leaves a part-sized *.tmp-* orphan; the next save must sweep it."""
+    from crab_spark.bloom import BucketedBloom
+
+    d = tmp_path / "side.d"
+    b = BucketedBloom.sized_for(100)
+    b.add(_keys(100))
+    save_sidecar(d, b, set())
+    orphan = d / "part-5.tmp-deadbeef"
+    orphan.write_bytes(b"x" * 1024)
+    save_sidecar(d, b, set())
+    assert not orphan.exists()
+    assert load_sidecar(d) is not None

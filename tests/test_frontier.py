@@ -521,7 +521,7 @@ def test_sidecar_probe_touches_only_batch_parts(tmp_path):
     bm._PART_CACHE.clear()
     got = bm.probe_sidecar(sel, str(d), meta)
     assert got.all()  # no false negatives
-    loaded_parts = {k[2] for k in bm._PART_CACHE}
+    loaded_parts = {k[-1] for k in bm._PART_CACHE}  # (dir, gen, version, part)
     assert loaded_parts == chosen, (loaded_parts, chosen)
 
     # incremental save: only the touched part files are rewritten
@@ -794,11 +794,67 @@ def test_legacy_flat_rescore_upgrades_to_banded(spark, store):
         tag="rescore",
     )
     assert store.partition_by("rescore") is None
-    assert fr._rescore_epoch(store) is None  # banded path inactive
+    assert fr._rescore_epochs(store) is None  # banded path inactive
     counts = fr.apply_host_budget(store, host_budget=3)
     assert store.partition_by("rescore") == "pband"
-    assert fr._rescore_epoch(store) is not None  # banded path active
+    assert fr._rescore_epochs(store) is not None  # banded path active
     assert sum(counts.values()) == 5
     got = fr.dequeue(store, batch_size=5, by_priority=True,
                      prio_counts=counts).collect()
     assert len(got) == 5
+
+
+def test_crash_window_rescore_separates_watermarks(spark, store):
+    """A rescore snapshot taken in a crash window (reg-2 committed,
+    done-2 not) must record SEPARATE registration/fetched watermarks:
+    after the crashed epoch's rerun commits done-2, readers fold
+    fetched[epoch > 1] and remove those rows from the head. A conflated
+    max(reg, done) = 2 watermark folds only fetched[epoch > 2] and
+    re-dequeues the entire rerun batch forever."""
+    # epoch 1: A, B registered and fully fetched (done-1)
+    fr.register(store, _cands(spark, [("http://h/a", 1, 0, 0, 0),
+                                      ("http://h/b", 1, 0, 0, 1)]), epoch=1)
+    fr.mark_fetched(store, store.read("frontier"), epoch=1)
+    # epoch 2 crash window: C, D registered, nothing fetched yet
+    fr.register(store, _cands(spark, [("http://h/c", 1, 1, 0, 0),
+                                      ("http://h/d", 1, 1, 0, 1)]), epoch=2)
+    # standalone rescore during the window (DEFAULT as-of derivation)
+    counts = fr.apply_host_budget(store, host_budget=100)
+    assert sum(counts.values()) == 2                       # C, D pending
+    st = store.read_state("rescore")
+    assert (int(st["epoch"]), int(st["done_epoch"])) == (2, 1)
+    # the rerun of epoch 2 resolves C (done-2 commits with epoch=2)
+    c_row = store.read("frontier").filter(F.col("url") == "http://h/c")
+    fr.mark_fetched(store, c_row, epoch=2)
+    # head and counts must now see ONLY D
+    head = fr.scored_head(store, cutoff=None)
+    assert [r["url"] for r in head.collect()] == ["http://h/d"]
+    pc = fr.pending_priority_counts(store)
+    assert sum(pc.values()) == 1
+    got = fr.dequeue(store, batch_size=10, by_priority=True, prio_counts=pc)
+    assert [r["url"] for r in got.collect()] == ["http://h/d"]
+
+
+def test_register_evaluates_seen_probe_once(spark, store):
+    """The seen-set probe UDF must run exactly once over the candidate
+    set: the probe column is computed before the cache, so the
+    definite-new/maybe union branches read the cached verdict instead
+    of each re-running the (sidecar-loading) UDF over all rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    fr.register(store, _cands(spark, [("http://h/seed", 1, 0, 0, 0)]), epoch=1)
+    acc = spark.sparkContext.accumulator(0)
+
+    def _probe_fn(keys):
+        acc.add(len(keys))
+        return pd.Series([False] * len(keys))
+
+    # no type hints: module-level `from __future__ import annotations`
+    # turns them into strings pyspark can't resolve here
+    probe = F2.pandas_udf(_probe_fn, "boolean")
+
+    n = 64
+    cands = _cands(spark, [(f"http://h/p{i}", 1, 1, 0, i) for i in range(n)])
+    assert fr.register(store, cands, epoch=2, seen_bloom=probe) == n
+    assert acc.value == n, f"probe ran over {acc.value} rows, expected {n}"
