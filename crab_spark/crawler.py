@@ -109,6 +109,23 @@ def _with_proxy_col(batch: DataFrame) -> DataFrame:
     return batch
 
 
+def _host_salt(has_cd: bool):
+    """Politeness group key. The model is the REFERENCE's (crawler.rs:
+    70-80, 173: `threads` concurrent futures each sleeping delay after
+    its own fetch, with NO per-host coordination at all): delay is a
+    per-worker budget, and salting a host over HOST_SALT groups bounds
+    its concurrency at HOST_SALT — already strictly MORE polite than
+    crab's unbounded per-host concurrency, and the skew-splitting the
+    north_rule asks for. EXCEPT robots Crawl-delay (RFC 9309): that is
+    a HOST-level directive, so any host that declares one is pinned to
+    salt 0 — ONE sequential group, requests spaced by the declared gap,
+    no 4× aggregate-rate violation."""
+    salt = F.pmod(F.col("url_hash"), F.lit(HOST_SALT))
+    if has_cd:
+        salt = F.when(F.col("crawl_delay").isNotNull(), F.lit(0)).otherwise(salt)
+    return F.concat_ws("#", F.col("host"), salt.cast("string"))
+
+
 class CorpusFetcher:
     """Deterministic fetch: join the dequeued batch against an in-Spark
     corpus table on canonical URL (the sandbox replacement for HTTP GET,
@@ -162,12 +179,7 @@ class CorpusFetcher:
                     time.sleep(delay * len(pdf))
                 yield pdf.drop(columns=drop_cols)
 
-        salted = joined.withColumn(
-            "_hs",
-            F.concat_ws(
-                "#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(HOST_SALT)).cast("string")
-            ),
-        )
+        salted = joined.withColumn("_hs", _host_salt(has_cd))
         # explicit partition count: groupBy.applyInPandas would let AQE
         # coalesce the (tiny) shuffle into 1-2 partitions and SERIALIZE
         # the politeness sleeps; a user-specified repartition(N, key) is
@@ -191,9 +203,13 @@ class HttpFetcher:
     reqwest has separate connect/read timeouts (crawler.rs:155-159);
     urllib exposes ONE socket timeout, so we apply max(cto, rto) to the
     whole request — documented approximation. Distributed shape: the
-    batch is grouped by salted host; each group runs in one task with a
-    sequential, token-bucketed session — per-host politeness is then
-    structurally guaranteed no matter how Spark schedules tasks.
+    batch is grouped by salted host (``_host_salt``); each group runs
+    in one task as a sequential, delay-spaced session. The politeness
+    model is the reference's per-WORKER budget (crab's threads sleep
+    independently with no host coordination), with per-host concurrency
+    bounded at HOST_SALT — stricter than the reference; a host that
+    declares a robots Crawl-delay is pinned to ONE group, so the
+    RFC 9309 host-level gap is honored exactly.
     Fetched bodies convert to interleaved span documents in-task
     (functions.html.html_to_spans by default; ``to_spans`` plugs in
     other content types), so downstream parsing is identical to the
@@ -268,10 +284,7 @@ class HttpFetcher:
 
         cd_cols = ["crawl_delay"] if "crawl_delay" in batch.columns else []
         salted = _with_proxy_col(batch).select(*_BATCH_COLS, *cd_cols).withColumn(
-            "_hs",
-            F.concat_ws(
-                "#", F.col("host"), F.pmod(F.col("url_hash"), F.lit(HOST_SALT)).cast("string")
-            ),
+            "_hs", _host_salt(bool(cd_cols))
         )
         # explicit repartition (not groupBy): AQE must not coalesce the
         # host groups or the politeness sleeps serialize (see CorpusFetcher)
@@ -788,7 +801,11 @@ def crawl(
         # so they run CONCURRENTLY: the docs append overlaps register's
         # shuffles instead of serializing the epoch's two biggest jobs.
         docs = (
-            fetched_df.join(good.select("url_hash"), "url_hash", "left_semi")
+            # (hash, url) like every other membership join: a 64-bit
+            # collision between a good row and a failed/invalid row in
+            # the same batch must not leak the bad row into documents
+            fetched_df.join(good.select("url_hash", "url"),
+                            ["url_hash", "url"], "left_semi")
             .select(
                 F.col("url").alias("doc_id"),
                 F.col("spans"),

@@ -128,6 +128,14 @@ def lsh_candidate_pairs(
     mega-bucket otherwise stalls the whole pass at corpus scale); the
     dropped buckets are attached to the result as ``.dropped_buckets``
     for logging — no silent caps."""
+    if n_hashes % band_size:
+        # trailing hashes would silently never contribute to banding —
+        # the caller believes all n_hashes shape the recall curve
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by band_size={band_size}: "
+            f"the last {n_hashes % band_size} hash(es) would be silently "
+            "ignored (no silent caps)"
+        )
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -250,12 +258,20 @@ def connected_components(
         )
 
     def _sig(e: DataFrame) -> tuple:
+        # (count, Σ xxhash64(u,v) mod 2³¹) — a multiset signature that
+        # cannot overflow. The previous (Σu, Σv, Σu·v) form crashed
+        # under the session's default ANSI mode on hash-style long ids
+        # (xxhash64 keys ~±9.2e18: u·v overflows a long immediately,
+        # and even the plain sums overflow with enough edges). Each
+        # term here is < 2³¹ and the decimal(38,0) sum is safe to
+        # ~4.6e28 edges. Collisions don't matter: the signature only
+        # FILTERS — convergence is confirmed by exact set equality.
+        h = F.pmod(F.xxhash64(F.col("u"), F.col("v")), F.lit(1 << 31))
         r = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("u").alias("su"), F.sum("v").alias("sv"),
-            F.sum(F.col("u") * F.col("v")).alias("sp"),
+            F.sum(h.cast("decimal(38,0)")).alias("sh"),
         ).collect()[0]
-        return (int(r["n"]), r["su"], r["sv"], r["sp"])
+        return (int(r["n"]), r["sh"])
 
     prev = _sig(edges)
     cur = edges
@@ -374,6 +390,15 @@ def simhash_neardup_pairs(
     Hamming cap INSIDE the join output, before the distinct() shuffle.
     ``max_bucket`` drops over-full band buckets before pairing (see
     cap_buckets); dropped buckets attach as ``.dropped_buckets``."""
+    if _SIMHASH_BITS % n_bands:
+        # a non-dividing band count leaves the top bits un-banded: two
+        # signatures differing only there collide in EVERY band, and
+        # the "hamming <= n_bands-1 always detected" guarantee silently
+        # stops holding
+        raise ValueError(
+            f"n_bands={n_bands} must divide {_SIMHASH_BITS}: the top "
+            f"{_SIMHASH_BITS % n_bands} bit(s) would be silently ignored"
+        )
     width = _SIMHASH_BITS // n_bands
     chunks = F.array(
         *[

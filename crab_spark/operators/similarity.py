@@ -34,7 +34,14 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (not an error, not a value) for zero-norm vectors: the
+    session's default ANSI mode makes a bare division THROW on the
+    first all-zero embedding (an empty doc embedded to zeros is routine
+    at corpus scale), killing the whole scan. NULL propagates the right
+    way everywhere downstream: desc ordering puts it last (top-k),
+    threshold filters drop it (near-dup), and ivf_assign maps the
+    all-NULL score row to a NULL bucket."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -71,8 +78,15 @@ def ivf_assign(
     partitionBy(bucket) so probes prune at the file level."""
     cents = F.array(*[_lit_vec(c) for c in centroids])
     scores = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
-    bucket = F.expr(
-        "array_position(transform(_scores, s -> s = array_max(_scores)), true) - 1"
+    # array_position returns 0 when nothing matched — i.e. every score
+    # was NULL (NULL or zero-norm embedding). nullif maps that row to a
+    # NULL bucket instead of the silent -1 sentinel that used to
+    # negative-index (and corrupt) the LAST centroid in fit_centroids.
+    bucket = F.nullif(
+        F.expr(
+            "array_position(transform(_scores, s -> s = array_max(_scores)), true) - 1"
+        ),
+        F.lit(-1),
     )
     return (
         emb.withColumn("_scores", scores)
@@ -112,7 +126,8 @@ def fit_centroids(
     for _ in range(max(iters, 0)):
         assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
         cells = (
-            assigned.select("bucket", F.posexplode(vec_col).alias("dim", "v"))
+            assigned.filter(F.col("bucket").isNotNull())  # degenerate rows
+            .select("bucket", F.posexplode(vec_col).alias("dim", "v"))
             .groupBy("bucket", "dim")
             .agg(F.avg(F.col("v").cast("double")).alias("mean"))
             .collect()

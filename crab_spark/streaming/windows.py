@@ -32,21 +32,34 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (one parquet = one
-    micro-batch under availableNow; on a live pipeline this would be a
-    Kafka/file-drop source with the same downstream graph).
-
-    The streaming file source lists a DIRECTORY; the testdata ships one
-    parquet *file* per table, so we expose it through a symlinked dir."""
+def _symlink_stream_dir(src: str, name: str) -> str:
+    """The streaming file source lists a DIRECTORY; the testdata ships
+    one parquet *file* per table, so expose it through a symlinked dir
+    — memoized per source file so repeated calls reuse one temp dir for
+    the process lifetime instead of leaking a fresh mkdtemp each."""
     import os
     import tempfile
 
-    src = f"{sf_dir}/events.parquet"
-    if os.path.isfile(src):
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
-        src = d
+    if not os.path.isfile(src):
+        return src
+    key = os.path.abspath(src)
+    d = _STREAM_SYMLINK_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"{name}_stream_")
+        os.symlink(key, os.path.join(d, os.path.basename(src)))
+        _STREAM_SYMLINK_DIRS[key] = d
+    return d
+
+
+# one symlink dir per distinct source file for the process lifetime
+_STREAM_SYMLINK_DIRS: dict[str, str] = {}
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one parquet = one
+    micro-batch under availableNow; on a live pipeline this would be a
+    Kafka/file-drop source with the same downstream graph)."""
+    src = _symlink_stream_dir(f"{sf_dir}/events.parquet", "events")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(src)
@@ -143,22 +156,5 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream UNCHANGED — same DataFrame graph, micro-batch at a time —
     which is how a live ingest pipeline runs the scrub gate before
     anything lands in the lake."""
-    import os
-    import tempfile
-
-    src = f"{sf_dir}/documents.parquet"
-    if os.path.isfile(src):
-        key = os.path.abspath(src)
-        d = _STREAM_SYMLINK_DIRS.get(key)
-        if d is None or not os.path.isdir(d):
-            d = tempfile.mkdtemp(prefix="documents_stream_")
-            os.symlink(key, os.path.join(d, "documents.parquet"))
-            _STREAM_SYMLINK_DIRS[key] = d
-        src = d
+    src = _symlink_stream_dir(f"{sf_dir}/documents.parquet", "documents")
     return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
-
-
-# one symlink dir per distinct source file for the process lifetime —
-# repeated stream_documents calls reuse it instead of leaking a fresh
-# mkdtemp per invocation
-_STREAM_SYMLINK_DIRS: dict[str, str] = {}

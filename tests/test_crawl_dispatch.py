@@ -352,3 +352,21 @@ def test_priority_mode_crawl_order_survives_compaction(spark, store, registry):
     s2 = crawl(store, fetcher, registry, batch_size=10, host_budget=4,
                rescore_every=2, compact_threshold=3)
     assert s2.requests == 0
+
+
+def test_crawl_delay_host_pinned_to_single_politeness_group(spark):
+    """RFC 9309 Crawl-delay is a HOST-level directive: a host that
+    declares one must land in ONE sequential fetch group (salt pinned
+    to 0) so the declared gap bounds the host's aggregate request rate;
+    hosts without one keep the reference-parity HOST_SALT split."""
+    from crab_spark.crawler import _host_salt
+
+    rows = [(i, "cd.example", 1.0) for i in range(8)]
+    rows += [(100 + i, "free.example", None) for i in range(8)]
+    df = spark.createDataFrame(rows, "url_hash long, host string, crawl_delay double")
+    hs = df.select("host", _host_salt(True).alias("_hs")).collect()
+    by_host = {}
+    for r in hs:
+        by_host.setdefault(r["host"], set()).add(r["_hs"])
+    assert len(by_host["cd.example"]) == 1          # pinned: one group
+    assert len(by_host["free.example"]) > 1         # salted: skew split

@@ -1100,3 +1100,63 @@ def test_cross_source_neardup_single_lsh_subplan(spark):
     # duplicated LSH subplan doubles the band arms to 4+2=6
     n_gen = plan.count("Generate explode")
     assert n_gen <= 4, f"LSH subplan duplicated ({n_gen} explode arms):\n{plan}"
+
+
+def test_cosine_ansi_safe_on_zero_norm_vectors(spark):
+    """An all-zero embedding (empty doc) must yield a NULL cosine, not
+    an ANSI DIVIDE_BY_ZERO that kills the whole scan: top-k ranks it
+    last, near-dup thresholds drop it, ivf_assign maps it to a NULL
+    bucket, and fit_centroids ignores it (the old -1 sentinel
+    negative-indexed and corrupted the LAST centroid)."""
+    from crab_spark.operators import similarity as SIM
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]),
+            (3, [0.9, 0.1]), (4, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = SIM.cosine_topk(emb, [1.0, 0.0], k=5).collect()
+    assert [r["vec_id"] for r in top][:2] == [0, 3]     # zero/NULL rank last
+    assigned = SIM.ivf_assign(emb, [[1.0, 0.0], [0.0, 1.0]])
+    got = {r["vec_id"]: r["bucket"] for r in assigned.collect()}
+    assert got[0] == 0 and got[1] == 1
+    assert got[2] is None and got[4] is None            # degenerate → NULL
+    pairs = SIM.embedding_neardup_pairs(assigned, threshold=0.5).collect()
+    assert all(2 not in (r["id_a"], r["id_b"]) for r in pairs)
+    cents = SIM.fit_centroids(emb, n_centroids=2, iters=3)
+    # centroid 1 must be the mean of bucket-1 members, NOT garbage from
+    # the degenerate rows: vec 1 is its only member
+    assert abs(cents[1][1] - 1.0) < 1e-9 and abs(cents[1][0]) < 1e-9
+
+
+def test_connected_components_hash_scale_ids(spark):
+    """Cluster ids at xxhash64 scale (~±9.2e18): the convergence
+    signature must not overflow under the session's default ANSI mode
+    (the old Σu·v form threw ARITHMETIC_OVERFLOW on the first
+    iteration for any id ≥ ~3.04e9)."""
+    from crab_spark.operators.dedup import connected_components
+
+    a, b, c = 9_100_000_000_000_000_000, -9_000_000_000_000_000_000, 42
+    edges = spark.createDataFrame([(a, b), (b, c)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(edges).collect()}
+    assert set(got.values()) == {b}                     # min id labels all
+
+
+def test_banding_rejects_non_dividing_params(spark):
+    """No silent caps: trailing hashes/bits that would never contribute
+    to banding are an error, not a silent recall change."""
+    import pytest as _pt
+
+    from crab_spark.operators.dedup import (
+        lsh_candidate_pairs, simhash_neardup_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, 1, 2, 3, 4, 5, 6, 7, 8)],
+        "doc_id long, sig_0 long, sig_1 long, sig_2 long, sig_3 long, "
+        "sig_4 long, sig_5 long, sig_6 long, sig_7 long",
+    )
+    with _pt.raises(ValueError, match="not divisible"):
+        lsh_candidate_pairs(sigs, n_hashes=8, band_size=3)
+    sim = spark.createDataFrame([(1, 7)], "doc_id long, simhash long")
+    with _pt.raises(ValueError, match="must divide"):
+        simhash_neardup_pairs(sim, n_bands=6)

@@ -94,3 +94,22 @@ def test_streaming_pii_scrub_equals_batch(spark, sf_dir, tmp_path):
     w = {r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"],
                        r["redacted_hash"]) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_stream_symlink_dirs_reused_across_calls(spark, sf_dir):
+    """Repeated stream_events/stream_documents calls must reuse one
+    memoized symlink dir per source file instead of leaking a fresh
+    mkdtemp per invocation (process-lifetime litter)."""
+    from crab_spark.streaming import windows as W
+
+    before = dict(W._STREAM_SYMLINK_DIRS)
+    W.stream_events(spark, sf_dir)
+    W.stream_events(spark, sf_dir)
+    W.stream_documents(spark, sf_dir)
+    W.stream_documents(spark, sf_dir)
+    added = {k: v for k, v in W._STREAM_SYMLINK_DIRS.items() if k not in before}
+    # at most one dir per distinct source file, reused on the 2nd call
+    assert len(added) <= 2
+    import os
+    for d in added.values():
+        assert os.path.isdir(d)
