@@ -138,12 +138,29 @@ def resize_plan(media: DataFrame, decoder: FakeDecoder | None = None,
     w = F.col("width").cast("double")
     h = F.col("height").cast("double")
     scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    # exact geometry, NOT floor(dim·scale): max/dim rounds DOWN in
+    # float, so floor(dim·(max/dim)) lands on max-1 for many sizes
+    # (e.g. floor(49·(16/49)) = 15) — the binding axis must hit its box
+    # edge exactly; the other axis is floor(other·max_bind/bind) with
+    # the multiply BEFORE the divide (exact in doubles below 2^53)
+    no_up = (F.col("width") <= max_w) & (F.col("height") <= max_h)
+    w_binds = w * F.lit(float(max_h)) >= h * F.lit(float(max_w))
+    out_w = (
+        F.when(no_up, F.col("width"))
+        .when(w_binds, F.lit(max_w))
+        .otherwise(F.floor(w * F.lit(float(max_h)) / h))
+    )
+    out_h = (
+        F.when(no_up, F.col("height"))
+        .when(w_binds, F.floor(h * F.lit(float(max_w)) / w))
+        .otherwise(F.lit(max_h))
+    )
     return feats.select(
         "media_id", "kind",
         F.col("width").alias("src_w"),
         F.col("height").alias("src_h"),
-        F.floor(w * scale).cast("int").alias("out_w"),
-        F.floor(h * scale).cast("int").alias("out_h"),
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
         F.round(scale, 6).alias("scale"),
     )
 
@@ -205,7 +222,14 @@ def caption_candidates(docs: DataFrame, spans_col: str = "spans",
     )
     txt = F.when(F.col("kind") == "text",
                  F.struct(F.col("offset"), F.col("text")))
-    base = Window.partitionBy(id_col).orderBy("offset")
+    # (offset, kind, text, media_ref): offset alone leaves the window
+    # order nondeterministic when two spans share an offset — last()/
+    # first() would then pick whichever the shuffle sorted adjacent,
+    # and two runs (or Spark vs the oracle) could emit different
+    # captions. The full-tuple order pins one answer on any engine.
+    base = Window.partitionBy(id_col).orderBy(
+        "offset", "kind", "text", "media_ref"
+    )
     prev = F.last(txt, ignorenulls=True).over(
         base.rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import tokens as ws_tokens
+
 
 def with_pack_ids(
     docs: DataFrame,
@@ -54,7 +56,7 @@ def with_pack_ids(
 
         tokens = token_count_udf(tokenizer)(F.col(text_col))
     else:
-        tokens = F.size(F.split(F.col(text_col), " "))
+        tokens = F.size(ws_tokens(F.col(text_col)))
     ranged = (
         docs.withColumn("n_tokens", tokens.cast("long"))
         .repartitionByRange(num_partitions, *[F.col(c) for c in order])

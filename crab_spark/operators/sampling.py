@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .text import tokens
+
 
 def _hex_threshold(rate: float) -> str:
     """32-nibble hex threshold for a keep-rate in [0, 1]."""
@@ -23,7 +25,14 @@ def _hex_threshold(rate: float) -> str:
 
 
 def _key_hash(key_col: str, salt: str) -> Column:
-    return F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    """md5(salt || key), with NULL keys hashing as the empty string:
+    concat(salt, NULL) is NULL and 'NULL < threshold' filters the row
+    out — a 99.9% sample would deterministically drop 100% of NULL-key
+    rows while rate=1.0 kept them. Oracle mirror:
+    md5('salt' || COALESCE(CAST(key AS VARCHAR), ''))."""
+    return F.md5(F.concat(
+        F.lit(salt), F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    ))
 
 
 def hash_sample(
@@ -112,7 +121,7 @@ def token_budget_sample(
         df.select(
             F.col(key_col),
             F.col(source_col).alias("source"),
-            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
             _key_hash(key_col, salt).alias("_h"),
             budget.cast("long").alias("_budget"),
         )

@@ -43,9 +43,12 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}"
 
-# redaction is applied email → ip → phone; the patterns are disjoint
-# (an email local part can contain digits but never a '+'-anchored
-# phone; the \b-anchored IP can't overlap a redaction token).
+# redaction is applied email → ip → phone. The patterns are NOT
+# disjoint (an email local part can contain a dotted quad or a
+# phone-shaped digit run: '1.2.3.4@x.com'), so counts are taken
+# SEQUENTIALLY on the progressively-redacted text — n_ipv4 counts IPs
+# the email pass left behind — making every count reconcile exactly
+# with the <TOKEN> occurrences in the redacted output.
 REDACTIONS: list[tuple[str, str]] = [
     (EMAIL_RE, "<EMAIL>"),
     (IPV4_RE, "<IP>"),
@@ -68,12 +71,16 @@ def pii_scrub(
     keeps the output narrow; the redacted column itself is one more
     ``redacted()`` call at the write site). One scan, zero shuffles."""
     text = F.col(text_col)
+    after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
     return docs.select(
         F.col(id_col),
         F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
-        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
-        F.md5(redacted(text)).alias("redacted_hash"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")).alias(
+            "redacted_hash"
+        ),
     ).withColumn(
         "any_pii",
         (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0,
@@ -258,6 +265,10 @@ def chunk_documents(
         raise ValueError("require 0 < stride <= chunk_words")
     words = F.split(normalized(F.col(text_col)), " ")
     n = F.size(words)
+    # empty/whitespace-only/NULL docs produce NO chunks: split('') is
+    # [''] (size 1), which used to emit a phantom (n_words=1, md5(''))
+    # chunk that consumed pack budget downstream
+    docs = docs.filter(F.trim(normalized(F.col(text_col))) != "")
     extra = F.floor(
         (n - F.lit(chunk_words) + F.lit(stride - 1)) / F.lit(stride)
     ).cast("int")
@@ -336,7 +347,7 @@ def cross_source_neardup(
     survivors = ver.filter(F.col("jaccard") >= F.lit(min_jaccard)).select(
         "id_a", "id_b"
     )
-    return (
+    out = (
         survivors.join(
             src.withColumnRenamed(id_col, "id_a")
             .withColumnRenamed(source_col, "_sa"), "id_a")
@@ -349,3 +360,8 @@ def cross_source_neardup(
         )
         .agg(F.count("*").alias("n_neardup_pairs"))
     )
+    # no silent caps: when max_bucket trimmed LSH buckets, the audit
+    # frame lsh_candidate_pairs attached must reach THIS op's caller
+    # too — a dropped boilerplate mega-bucket undercounts syndication
+    out.dropped_buckets = getattr(pairs, "dropped_buckets", None)
+    return out

@@ -46,7 +46,15 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(text: Column) -> Column:
-    return F.split(text, " ")
+    """ASCII-whitespace tokens: runs of whitespace collapse to one
+    separator before the split, so newline/tab-separated corpora (all
+    real crawl text) count words correctly — a bare split(' ') counted
+    a 500-line document as ONE token and broke every consumer of word
+    counts (pack budgets, source reputation, token-budget mixes).
+    Sites that feed normalized() text collapse twice — harmless, one
+    extra codegen'd regexp pass. Oracle mirror:
+    ``string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')``."""
+    return F.split(F.regexp_replace(text, r"\s+", " "), " ")
 
 
 def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -164,12 +172,17 @@ def lang_id(
                 {"pred_lang": str, "hits": "int32"}
             )
 
+        # NULL text stays NULL on BOTH paths (the expression path's
+        # scores are NULL for NULL input): mask the model verdict so
+        # the StopwordModel equivalence contract holds row-for-row
+        notnull = F.col(text_col).isNotNull()
         return docs.select(
-            F.col(id_col), predict(F.col(text_col)).alias("_p")
+            F.col(id_col), notnull.alias("_nn"),
+            predict(F.col(text_col)).alias("_p"),
         ).select(
             id_col,
-            F.col("_p.pred_lang").alias("pred_lang"),
-            F.col("_p.hits").alias("hits"),
+            F.when(F.col("_nn"), F.col("_p.pred_lang")).alias("pred_lang"),
+            F.when(F.col("_nn"), F.col("_p.hits")).alias("hits"),
         )
     toks = tokens(normalized(F.col(text_col)))
     scores = [
@@ -222,7 +235,10 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         .filter(F.col("w") != "")
     )
     doc_counts = toks.groupBy(id_col, "w").agg(F.count("*").alias("c"))
-    freqs = toks.groupBy("w").agg(F.count("*").alias("n"))
+    # freqs derives from doc_counts, NOT from a second toks aggregation:
+    # different shuffle keys defeat ReusedExchange, so the raw
+    # split/explode of the corpus would run twice per query
+    freqs = doc_counts.groupBy("w").agg(F.sum("c").alias("n"))
     total = freqs.agg(F.sum("n").alias("_tot"))
     scored = (
         doc_counts.join(freqs, "w")
@@ -285,9 +301,9 @@ def tfidf_topk(
         .filter(F.col("w") != "")
     )
     tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
-    df_ = toks.select(id_col, "w").distinct().groupBy("w").agg(
-        F.count("*").alias("df")
-    )
+    # df derives from tf (one row per (doc, word) already) — a second
+    # distinct over raw tokens would re-explode the whole corpus
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).alias("_n"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("w").asc()

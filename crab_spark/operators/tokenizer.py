@@ -124,15 +124,20 @@ def _apply_merge_to_vocab(
 
 
 def train_from_docs(docs, text_col: str = "text", sample_rate: float = 1.0,
-                    n_merges: int = 200) -> BPETokenizer:
+                    n_merges: int = 200, key_col: str = "doc_id") -> BPETokenizer:
     """Train on a (deterministic hash-)sample of a corpus DataFrame.
     Only the sampled text reaches the driver; at 100 TB you'd sample at
-    1e-6 and still see millions of words."""
+    1e-6 and still see millions of words. ``key_col`` names the id
+    column the deterministic sample keys on (every operator in the
+    package parameterizes it; a corpus without a 'doc_id' column used
+    to raise at the hash_sample)."""
     df = docs.select(F.col(text_col).alias("t"))
     if sample_rate < 1.0:
         from .sampling import hash_sample
 
-        df = hash_sample(docs, rate=sample_rate).select(F.col(text_col).alias("t"))
+        df = hash_sample(docs, rate=sample_rate, key_col=key_col).select(
+            F.col(text_col).alias("t")
+        )
     return BPETokenizer.train(
         (r["t"] for r in df.collect()), n_merges=n_merges
     )

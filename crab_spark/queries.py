@@ -993,13 +993,13 @@ ORACLE_SQL: dict[str, str] = {
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.ve, b.ve), 4) >= 0.35""",
     "q30_token_count": """
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        SELECT doc_id, len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS n_tokens,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
         FROM documents""",
     "q31_quality": """
         SELECT doc_id, length(text) AS n_chars,
            round(length(text)::DOUBLE /
-                 greatest(len(string_split(text, ' ')), 1), 4) AS mean_word_len,
+                 greatest(len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')), 1), 4) AS mean_word_len,
            round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
                  greatest(length(text), 1), 4) AS punct_ratio,
            round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE /
@@ -1040,12 +1040,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT word, count(*) AS n FROM w WHERE word != ''
         GROUP BY word HAVING count(*) >= 5""",
     "q37_hash_sample": (
-        "SELECT doc_id FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '"
+        "SELECT doc_id FROM documents WHERE md5(COALESCE(CAST(doc_id AS VARCHAR), '')) < '"
         + SA._hex_threshold(0.1) + "'"
     ),
     "q38_stratified_sample": (
         "SELECT lang, count(*) AS n_kept FROM documents "
-        "WHERE md5(CAST(doc_id AS VARCHAR)) < CASE "
+        "WHERE md5(COALESCE(CAST(doc_id AS VARCHAR), '')) < CASE "
         + " ".join(
             f"WHEN lang = '{v}' THEN '{SA._hex_threshold(r)}'"
             for v, r in sorted(_STRAT_RATES.items())
@@ -1053,7 +1053,7 @@ ORACLE_SQL: dict[str, str] = {
         + f" ELSE '{SA._hex_threshold(0.05)}' END GROUP BY lang"
     ),
     "q39_pack_sequences": """
-        WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        WITH t AS (SELECT doc_id, len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS n FROM documents),
         c AS (SELECT doc_id, n,
                      sum(n) OVER (ORDER BY doc_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1075,8 +1075,13 @@ ORACLE_SQL: dict[str, str] = {
                        CAST(16 + {_hexbyte('ph', 1)} % 64 AS INT) AS height
                 FROM m)
         SELECT media_id, kind, width AS src_w, height AS src_h,
-               CAST(floor(width * s) AS INT) AS out_w,
-               CAST(floor(height * s) AS INT) AS out_h,
+               CAST(CASE WHEN width <= 64 AND height <= 64 THEN width
+                         WHEN width * 64.0 >= height * 64.0 THEN 64
+                         ELSE floor(width * 64.0 / height) END AS INT) AS out_w,
+               CAST(CASE WHEN width <= 64 AND height <= 64 THEN height
+                         WHEN width * 64.0 >= height * 64.0
+                              THEN floor(height * 64.0 / width)
+                         ELSE 64 END AS INT) AS out_h,
                round(s, 6) AS scale
         FROM (SELECT *, least(64.0 / width, 64.0 / height, 1.0) AS s FROM dec)""",
     # decode → stride-2 frame sample: one row per kept frame index
@@ -1131,7 +1136,7 @@ ORACLE_SQL: dict[str, str] = {
     # benchmark's distinct shingle set
     "q44_ngram_contamination": (
         "WITH bench_ids AS (SELECT doc_id FROM documents "
-        "WHERE md5('bench' || CAST(doc_id AS VARCHAR)) < '"
+        "WHERE md5('bench' || COALESCE(CAST(doc_id AS VARCHAR), '')) < '"
         + SA._hex_threshold(0.02)
         + f"'), n AS (SELECT doc_id, {_NORM} AS text FROM documents),"
         + _SHINGLE_CTE.format(k=5, km1=4).replace("FROM documents", "FROM n")
@@ -1185,15 +1190,20 @@ ORACLE_SQL: dict[str, str] = {
                     THEN ' dial +1 555 867 530' || CAST(doc_id % 10 AS VARCHAR)
                     ELSE '' END AS text
           FROM documents),
+        st AS (SELECT doc_id, text,
+                      regexp_replace(text, '{SC.EMAIL_RE}', '<EMAIL>', 'g')
+                          AS after_email
+               FROM inj),
+        st2 AS (SELECT *, regexp_replace(after_email, '{SC.IPV4_RE}',
+                                         '<IP>', 'g') AS after_ip
+                FROM st),
         cnt AS (SELECT doc_id,
                        len(regexp_extract_all(text, '{SC.EMAIL_RE}')) AS n_emails,
-                       len(regexp_extract_all(text, '{SC.IPV4_RE}')) AS n_ipv4,
-                       len(regexp_extract_all(text, '{SC.PHONE_RE}')) AS n_phones,
-                       md5(regexp_replace(regexp_replace(regexp_replace(
-                           text, '{SC.EMAIL_RE}', '<EMAIL>', 'g'),
-                           '{SC.IPV4_RE}', '<IP>', 'g'),
-                           '{SC.PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
-                FROM inj)
+                       len(regexp_extract_all(after_email, '{SC.IPV4_RE}')) AS n_ipv4,
+                       len(regexp_extract_all(after_ip, '{SC.PHONE_RE}')) AS n_phones,
+                       md5(regexp_replace(after_ip, '{SC.PHONE_RE}',
+                                          '<PHONE>', 'g')) AS redacted_hash
+                FROM st2)
         SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
                CAST(n_ipv4 AS BIGINT) AS n_ipv4,
                CAST(n_phones AS BIGINT) AS n_phones, redacted_hash,
@@ -1228,7 +1238,8 @@ ORACLE_SQL: dict[str, str] = {
     # 64-word chunks at stride 48 over normalized text; n<=64 words is
     # one chunk, else 1 + ceil((n-64)/48) — same integer arithmetic
     "q48_chunk_documents": f"""
-        WITH nrm AS (SELECT doc_id, {_NORM} AS text FROM documents),
+        WITH nrm AS (SELECT doc_id, {_NORM} AS text FROM documents
+                     WHERE trim({_NORM}) <> ''),
         w AS (SELECT doc_id, string_split(text, ' ') AS ws,
                      len(string_split(text, ' ')) AS n
               FROM nrm),
@@ -1347,7 +1358,7 @@ _Q55_REP = Fraction("0.3")
 _Q55_CONTAM = Fraction(str(_CONTAM_MAX_FRAC))
 ORACLE_SQL["q55_corpus_build"] = f"""
     WITH bench_ids AS (SELECT doc_id FROM documents
-                       WHERE md5('{_BENCH_SALT}' || CAST(doc_id AS VARCHAR))
+                       WHERE md5('{_BENCH_SALT}' || COALESCE(CAST(doc_id AS VARCHAR), ''))
                              < '{SA._hex_threshold(_BENCH_RATE)}'),
     scrub AS (SELECT doc_id,
                      regexp_replace(regexp_replace(regexp_replace(
@@ -1415,7 +1426,7 @@ ORACLE_SQL["q55_corpus_build"] = f"""
     keepq AS (SELECT doc_id FROM rkq CROSS JOIN nq
               WHERE rk < ceil(nd * 0.9)),
     samp AS (SELECT doc_id FROM keepq
-             WHERE md5('mix' || CAST(doc_id AS VARCHAR))
+             WHERE md5('mix' || COALESCE(CAST(doc_id AS VARCHAR), ''))
                    < '{SA._hex_threshold(0.5)}'),
     chw AS (SELECT s.doc_id, string_split(s.text, ' ') AS ws,
                    len(string_split(s.text, ' ')) AS n
@@ -1482,7 +1493,7 @@ ORACLE_SQL["q57_source_gate"] = f"""
                  ELSE text END AS text
           FROM documents),
     pt AS (SELECT source, md5(text) AS th, count(*) AS n,
-                  sum(len(string_split(text, ' '))) AS wsum
+                  sum(len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '))) AS wsum
            FROM inj GROUP BY source, md5(text)),
     rep AS (SELECT source, sum(n) AS src_n_docs, sum(wsum) AS words,
                    count(*) AS dist
@@ -1505,8 +1516,8 @@ ORACLE_SQL["q57_source_gate"] = f"""
 # BEFORE the doc are under its source's budget
 ORACLE_SQL["q58_token_budget_mix"] = f"""
     WITH ord AS (SELECT doc_id, source,
-                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                        md5('budget' || CAST(doc_id AS VARCHAR)) AS h
+                        CAST(len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+                        md5('budget' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS h
                  FROM documents),
     c AS (SELECT doc_id, source, n_tokens,
                  coalesce(sum(n_tokens) OVER (

@@ -540,11 +540,41 @@ def test_resize_plan_aspect_fit_no_upscale(docs):
         assert r["out_w"] <= 16 and r["out_h"] <= 16
         assert r["scale"] <= 1.0
         assert r["out_w"] <= r["src_w"] and r["out_h"] <= r["src_h"]
-        # uniform scale: both dims floor(dim * scale)
-        import math
-        s = min(16 / r["src_w"], 16 / r["src_h"], 1.0)
-        assert r["out_w"] == math.floor(r["src_w"] * s)
-        assert r["out_h"] == math.floor(r["src_h"] * s)
+        # exact geometry: the BINDING axis hits the box edge exactly
+        # (floor(dim·(max/dim)) used to land on max-1 — e.g. src 49 → 15)
+        w, h = r["src_w"], r["src_h"]
+        if w <= 16 and h <= 16:
+            assert (r["out_w"], r["out_h"]) == (w, h)
+        elif w * 16 >= h * 16:
+            assert r["out_w"] == 16 and r["out_h"] == (h * 16) // w
+        else:
+            assert r["out_h"] == 16 and r["out_w"] == (w * 16) // h
+
+
+def test_resize_plan_binding_axis_exact(spark):
+    """Regression: a 49-wide image fit into a 16-box must come out
+    exactly 16 wide, not 15 (float max/dim underflow)."""
+    from crab_spark.operators.multimodal import FakeDecoder
+    import crab_spark.operators.multimodal as MM
+
+    class FixedDecoder(FakeDecoder):
+        def decode_batch(self, pdf):
+            import pandas as pd
+            n = len(pdf)
+            return pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"],
+                 "width": pd.array([49] * n, dtype="Int32"),
+                 "height": pd.array([10] * n, dtype="Int32"),
+                 "n_frames": pd.array([1] * n, dtype="Int32"),
+                 "feature": [[0.0] * 8] * n}
+            )
+
+    media = spark.createDataFrame(
+        [("m:1", "image", b"x", 1, "{}")],
+        "media_id string, kind string, payload binary, n_bytes long, meta string",
+    )
+    got = MM.resize_plan(media, decoder=FixedDecoder(), max_w=16, max_h=16).collect()[0]
+    assert (got["out_w"], got["out_h"]) == (16, 3)
 
 
 def test_sample_frames_stride_and_bounds(docs):
@@ -1160,3 +1190,120 @@ def test_banding_rejects_non_dividing_params(spark):
     sim = spark.createDataFrame([(1, 7)], "doc_id long, simhash long")
     with _pt.raises(ValueError, match="must divide"):
         simhash_neardup_pairs(sim, n_bands=6)
+
+
+def test_token_counts_whitespace_not_just_spaces(spark):
+    """Real crawl text separates words with newlines/tabs: every
+    counting site must collapse whitespace runs before splitting (a
+    bare split(' ') counted a 500-line doc as ONE token and broke pack
+    budgets, source reputation, and token-budget mixes)."""
+    from crab_spark.operators import packing as P2
+    from crab_spark.operators import sampling as SA2
+
+    d = spark.createDataFrame(
+        [(0, "a\nb\tc  d"), (1, "one two")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in X.token_count(d).collect()}
+    assert got == {0: 4, 1: 2}
+    q = {r["doc_id"]: r["mean_word_len"] for r in X.quality_features(d).collect()}
+    assert q[0] == round(8 / 4, 4)                     # 8 chars / 4 words
+    packed = P2.with_pack_ids(d, budget=4)
+    n = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    for df_ in getattr(packed, "df_ordered_cache", None) and [packed.df_ordered_cache] or []:
+        df_.unpersist()
+    assert n[0] == 4
+    mix = SA2.token_budget_sample(
+        d.withColumn("source", F.lit("s")), {"s": 100}, salt="b"
+    ).collect()
+    assert {r["doc_id"]: r["n_tokens"] for r in mix} == {0: 4, 1: 2}
+
+
+def test_hash_sample_null_key_deterministic(spark):
+    """NULL keys hash as the empty string instead of being dropped by
+    the NULL<threshold predicate: a 99.9% sample no longer excludes
+    100% of NULL-key rows."""
+    import hashlib
+
+    from crab_spark.operators import sampling as SA2
+
+    d = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long") \
+        .withColumn("text", F.lit("x"))
+    rate = 0.999
+    kept = {r["doc_id"] for r in SA2.hash_sample(d, rate, salt="s").collect()}
+    null_hash = hashlib.md5(b"s").hexdigest()
+    expect_null = null_hash < SA2._hex_threshold(rate)
+    assert (None in kept) == expect_null and expect_null  # md5('s') ~ 0.03
+
+
+def test_pii_counts_reconcile_with_redacted_text(spark):
+    """Overlapping patterns ('1.2.3.4@x.com' matches EMAIL and IPV4):
+    counts are taken sequentially on the progressively-redacted text so
+    each n_* equals the <TOKEN> occurrences in the redacted output."""
+    from crab_spark.operators import scrub as SC
+
+    d = spark.createDataFrame(
+        [(0, "mail 1.2.3.4@x.com and ip 5.6.7.8"),
+         (1, "call +1-234-567-8901@x.com now")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in SC.pii_scrub(d).collect()}
+    red = {r["doc_id"]: r["red"] for r in d.select(
+        "doc_id", SC.redacted(F.col("text")).alias("red")).collect()}
+    for i in (0, 1):
+        assert got[i]["n_emails"] == red[i].count("<EMAIL>")
+        assert got[i]["n_ipv4"] == red[i].count("<IP>")
+        assert got[i]["n_phones"] == red[i].count("<PHONE>")
+    assert got[0]["n_ipv4"] == 1 and got[0]["n_emails"] == 1
+    assert got[1]["n_phones"] == 0                      # inside the email
+
+
+def test_chunk_documents_skips_empty_docs(spark):
+    """Empty/whitespace-only docs produce NO chunks (split('') is ['']
+    and used to emit a phantom md5('') chunk that ate pack budget)."""
+    from crab_spark.operators import scrub as SC
+
+    d = spark.createDataFrame(
+        [(0, "one two three"), (1, ""), (2, "   ")],
+        "doc_id long, text string",
+    )
+    got = SC.chunk_documents(d, chunk_words=2, stride=2).collect()
+    assert {r["doc_id"] for r in got} == {0}
+
+
+def test_lang_id_null_text_parity(spark):
+    """NULL text yields (NULL, NULL) on BOTH the expression and model
+    paths — the equivalence contract includes the degenerate row."""
+    d = spark.createDataFrame([(0, None), (1, "the cat and the dog")],
+                              "doc_id long, text string")
+    e = {r["doc_id"]: (r["pred_lang"], r["hits"]) for r in X.lang_id(d).collect()}
+    m = {r["doc_id"]: (r["pred_lang"], r["hits"])
+         for r in X.lang_id(d, model=X.StopwordModel()).collect()}
+    assert e == m and e[0] == (None, None) and e[1][0] == "en"
+
+
+def test_lm_score_reuses_token_exchange(spark):
+    """The global frequency table derives from the per-doc counts
+    (identical upstream exchange), so AQE reuses the shuffle and the
+    corpus explode executes once — the old raw-token second aggregation
+    had a different shuffle key and re-exploded the whole corpus."""
+    d = spark.createDataFrame([(0, "a b a"), (1, "b c")],
+                              "doc_id long, text string")
+    out = X.lm_score(d)
+    out.collect()
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in ep, ep
+
+
+def test_caption_ties_deterministic(spark):
+    """Two text spans at the SAME offset: the chosen caption must be
+    deterministic (full-tuple window order), not shuffle-dependent."""
+    import crab_spark.operators.multimodal as MM
+
+    spans = [("text", "A", "", 8), ("text", "B", "", 8), ("media", "", "m-1", 10)]
+    d = spark.createDataFrame(
+        [(1, spans)],
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    caps = {MM.caption_candidates(d).collect()[0]["caption"]
+            for _ in range(3)}
+    assert caps == {"B"}                                # text-desc: last wins
