@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import time
@@ -97,7 +98,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "5000"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # sf is reporting metadata only — a dir not named .../sf<number>
+    # must not crash the bench before any query runs
+    m = re.search(r"sf(\d+(?:\.\d+)?)/*$", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
 
     spark = get_spark("crab_spark_bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)

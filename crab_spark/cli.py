@@ -64,12 +64,23 @@ def parse(spans: list[dict]) -> dict:
 
 
 def load_config(workdir: str) -> dict:
+    """Config merge is per-SECTION: a crab_spark.json that sets only
+    {"crawler": {"threads": 4}} keeps every other crawler default (a
+    shallow dict.update used to wipe the whole nested section and crash
+    run-crawler on the first missing key). Always returns a fresh copy
+    so caller mutation can't corrupt DEFAULT_CONFIG."""
+    import copy
+
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
     p = os.path.join(workdir, "crab_spark.json")
     if os.path.exists(p):
-        cfg = dict(DEFAULT_CONFIG)
-        cfg.update(json.loads(open(p).read()))
-        return cfg
-    return DEFAULT_CONFIG
+        user = json.loads(open(p).read())
+        for k, v in user.items():
+            if isinstance(v, dict) and isinstance(cfg.get(k), dict):
+                cfg[k].update(v)
+            else:
+                cfg[k] = v
+    return cfg
 
 
 def discover_parsers(workdir: str):
@@ -117,6 +128,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("validate"); p.add_argument("--reset", action="store_true")
     p = sub.add_parser("list-pages")
     p.add_argument("-n", "--no-header", action="store_true")
+    p.add_argument("--limit", type=int, default=None,
+                   help="max rows (default: unbounded, reference parity)")
     sub.add_parser("parsers")
     sub.add_parser("migrate")
     p = sub.add_parser("compact")  # maintenance: fold append deltas
@@ -175,7 +188,6 @@ def main(argv: list[str] | None = None) -> int:
         else:
             # optional proxy list file (lib.rs:82-83 `proxies` path;
             # proxy.rs from_file) — pool drives per-request routing
-            pool = None
             if c.get("proxies"):
                 from .proxy import ProxyPool
 
@@ -193,16 +205,15 @@ def main(argv: list[str] | None = None) -> int:
 
             with open(os.path.join(args.workdir, c["robots"])) as f:
                 robots = robots_table(spark, json.load(f))
-        proxy_pool = pool
         stats = crawl(store, fetcher, registry, navigate=args.navigate,
                       batch_size=args.batch or c["batch_size"],
-                      robots=robots, proxy_pool=proxy_pool,
+                      robots=robots, proxy_pool=pool,
                       host_budget=args.host_budget)
         print(f"epochs={stats.epochs} requests={stats.requests} "
               f"successful={stats.successful} new_links={stats.new_links}"
               + (f" robots_denied={stats.robots_denied}" if robots is not None else ""))
-        if proxy_pool is not None:
-            for row in proxy_pool.report():
+        if pool is not None:
+            for row in pool.report():
                 print(row)
     elif args.cmd == "navigate":
         # run navigation rules on ONE page, print outgoing links
@@ -246,7 +257,10 @@ def main(argv: list[str] | None = None) -> int:
         if not args.no_header:  # main.rs:263-268 header + rule
             print(f"{'id':>7}  {'type_id':>7}  {'depth':>5}  {'status':<15}  {'url':<20}")
             print("-" * 120)
-        for r in list_pages(store).collect():
+        # toLocalIterator: the reference's SELECT is unbounded
+        # (storage.rs:71-79) — stream partitions to the console instead
+        # of collecting a potentially frontier-sized result
+        for r in list_pages(store, limit=args.limit).toLocalIterator():
             print(f"{r['seq']:>7}  {r['type_id']:>7}  {r['depth']:>5}  "
                   f"{r['status_name']:<15}  {r['url']:<20}")
     elif args.cmd == "compact":

@@ -751,6 +751,11 @@ def reset_pages(store: TableStore, url_hashes: DataFrame) -> None:
     remove the completion rows. On Iceberg this is a row-level DELETE;
     here the fetched log is tiny relative to content, so a rewrite is
     cheap."""
+    if not store.exists("fetched"):
+        # nothing fetched yet: every page is already pending — the
+        # reference's UPDATE matches zero rows and succeeds (a
+        # registered-but-never-crawled workspace used to crash here)
+        return
     fetched = store.read("fetched")
     keep = fetched.join(url_hashes.select("url_hash"), "url_hash", "left_anti")
     # keep_history: the replaced done-* tags feed resume-epoch derivation

@@ -51,6 +51,8 @@ def navigate_all(
 ) -> int:
     """Extract links from every downloaded page and register the new
     ones. Returns the number of newly registered URLs."""
+    if not (store.exists("documents") and store.exists("frontier")):
+        return 0  # fresh workspace: nothing downloaded (reference: no-op)
     docs = _downloaded_docs(store)
 
     nav_schema = T.StructType(
@@ -148,6 +150,8 @@ def validate_sweep(
 ) -> int:
     """Re-validate stored content; return the number of invalid pages,
     optionally resetting them for refetch."""
+    if not (store.exists("documents") and store.exists("frontier")):
+        return 0  # fresh workspace: nothing downloaded (reference: no-op)
     docs = _downloaded_docs(store)
 
     @F.pandas_udf(T.BooleanType())

@@ -18,13 +18,25 @@ from pyspark.sql import functions as F
 
 from .frontier import pending
 from .parsers import ParserRegistry
+from .schemas import DOCUMENTS, FRONTIER
 from .store import TableStore
 
 
-def list_pages(store: TableStore, limit: int = 1000) -> DataFrame:
+def _table_or_empty(store: TableStore, name: str, schema) -> DataFrame:
+    """A fresh workspace has no committed tables; the reference's
+    reports print empty output there (SELECT over an empty sqlite
+    table), so the report surface must too — not traceback."""
+    if store.exists(name):
+        return store.read(name)
+    return store.spark.createDataFrame([], schema)
+
+
+def list_pages(store: TableStore, limit: int | None = 1000) -> DataFrame:
     """id/url/depth/status listing; status derived from the fetched log
-    (the reference reads it off the pages row, storage.rs:71-79)."""
-    frontier = store.read("frontier")
+    (the reference reads it off the pages row, storage.rs:71-79).
+    ``limit=None`` = unbounded, the reference's behavior (its SELECT has
+    no LIMIT); the default keeps ad-hoc console calls bounded."""
+    frontier = _table_or_empty(store, "frontier", FRONTIER)
     if store.exists("fetched"):
         fetched = store.read("fetched").select(
             "url_hash", "url", F.col("reason").alias("_rsn")
@@ -32,7 +44,7 @@ def list_pages(store: TableStore, limit: int = 1000) -> DataFrame:
         frontier = frontier.join(fetched, ["url_hash", "url"], "left")
     else:
         frontier = frontier.withColumn("_rsn", F.lit(None).cast("string"))
-    return (
+    out = (
         frontier.withColumn(
             "status_name",
             F.when(F.col("_rsn") == "fetched", "Downloaded")
@@ -41,17 +53,21 @@ def list_pages(store: TableStore, limit: int = 1000) -> DataFrame:
         )
         .select("seq", "url", "type_id", "depth", "status_name")
         .orderBy("seq")
-        .limit(limit)
     )
+    return out if limit is None else out.limit(limit)
 
 
 def page_row(store: TableStore, url: str) -> DataFrame:
-    return store.read("frontier").filter(F.col("url") == url)
+    return _table_or_empty(store, "frontier", FRONTIER).filter(
+        F.col("url") == url
+    )
 
 
 def dump_content(store: TableStore, url: str) -> DataFrame:
     """Raw span content of one page (`crab dump <id>`)."""
-    return store.read("documents").filter(F.col("doc_id") == url).select("spans")
+    return _table_or_empty(store, "documents", DOCUMENTS).filter(
+        F.col("doc_id") == url
+    ).select("spans")
 
 
 def parser_report(registry: ParserRegistry) -> list[dict]:

@@ -73,5 +73,6 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-        # Spark caches the JVM-side session; clear so a new master takes hold.
-        SparkSession.builder._options = {}
+        # pyspark 4 returns a FRESH Builder from every `.builder` access
+        # (classproperty), so there is no cached option state to clear —
+        # a new get_spark() starts from an empty builder by construction.

@@ -53,6 +53,14 @@ def parse_documents(docs: DataFrame, registry: ParserRegistry) -> DataFrame:
     return docs.select("doc_id", "type_id", "spans").mapInPandas(run, schema=PARSED)
 
 
+def _q(c: str):
+    """Backtick-quoted column reference: parsers emit ARBITRARY column
+    names (ragged string rows, lib.rs:67-68), and an unquoted name
+    containing a dot ('price.usd') resolves as nested-field access and
+    raises UNRESOLVED_COLUMN."""
+    return F.col("`" + c.replace("`", "``") + "`")
+
+
 def column_order(parsed: DataFrame, row_key: list[str]) -> list[str]:
     """First-seen column order (table.rs:21-38): a column's rank is the
     smallest (row position, col_idx) at which it appears."""
@@ -85,17 +93,18 @@ def export_table(
         t.groupBy("doc_id", "row_idx")
         .pivot("col", cols)
         .agg(F.first("val"))
-        .fillna("", subset=cols)
+        .select("doc_id", "row_idx",
+                *[F.coalesce(_q(c), F.lit("")).alias(c) for c in cols])
         .orderBy("doc_id", "row_idx")
     )
-    return wide.select("doc_id", "row_idx", *cols)
+    return wide
 
 
 def to_csv_string(wide: DataFrame, cols: list[str]) -> str:
     """Driver-side golden-string renderer (tests only — real exports go
     through df.write.csv). Matches table.rs:40-59 byte format."""
     lines = [",".join(cols)]
-    for row in wide.select(*cols).collect():
+    for row in wide.select(*[_q(c) for c in cols]).collect():
         lines.append(",".join("" if v is None else str(v) for v in row))
     return "\n".join(lines) + "\n"
 

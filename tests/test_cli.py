@@ -98,3 +98,71 @@ def test_cli_export_csv(workspace, capsys, tmp_path):
     assert files
     body = "\n".join((out_dir / f).read_text() for f in files)
     assert "input" in body and "100" in body
+
+
+def test_load_config_merges_sections(tmp_path):
+    """A partial [crawler] section keeps the other crawler defaults
+    (a shallow update used to wipe the nested dict and crash
+    run-crawler on the first missing key); DEFAULT_CONFIG itself is
+    never aliased or mutated."""
+    import json as _json
+
+    from crab_spark import cli as C
+
+    (tmp_path / "crab_spark.json").write_text(
+        _json.dumps({"crawler": {"threads": 4}})
+    )
+    cfg = C.load_config(str(tmp_path))
+    assert cfg["crawler"]["threads"] == 4
+    assert cfg["crawler"]["delay_sec"] == 5.0      # default preserved
+    assert cfg["database"] == "warehouse"
+    cfg["crawler"]["threads"] = 99                 # caller mutation...
+    assert C.DEFAULT_CONFIG["crawler"]["threads"] == 1  # ...never leaks
+    # no config file: still a fresh copy, not the module object
+    assert C.load_config(str(tmp_path / "none")) is not C.DEFAULT_CONFIG
+
+
+def test_fresh_workspace_reports_and_reset(spark, tmp_path):
+    """A registered-but-never-crawled workspace: list-pages prints the
+    row, reset succeeds (reference's UPDATE no-ops), validate/
+    navigate-all report zero — nothing tracebacks on missing tables."""
+    from crab_spark import frontier as fr
+    from crab_spark.maintenance import navigate_all, validate_sweep
+    from crab_spark.parsers import load_registry
+    from crab_spark.report import dump_content, list_pages, page_row
+    from crab_spark.schemas import SEEDS
+    from crab_spark.store import TableStore
+    from crab_spark.util import local_df
+
+    store = TableStore(str(tmp_path / "wh"), spark)
+    registry = load_registry([])
+    # completely empty store: all reports empty, maintenance no-ops
+    assert list_pages(store).count() == 0
+    assert page_row(store, "http://h/x").count() == 0
+    assert dump_content(store, "http://h/x").count() == 0
+    assert navigate_all(store, registry) == 0
+    assert validate_sweep(store, registry) == 0
+    # registered but never fetched: reset must succeed
+    fr.seed_frontier(store, local_df(spark, [("http://h/x", 1)], SEEDS))
+    hashes = store.read("frontier").select("url_hash")
+    fr.reset_pages(store, hashes)                  # used to crash
+    assert list_pages(store, limit=None).count() == 1
+
+
+def test_export_table_arbitrary_column_names(spark):
+    """Parsers emit arbitrary column names (ragged string rows): a name
+    with a dot must export, not resolve as nested-field access."""
+    from crab_spark.schemas import PARSED
+    from crab_spark.tabulator import export_table, to_csv_string
+    from crab_spark.util import local_df
+
+    rows = [("d1", "t", 0, 0, "price.usd", "9"),
+            ("d1", "t", 0, 1, "qty", "2"),
+            ("d2", "t", 0, 0, "price.usd", "7")]
+    parsed = local_df(spark, rows, PARSED)
+    wide = export_table(parsed, "t")
+    assert wide.columns == ["doc_id", "row_idx", "price.usd", "qty"]
+    got = {(r["doc_id"]): (r["price.usd"], r["qty"]) for r in wide.collect()}
+    assert got == {"d1": ("9", "2"), "d2": ("7", "")}
+    csv = to_csv_string(wide, ["price.usd", "qty"])
+    assert csv == "price.usd,qty\n9,2\n7,\n"

@@ -60,3 +60,30 @@ def test_absolutize_drops_garbage():
 
 def test_host_of():
     assert host_of("http://EXample.com:8080/x") == "example.com"
+
+
+def test_canonicalize_percent_encodes_components():
+    """url-crate (WHATWG) serialization: spaces/non-ASCII in components
+    percent-encode, existing escapes pass through (idempotent), '\\' in
+    authority/path acts like '/', query/fragment keep '\\' verbatim."""
+    cases = [
+        ("http://h/a b", "http://h/a%20b"),
+        ("http://h/a%20b", "http://h/a%20b"),       # no double-encode
+        ("http://h/%zz", "http://h/%zz"),           # invalid escape kept
+        ("http://h/ü", "http://h/%C3%BC"),
+        ("http://h/p?q=a b#f g", "http://h/p?q=a%20b#f%20g"),
+        ("http://h\\x", "http://h/x"),
+        ("http://h/x\\y?a\\b#c\\d", "http://h/x/y?a\\b#c\\d"),
+        ("http://u v@h/", "http://u%20v@h/"),
+    ]
+    for raw, want in cases:
+        got = canonicalize(raw)
+        assert got == want, (raw, got, want)
+        assert canonicalize(got) == got            # idempotent
+
+
+def test_canonicalize_idna_host():
+    """Non-ASCII hosts serialize as the url crate's domain-to-ASCII
+    (punycode); two spellings of one host register ONE frontier row."""
+    assert canonicalize("http://bücher.de/x") == "http://xn--bcher-kva.de/x"
+    assert canonicalize("http://xn--bcher-kva.de/x") == "http://xn--bcher-kva.de/x"
