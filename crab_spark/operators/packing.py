@@ -86,6 +86,93 @@ def with_pack_ids(
     return out
 
 
+def write_training_shards(
+    packed: DataFrame,
+    docs: DataFrame,
+    out_dir: str,
+    packs_per_shard: int = 64,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> int:
+    """The training-export sink: materialize packed chunks as JSONL
+    shards — the file layout a pretraining data loader consumes. Takes
+    the ``corpus_build``/``chunk_documents``+``with_pack_ids`` output
+    (id, chunk_id, n_words, chunk_hash, pack_id) plus the SAME docs
+    frame the chunks were cut from (chunk text is reconstructed here,
+    at the write site — carrying it through the dedup/gate/pack
+    shuffles would multiply every exchange by the payload). Returns
+    the number of shard directories written.
+
+    Layout & guarantees:
+
+    - ``shard = floor(pack_id / packs_per_shard)`` — a pack NEVER
+      splits across shards, so a loader can stream one shard file and
+      see whole packs in order.
+    - exactly ONE file per ``shard=<k>/`` directory: the frame is
+      hash-repartitioned on shard before a partitionBy(shard) write,
+      so each shard's rows live in a single task. Shard size is the
+      operator's file-size knob (packs_per_shard × budget tokens).
+    - rows within a shard file are sorted (pack_id, id, chunk_id) —
+      the exact packing order, so concatenating a shard reproduces the
+      training stream deterministically.
+    - ``verify=True`` (default) asserts ``md5(text) == chunk_hash``
+      per row inside the write job (pure codegen, fails the job on
+      first mismatch): a caller that passes the WRONG docs frame —
+      e.g. the original corpus instead of the scrubbed/retained text
+      the pipeline actually chunked — gets an error, not a silently
+      corrupt corpus.
+
+    Scale shape: one co-keyed join on the id (AQE-planned; docs side
+    is scanned once, text column only), per-row codegen slicing, one
+    shuffle on shard. No driver-side iteration; the returned count is
+    a local directory listing.
+    """
+    import os
+
+    from .scrub import chunk_text
+
+    src = docs.select(F.col(id_col), F.col(text_col).alias("_txt"))
+    txt = chunk_text(F.col("_txt"), F.col("chunk_id"), chunk_words, stride)
+    if verify:
+        txt = F.when(
+            F.assert_true(
+                F.md5(txt) == F.col("chunk_hash"),
+                F.concat(
+                    F.lit("chunk_hash mismatch (wrong docs frame or "
+                          "chunk params?) at "),
+                    F.col(id_col).cast("string"),
+                    F.lit("/"),
+                    F.col("chunk_id").cast("string"),
+                ),
+            ).isNull(),
+            txt,
+        )
+    out = (
+        packed.join(src, id_col)
+        .select(
+            F.floor(F.col("pack_id") / packs_per_shard).alias("shard"),
+            "pack_id",
+            F.col(id_col),
+            "chunk_id",
+            "n_words",
+            txt.alias("text"),
+        )
+    )
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "pack_id", id_col, "chunk_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(out_dir)
+    )
+    return sum(
+        1 for d in os.listdir(out_dir) if d.startswith("shard=")
+    )
+
+
 def pack_stats(packed: DataFrame) -> DataFrame:
     """Per-pack rollup: document count + token fill."""
     return packed.groupBy("pack_id").agg(

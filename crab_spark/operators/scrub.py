@@ -290,6 +290,22 @@ def chunk_documents(
     )
 
 
+def chunk_text(
+    text: Column, chunk_id: Column, chunk_words: int, stride: int
+) -> Column:
+    """The text of chunk ``chunk_id`` of a document — the slice+join
+    ``chunk_documents`` deliberately defers to the write site (its
+    output carries only ``chunk_hash``; carrying the text through the
+    dedup/gate/pack shuffles would multiply every exchange by the
+    payload size). By construction
+    ``md5(chunk_text(...)) == chunk_hash`` when evaluated against the
+    SAME text the chunks were cut from."""
+    words = F.split(normalized(text), " ")
+    return F.array_join(
+        F.slice(words, chunk_id * F.lit(stride) + 1, chunk_words), " "
+    )
+
+
 def cross_source_neardup(
     docs: DataFrame,
     text_col: str = "text",

@@ -177,6 +177,77 @@ def test_corpus_build_planted_values(spark):
     assert sorted(rows) == expected
 
 
+def test_write_training_shards(spark, tmp_path):
+    """The training-export sink: whole packs per shard, one file per
+    shard dir, rows in exact packing order, and every line's text
+    reconstructs to its chunk_hash — the layout a pretraining loader
+    streams."""
+    import json as J
+    import os
+
+    from crab_spark.operators.packing import (
+        with_pack_ids,
+        write_training_shards,
+    )
+    from crab_spark.operators.scrub import chunk_documents
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(3 + 4 * i)))
+            for i in range(6)]                     # 3..23 words each
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cw, st, budget, pps = 4, 3, 6, 2
+    chunks = chunk_documents(docs, chunk_words=cw, stride=st)
+    packed = with_pack_ids(chunks, budget=budget,
+                           order_cols=["doc_id", "chunk_id"],
+                           weight_col="n_words")
+    out = str(tmp_path / "shards")
+    n_shards = write_training_shards(
+        packed, docs, out, packs_per_shard=pps,
+        chunk_words=cw, stride=st)
+    packed.df_ordered_cache.unpersist()
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) == n_shards > 1
+    seen = []
+    for d in shard_dirs:
+        k = int(d.split("=")[1])
+        files = [f for f in os.listdir(os.path.join(out, d))
+                 if f.endswith(".json")]
+        assert len(files) == 1                     # ONE file per shard
+        recs = [J.loads(l) for l in
+                open(os.path.join(out, d, files[0]))]
+        order = [(r["pack_id"], r["doc_id"], r["chunk_id"]) for r in recs]
+        assert order == sorted(order)              # packing order
+        for r in recs:
+            assert r["pack_id"] // pps == k        # pack never splits
+            assert _md5(r["text"]) == _find_hash(  # text ↔ hash round-trip
+                rows, r["doc_id"], r["chunk_id"], cw, st)
+            assert r["n_words"] == len(r["text"].split(" "))
+        seen += [(r["doc_id"], r["chunk_id"]) for r in recs]
+    # every chunk of every doc exported exactly once
+    want = []
+    for i, t in rows:
+        n = len(t.split(" "))
+        n_chunks = 1 if n <= cw else (n - cw + st - 1) // st + 1
+        want += [(i, c) for c in range(n_chunks)]
+    assert sorted(seen) == sorted(want)
+
+    # integrity guard: the WRONG docs frame (text drifted from what the
+    # chunks were cut from) fails the write instead of silently
+    # exporting a corrupt corpus
+    import pytest as _pt
+    drifted = docs.withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    with _pt.raises(Exception, match="chunk_hash mismatch"):
+        write_training_shards(packed, drifted, str(tmp_path / "bad"),
+                              packs_per_shard=pps,
+                              chunk_words=cw, stride=st)
+
+
+def _find_hash(rows, doc_id, chunk_id, cw, st):
+    text = dict(rows)[doc_id]
+    ws = text.split(" ")
+    return _md5(" ".join(ws[chunk_id * st:chunk_id * st + cw]))
+
+
 def test_corpus_build_custom_text_col(spark):
     """The caller's text column name must thread through EVERY stage —
     in particular the benchmark side of the contamination gate (a
