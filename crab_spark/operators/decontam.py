@@ -137,6 +137,91 @@ def ngram_contamination(
     )
 
 
+def neardup_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str | None = None,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    sig_k: int = 2,
+    verify_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag corpus documents that are
+    lightly-rewritten copies of benchmark/eval documents — the leakage
+    ``ngram_contamination``'s exact-shingle probe cannot see (a
+    paraphrased eval answer shares almost no exact 5-grams but most of
+    its MinHash bands). One row per corpus document:
+    ``n_neardup_bench`` (benchmark docs with shingle-set Jaccard ≥
+    ``min_jaccard``), ``max_jaccard`` (over ALL banded candidates, 0.0
+    when none), ``contaminated`` = n_neardup_bench > 0.
+
+    Scale shape — the corpus×benchmark MinHash probe, asymmetric by
+    construction: both sides get signatures (the corpus side's is the
+    audited q22 explode+combinable-min plan, ONE corpus shuffle on
+    doc_id); the benchmark's band keys AND its shingle sets are
+    broadcast (eval sets are MBs against 100 TB), so candidate
+    generation and the Jaccard verify are both map-side joins — the
+    corpus is never shuffled on band keys or shingles, and the verify
+    fans out per banded candidate, never per document. ``max_bucket``
+    caps CORPUS band buckets (a boilerplate mega-bucket would fan every
+    bench hit out |bucket|-wide); dropped buckets attach as
+    ``.dropped_buckets`` — no silent caps."""
+    from .dedup import band_keys, cap_buckets, minhash_signatures
+
+    bid = bench_id_col or id_col
+    csigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes, k=sig_k
+    )
+    bsigs = minhash_signatures(
+        benchmark, text_col=text_col, id_col=bid, n_hashes=n_hashes, k=sig_k
+    )
+    ckeys = band_keys(csigs, id_col, n_hashes, band_size)
+    dropped = None
+    if max_bucket is not None:
+        ckeys, dropped = cap_buckets(ckeys, ["band_idx", "band_key"], max_bucket)
+    bkeys = band_keys(bsigs, bid, n_hashes, band_size).withColumnRenamed(bid, "_bid")
+    cand = (
+        ckeys.join(F.broadcast(bkeys), ["band_idx", "band_key"])
+        .select(id_col, "_bid")
+        .distinct()
+    )
+    # raw text, not normalized — the ngram_jaccard/q24 verify convention
+    # (signatures and verify sets must see the SAME tokenization)
+    sets = lambda frame, key, out: frame.select(  # noqa: E731
+        key,
+        F.array_distinct(word_shingles(F.col(text_col), verify_k)).alias(out),
+    )
+    csets = sets(docs, F.col(id_col), "_sh")
+    bsets = sets(benchmark, F.col(bid).alias("_bid"), "_bsh")
+    inter = F.size(F.array_intersect("_sh", "_bsh")).cast("double")
+    union = F.size(F.array_union("_sh", "_bsh")).cast("double")
+    j = (
+        cand.join(csets, id_col)
+        .join(F.broadcast(bsets), "_bid")
+        .select(F.col(id_col), F.round(inter / union, 6).alias("_j"))
+    )
+    per_doc = j.groupBy(id_col).agg(
+        F.sum((F.col("_j") >= F.lit(min_jaccard)).cast("long")).alias("n_neardup_bench"),
+        F.max("_j").alias("max_jaccard"),
+    )
+    out = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_neardup_bench", F.lit(0)).cast("long").alias("n_neardup_bench"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_neardup_bench", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+    out.dropped_buckets = dropped
+    return out
+
+
 def source_mix_report(
     docs: DataFrame,
     text_col: str = "text",

@@ -112,22 +112,17 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 8,
     band_size: int = 2,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Band the signature (rows of `band_size` hashes); docs sharing any
-    band key are candidate pairs. Returns distinct (id_a, id_b), a < b.
-
-    Scale shape: one shuffle on (band_idx, band_key); within-bucket
-    pairing is a self-join per bucket. ``max_bucket`` caps bucket size
-    (see cap_buckets — the self-join is O(|bucket|²), so ONE boilerplate
-    mega-bucket otherwise stalls the whole pass at corpus scale); the
-    dropped buckets are attached to the result as ``.dropped_buckets``
-    for logging — no silent caps."""
+    """Explode a MinHash signature frame into its LSH band keys —
+    one row per (id, band): band_key = the band's ``band_size``
+    signature hashes joined with '#'. The shared banding step of
+    ``lsh_candidate_pairs`` (self-join near-dup) and
+    ``decontam.neardup_contamination`` (corpus×benchmark probe)."""
     if n_hashes % band_size:
         # trailing hashes would silently never contribute to banding —
         # the caller believes all n_hashes shape the recall curve
@@ -148,9 +143,28 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    keyed = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+    return signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signature (rows of `band_size` hashes); docs sharing any
+    band key are candidate pairs. Returns distinct (id_a, id_b), a < b.
+
+    Scale shape: one shuffle on (band_idx, band_key); within-bucket
+    pairing is a self-join per bucket. ``max_bucket`` caps bucket size
+    (see cap_buckets — the self-join is O(|bucket|²), so ONE boilerplate
+    mega-bucket otherwise stalls the whole pass at corpus scale); the
+    dropped buckets are attached to the result as ``.dropped_buckets``
+    for logging — no silent caps."""
+    keyed = band_keys(signatures, id_col, n_hashes, band_size)
     dropped = None
     if max_bucket is not None:
         keyed, dropped = cap_buckets(keyed, ["band_idx", "band_key"], max_bucket)
@@ -431,6 +445,65 @@ def simhash_neardup_pairs(
     ).distinct()
     out.dropped_buckets = dropped
     return out
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup: register a NEW batch of documents
+    against an already-accumulated corpus — the continuously-ingesting
+    pipeline's monthly-snapshot step (each CommonCrawl drop dedups
+    against everything kept so far), and the documents-table analogue
+    of the frontier's ``register`` (frontier.py:91). One row per batch
+    document: ``in_corpus`` (its content already exists in the corpus),
+    ``batch_keeper`` (it is the min-id holder of its content WITHIN the
+    batch — first-wins, the q06/q47 convention), and
+    ``keep = NOT in_corpus AND batch_keeper`` — the rows an ingest
+    appends. NULL text hashes as the empty string (the q46 NULL-safety
+    convention) so NULL-text rows get a verdict instead of silently
+    vanishing through an equi-join.
+
+    Scale shape — the corpus is the 100 TB side and must NEVER
+    shuffle. With ``broadcast_batch=True`` (the snapshot ≪ corpus
+    case): the batch's distinct hash set is broadcast, the corpus scan
+    probes it MAP-SIDE (left-semi, hash column only — column-pruned),
+    and only the matched hashes (≤ |batch| after the combinable
+    distinct) flow back as a second broadcast onto the batch. Zero
+    corpus exchanges, two batch-sized ones. With
+    ``broadcast_batch=False`` (a batch too large to broadcast): both
+    sides shuffle ON THE HASH ONLY (two thin columns), the standard
+    co-partitioned anti-join. The in-batch keeper is a map-side
+    combinable groupBy(min) + join-back, never a window
+    (the q47 skew rule)."""
+    c_hash = F.md5(F.coalesce(normalized(F.col(text_col)), F.lit("")))
+    bh = batch.select(F.col(id_col), c_hash.alias("content_hash"))
+    ch = corpus.select(c_hash.alias("content_hash"))
+    if broadcast_batch:
+        cand = bh.select("content_hash").distinct()
+        hits = (
+            ch.join(F.broadcast(cand), "content_hash", "left_semi")
+            .distinct()
+            .withColumn("_in_corpus", F.lit(True))
+        )
+        flagged = bh.join(F.broadcast(hits), "content_hash", "left")
+    else:
+        hits = ch.distinct().withColumn("_in_corpus", F.lit(True))
+        flagged = bh.join(hits, "content_hash", "left")
+    keepers = bh.groupBy("content_hash").agg(F.min(id_col).alias("_keeper"))
+    return (
+        flagged.join(keepers, "content_hash")
+        .select(
+            id_col,
+            "content_hash",
+            F.coalesce("_in_corpus", F.lit(False)).alias("in_corpus"),
+            (F.col(id_col) == F.col("_keeper")).alias("batch_keeper"),
+        )
+        .withColumn("keep", ~F.col("in_corpus") & F.col("batch_keeper"))
+    )
 
 
 def keep_corpus(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:

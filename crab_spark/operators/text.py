@@ -98,6 +98,85 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def heuristic_quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: Fraction | str = "2",
+    max_mean_word_len: Fraction | str = "12",
+    max_symbol_ratio: Fraction | str = "0.1",
+    min_alpha_frac: Fraction | str = "0.8",
+    min_stopword_hits: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The published heuristic rule-set gate (Gopher, Rae et al. 2021
+    §A1.1 / RefinedWeb) — the cheap first filter every pretraining
+    pipeline runs before any model-based scoring. Five rules, each
+    surfaced as its own boolean so a corpus report can attribute WHY
+    documents were dropped (a keep-only gate hides whether a source
+    died of word-soup or of symbol spam):
+
+    - ``rule_word_count``: min_words ≤ #words ≤ max_words
+    - ``rule_mean_word_len``: mean word length within
+      [min_mean_word_len, max_mean_word_len]
+    - ``rule_symbol_ratio``: (#'#' + #'...') / #words ≤ max_symbol_ratio
+    - ``rule_alpha_words``: fraction of words containing a letter
+      ≥ min_alpha_frac
+    - ``rule_stopwords``: ≥ min_stopword_hits DISTINCT function words
+      present (default: the English profile of LANG_STOPWORDS)
+
+    Every ratio rule is decided in EXACT integer arithmetic (Fraction
+    cross-multiplication — the q44/q54/q57 convention), so the keep set
+    is engine-portable with no float-rounding coin flips. Defaults are
+    rescaled to this synthetic corpus's 10–99-word documents; a real
+    deployment passes Gopher's published 50/100k/3/10 constants.
+
+    Scale shape: one scan, zero shuffles — everything is per-row
+    expressions over the tokenized text (the two array lambdas are
+    interpreted, not codegen'd, but per-row over ≤doc-length arrays;
+    the hot md5/regexp work stays in codegen)."""
+    a = Fraction(str(min_mean_word_len))
+    b = Fraction(str(max_mean_word_len))
+    s = Fraction(str(max_symbol_ratio))
+    al = Fraction(str(min_alpha_frac))
+    stops = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+
+    norm = normalized(F.col(text_col))
+    ws = F.split(norm, " ")
+    n_words = F.size(F.filter(ws, lambda w: w != "")).cast("long")
+    word_chars = F.length(F.regexp_replace(norm, " ", "")).cast("long")
+    n_hash = (F.length(norm) - F.length(F.replace(norm, F.lit("#"), F.lit("")))).cast("long")
+    n_ellipsis = (
+        (F.length(norm) - F.length(F.replace(norm, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_symbols = n_hash + n_ellipsis
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("long")
+    hits = F.size(
+        F.array_intersect(F.array_distinct(ws), F.array(*[F.lit(w) for w in stops]))
+    ).cast("long")
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = (word_chars * a.denominator >= a.numerator * n_words) & (
+        word_chars * b.denominator <= b.numerator * n_words
+    )
+    r_symbol = n_symbols * s.denominator <= s.numerator * n_words
+    r_alpha = n_alpha * al.denominator >= al.numerator * n_words
+    r_stop = hits >= min_stopword_hits
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(word_chars / F.greatest(n_words, F.lit(1)), 4).alias("mean_word_len"),
+        r_words.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_symbol.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mwl & r_symbol & r_alpha & r_stop).alias("keep"),
+    )
+
+
 class StopwordModel:
     """Reference ``lang_id`` model: the SAME stopword-hit heuristic as
     the expression path, executed in pandas — the template a real

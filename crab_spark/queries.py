@@ -700,6 +700,87 @@ def q60_cross_source_neardup(spark, sf):
     )
 
 
+# q61 incremental dedup: testdata has no exact duplicates, so a
+# deterministic boilerplate layer (25% of docs per the md5 coin become
+# one of 7 boilerplate variants — the SAME expression in the oracle)
+# plants both cross-snapshot hits (batch boiler vs corpus boiler) and
+# in-batch dup groups. corpus = doc_id%10 < 8, batch = the rest — the
+# "monthly snapshot arrives" split.
+def q61_incremental_dedup(spark, sf):
+    """Incremental exact dedup: register a new snapshot against the
+    accumulated corpus. Broadcast-batch plan: the corpus side never
+    shuffles — its scan probes the broadcast batch-hash set map-side,
+    and only the matched hashes flow back."""
+    did = F.col("doc_id")
+    coin = F.substring(F.md5(F.concat(F.lit("inc"), did.cast("string"))), 1, 1)
+    boiler = F.concat(
+        F.lit("snapshot boilerplate variant "),
+        F.pmod(did, F.lit(7)).cast("string"),
+        F.repeat(F.lit(" filler"), 20),
+    )
+    injected = t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(coin.isin("0", "1", "2", "3"), boiler).otherwise(F.col("text")),
+    )
+    corpus = injected.filter(F.pmod(did, F.lit(10)) < 8)
+    batch = injected.filter(F.pmod(did, F.lit(10)) >= 8)
+    return D.dedup_incremental(batch, corpus)
+
+
+def q62_heuristic_gate(spark, sf):
+    """The Gopher-style heuristic rule gate (word count, mean word
+    length, symbol ratio, alphabetic-word fraction, stopword presence)
+    with per-rule attribution booleans. A deterministic mutation layer
+    (the SAME md5 coin expression in the oracle) plants failures for
+    each rule: symbol spam, agglutinative soup, too-short docs, and
+    ellipsis spam. Zero shuffles — pure per-row expressions."""
+    did = F.col("doc_id")
+    coin = F.substring(F.md5(F.concat(F.lit("q62"), did.cast("string"))), 1, 1)
+    mutated = t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(coin == "0", F.repeat(F.lit("#!? "), 40))
+        .when(coin == "1", F.repeat(F.lit("pneumonoultramicroscopicsilicovolcanoconiosis "), 8))
+        .when(coin == "2", F.lit("tiny doc"))
+        .when(coin == "3", F.repeat(F.lit("wait... "), 30))
+        .otherwise(F.col("text")),
+    )
+    return X.heuristic_quality_gate(mutated)
+
+
+# q63 near-dup decontamination: a deterministic syndication layer makes
+# ~19% of docs (md5 coin in 0..2) one of 4 benchmark-passage variants —
+# same variant ⇒ shingle-set Jaccard ≈ 0.6 (shared 5-word template,
+# distinct per-doc tail word), different variant ⇒ low. The benchmark is
+# the q44-style hash sample; corpus docs sharing a sampled variant get
+# flagged even though their exact tails differ.
+def q63_neardup_decontam(spark, sf):
+    """Near-duplicate decontamination: MinHash band probe of the corpus
+    against a BROADCAST benchmark (band keys + shingle sets), Jaccard
+    verify on banded candidates only. The corpus is never shuffled on
+    band keys or shingles."""
+    did = F.col("doc_id")
+    coin = F.substring(F.md5(F.concat(F.lit("nd"), did.cast("string"))), 1, 1)
+    boiler = F.concat(
+        F.repeat(
+            F.concat(F.lit("eval benchmark passage variant "),
+                     F.pmod(did, F.lit(4)).cast("string"), F.lit(" ")),
+            12,
+        ),
+        F.lit("tail"),
+        F.pmod(did, F.lit(5)).cast("string"),
+    )
+    injected = t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(coin.isin("0", "1", "2"), boiler).otherwise(F.col("text")),
+    )
+    bench = SA.hash_sample(injected, _BENCH_RATE, salt=_BENCH_SALT)
+    corpus = injected.join(bench.select("doc_id"), "doc_id", "left_anti")
+    return DC.neardup_contamination(
+        corpus, bench, n_hashes=8, band_size=2, sig_k=2, verify_k=3,
+        min_jaccard=0.5, max_bucket=_MAX_BUCKET,
+    )
+
+
 def q49_lm_score(spark, sf):
     """Unigram-LM quality score (mean negative log-likelihood in nats
     under the corpus's own unigram distribution) — the cheap perplexity
@@ -1563,3 +1644,144 @@ ORACLE_SQL["q60_cross_source_neardup"] = "WITH " + _LSH_CAND_SETS + """,
                JOIN documents db ON db.doc_id = v.id_b
     WHERE da.source <> db.source
     GROUP BY 1, 2"""
+
+# q61: the injection coin + boilerplate expression verbatim, then the
+# snapshot split (doc_id%10), batch hashes probed against the corpus'
+# distinct hash set, in-batch first-wins via GROUP BY min — the SQL
+# form of dedup_incremental's broadcast-batch plan
+ORACLE_SQL["q61_incremental_dedup"] = f"""
+    WITH inj AS (SELECT doc_id,
+            CASE WHEN substr(md5('inc' || CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2', '3')
+                 THEN 'snapshot boilerplate variant '
+                      || CAST(doc_id % 7 AS VARCHAR) || repeat(' filler', 20)
+                 ELSE text END AS text
+          FROM documents),
+    h AS (SELECT doc_id, md5(COALESCE({_NORM}, '')) AS content_hash FROM inj),
+    corpus AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 < 8),
+    batch AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 10 >= 8),
+    k AS (SELECT content_hash, min(doc_id) AS keeper FROM batch GROUP BY 1),
+    sel AS (SELECT b.doc_id, b.content_hash,
+                   b.content_hash IN (SELECT content_hash FROM corpus)
+                       AS in_corpus,
+                   b.doc_id = k.keeper AS batch_keeper
+            FROM batch b JOIN k USING (content_hash))
+    SELECT doc_id, content_hash, in_corpus, batch_keeper,
+           (NOT in_corpus) AND batch_keeper AS keep
+    FROM sel"""
+
+# q62: the mutation coin verbatim, then the five Gopher rules in the
+# SAME exact integer cross-multiplications as heuristic_quality_gate's
+# defaults (min_words 5, max 100000, mean word len in [2/1, 12/1],
+# symbol ratio ≤ 1/10, alpha frac ≥ 4/5, ≥2 distinct stopword hits)
+_Q62_STOPS = "[" + ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"]) + "]"
+ORACLE_SQL["q62_heuristic_gate"] = f"""
+    WITH mut AS (SELECT doc_id,
+            CASE substr(md5('q62' || CAST(doc_id AS VARCHAR)), 1, 1)
+              WHEN '0' THEN repeat('#!? ', 40)
+              WHEN '1' THEN repeat(
+                  'pneumonoultramicroscopicsilicovolcanoconiosis ', 8)
+              WHEN '2' THEN 'tiny doc'
+              WHEN '3' THEN repeat('wait... ', 30)
+              ELSE text END AS text
+          FROM documents),
+    n AS (SELECT doc_id, {_NORM} AS t FROM mut),
+    f AS (SELECT doc_id, string_split(t, ' ') AS ws,
+                 CAST(length(replace(t, ' ', '')) AS BIGINT) AS word_chars,
+                 CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+                 + (length(t) - length(replace(t, '...', ''))) // 3
+                     AS n_symbols
+          FROM n),
+    g AS (SELECT doc_id, word_chars, n_symbols,
+                 CAST(len(list_filter(ws, w -> w != '')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                      AS BIGINT) AS n_alpha,
+                 CAST(len(list_intersect(list_distinct(ws), {_Q62_STOPS}))
+                      AS BIGINT) AS hits
+          FROM f),
+    r AS (SELECT doc_id, n_words, word_chars,
+                 n_words >= 5 AND n_words <= 100000 AS rule_word_count,
+                 word_chars >= 2 * n_words AND word_chars <= 12 * n_words
+                     AS rule_mean_word_len,
+                 n_symbols * 10 <= 1 * n_words AS rule_symbol_ratio,
+                 n_alpha * 5 >= 4 * n_words AS rule_alpha_words,
+                 hits >= 2 AS rule_stopwords
+          FROM g)
+    SELECT doc_id, n_words,
+           round(word_chars::DOUBLE / greatest(n_words, 1), 4)
+               AS mean_word_len,
+           rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+           rule_alpha_words, rule_stopwords,
+           rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+           AND rule_alpha_words AND rule_stopwords AS keep
+    FROM r"""
+
+
+def _q63_side(tag: str, src: str, cap: bool) -> str:
+    """One side of the q63 MinHash probe: 2-word shingles → 8 seeded-md5
+    signature mins → 4 band keys (corpus side QUALIFY-capped at
+    _MAX_BUCKET, mirroring cap_buckets; the broadcast bench side
+    uncapped, mirroring neardup_contamination)."""
+    sigs = ", ".join(f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, sig_{2*b} || '#' || sig_{2*b+1}"
+        f" AS band_key FROM {tag}sig"
+        for b in range(4)
+    )
+    qualify = (
+        f" QUALIFY count(*) OVER (PARTITION BY band_idx, band_key)"
+        f" <= {_MAX_BUCKET}" if cap else ""
+    )
+    return f"""
+    {tag}w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
+    {tag}sh AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS s
+                FROM {tag}w,
+                     unnest(range(1, greatest(len(ws) - 2, 0) + 2)) t(i)),
+    {tag}sig AS (SELECT doc_id, {sigs} FROM {tag}sh GROUP BY doc_id),
+    {tag}band AS (SELECT * FROM ({bands}){qualify}),
+    {tag}3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+               FROM {tag}w,
+                    unnest(range(1, greatest(len(ws) - 3, 0) + 2)) t(i)),
+    {tag}set AS (SELECT doc_id, list_distinct(list(s)) AS sh
+                 FROM {tag}3 GROUP BY doc_id)"""
+
+
+# q63: the syndication coin verbatim, the q44-convention benchmark
+# hash-sample, then both sides' MinHash bands (corpus capped), banded
+# candidates, and the 3-gram Jaccard verify on candidates only — the
+# SQL form of neardup_contamination's broadcast-bench probe
+ORACLE_SQL["q63_neardup_decontam"] = f"""
+    WITH inj AS (SELECT doc_id,
+            CASE WHEN substr(md5('nd' || CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2')
+                 THEN repeat('eval benchmark passage variant '
+                             || CAST(doc_id % 4 AS VARCHAR) || ' ', 12)
+                      || 'tail' || CAST(doc_id % 5 AS VARCHAR)
+                 ELSE text END AS text
+          FROM documents),
+    bench_ids AS (SELECT doc_id FROM documents
+                  WHERE md5('{_BENCH_SALT}'
+                            || COALESCE(CAST(doc_id AS VARCHAR), ''))
+                        < '{SA._hex_threshold(_BENCH_RATE)}'),
+    corpus AS (SELECT doc_id, text FROM inj
+               WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
+    bench AS (SELECT doc_id, text FROM inj
+              WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+    {_q63_side('c', 'corpus', cap=True)},
+    {_q63_side('b', 'bench', cap=False)},
+    cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bid
+             FROM cband c JOIN bband b USING (band_idx, band_key)),
+    j AS (SELECT cand.doc_id,
+                 round(len(list_intersect(cs.sh, bs.sh))::DOUBLE /
+                       len(list_distinct(list_concat(cs.sh, bs.sh))), 6)
+                     AS jc
+          FROM cand JOIN cset cs USING (doc_id)
+                    JOIN bset bs ON bs.doc_id = cand.bid),
+    per AS (SELECT doc_id,
+                   sum(CASE WHEN jc >= 0.5 THEN 1 ELSE 0 END) AS n,
+                   max(jc) AS mx
+            FROM j GROUP BY doc_id)
+    SELECT c.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_neardup_bench,
+           coalesce(per.mx, 0.0) AS max_jaccard,
+           coalesce(per.n, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN per USING (doc_id)"""

@@ -1307,3 +1307,122 @@ def test_caption_ties_deterministic(spark):
     caps = {MM.caption_candidates(d).collect()[0]["caption"]
             for _ in range(3)}
     assert caps == {"B"}                                # text-desc: last wins
+
+
+def test_dedup_incremental_planted(spark):
+    """Monthly-snapshot register: a batch doc whose content already
+    lives in the corpus is in_corpus; an in-batch dup group keeps only
+    its min-id row; NULL text hashes as '' (the q46 convention) so a
+    NULL-text batch row matches an empty-text corpus row instead of
+    vanishing through the equi-join. Plan contract (broadcast path):
+    the corpus probe is a broadcast LEFT-SEMI by construction (the
+    F.broadcast hint, visible in the STATIC plan — not an AQE runtime
+    conversion), so the corpus side is never shuffled; the remaining
+    exchanges are batch-keyed only."""
+    from crab_spark.operators import dedup as D
+    from crab_spark.plans import formatted_plan
+
+    corpus = spark.createDataFrame(
+        [(100, "old news article"), (101, ""), (102, "seen before")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "Old  News article"),   # ws/case-dup of corpus 100
+         (2, "fresh content a"),     # new, unique in batch
+         (3, "fresh content b"),     # new dup group {3, 4}: 3 keeps
+         (4, "fresh content b"),
+         (5, None)],                 # NULL text == corpus empty text
+        "doc_id long, text string",
+    )
+    out = D.dedup_incremental(batch, corpus)
+    static_plan = formatted_plan(out)          # before collect: no AQE result
+    assert "BroadcastHashJoin LeftSemi" in static_plan, static_plan
+    got = {r["doc_id"]: (r["in_corpus"], r["batch_keeper"], r["keep"])
+           for r in out.collect()}
+    assert got == {
+        1: (True, True, False),
+        2: (False, True, True),
+        3: (False, True, True),
+        4: (False, False, False),
+        5: (True, True, False),
+    }
+    ep = (out._jdf.queryExecution().executedPlan().toString()
+          .split("== Initial Plan ==")[0])     # AQE-final section only
+    assert "BroadcastHashJoin" in ep and "SortMergeJoin" not in ep, ep
+    # the shuffle path (batch too big to broadcast) agrees row-for-row
+    slow = {r["doc_id"]: (r["in_corpus"], r["batch_keeper"], r["keep"])
+            for r in D.dedup_incremental(
+                batch, corpus, broadcast_batch=False).collect()}
+    assert slow == got
+
+
+def test_heuristic_quality_gate_planted(spark):
+    """One planted failure per Gopher rule, each attributed to exactly
+    the boolean that caught it; a normal sentence passes all five.
+    Plan contract: zero shuffles — the gate is one codegen scan."""
+    from crab_spark.plans import formatted_plan
+
+    rows = [
+        (0, "the cat is on the mat and it sat down"),       # clean
+        (1, "the cat"),                                      # too short
+        (2, "the cat is on a mat # # and it sat here now"),  # symbol spam
+        (3, "pneumonoultramicroscopicsilicovolcanoconiosis "
+            * 8),                                            # word soup
+        (4, "the is 111 222 333 444 555 666 777 888"),       # non-alpha
+        (5, "cats dogs birds fish lions tigers bears wolves"),  # no stopwords
+        (6, "wait... wait... stop here the cat is very good now"),  # ellipsis
+    ]
+    out = X.heuristic_quality_gate(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    g = {r["doc_id"]: r for r in out.collect()}
+    assert g[0]["keep"] is True
+    assert g[1]["rule_word_count"] is False
+    # 14 tokens, 2 '#': 2/14 > 1/10 trips the symbol rule but not alpha
+    assert g[2]["rule_symbol_ratio"] is False
+    assert g[2]["rule_alpha_words"] is True
+    assert g[3]["rule_mean_word_len"] is False
+    assert g[4]["rule_alpha_words"] is False
+    assert g[4]["rule_mean_word_len"] is True              # 2.9 in [2, 12]
+    assert g[5]["rule_stopwords"] is False
+    assert g[6]["rule_symbol_ratio"] is False              # '...' counted
+    for i in range(1, 7):
+        assert g[i]["keep"] is False
+    assert "Exchange" not in formatted_plan(out)
+
+
+def test_neardup_contamination_planted(spark):
+    """An exact copy of a benchmark doc is flagged at max_jaccard 1.0;
+    a one-word rewrite still collides in ≥1 MinHash band and clears
+    min_jaccard; an unrelated doc stays clean with max_jaccard 0.0 (it
+    shares no band, so it never even reaches the verify). Plan
+    contract: the benchmark side is broadcast and nothing is
+    cartesian — the corpus is never shuffled on band keys."""
+    from crab_spark.operators import decontam as DC
+    from crab_spark.plans import assert_no_cartesian, formatted_plan
+
+    bench = spark.createDataFrame(
+        [("ev-1", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    docs = spark.createDataFrame(
+        [("copy", "the quick brown fox jumps over the lazy dog"),
+         ("near", "the quick brown fox jumps over the lazy cat"),
+         ("clean", "completely different words about spark engines here")],
+        "doc_id string, text string",
+    )
+    out = DC.neardup_contamination(
+        docs, bench, n_hashes=8, band_size=2, sig_k=2, verify_k=3,
+        min_jaccard=0.5,
+    )
+    g = {r["doc_id"]: r for r in out.collect()}
+    assert g["copy"]["contaminated"] is True
+    assert g["copy"]["max_jaccard"] == 1.0
+    assert g["copy"]["n_neardup_bench"] == 1
+    # 'near' shares 6 of 9 distinct 3-shingles with the bench doc
+    assert g["near"]["contaminated"] is True
+    assert 0.5 <= g["near"]["max_jaccard"] < 1.0
+    assert g["clean"]["contaminated"] is False
+    assert g["clean"]["max_jaccard"] == 0.0
+    assert_no_cartesian(out)
+    assert "BroadcastHashJoin" in formatted_plan(out)
