@@ -249,3 +249,51 @@ def label_centroid_cosine(
             ),
         )
     )
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    max_bucket: int | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): documents whose EMBEDDINGS are near-identical
+    are semantic duplicates even when their surface text shares no
+    shingles (translations, templated rewrites, boilerplate
+    paraphrases) — the dedup layer MinHash can't see. Composes the
+    audited pieces end-to-end: same-IVF-bucket candidate pairs with
+    exact cosine ≥ ``threshold`` (embedding_neardup_pairs), transitive
+    closure into clusters (connected_components — semantic duplication
+    chains exactly like textual near-duplication, so keeper selection
+    needs the component label, not the pair list), then per-vector
+    keep verdicts (keep_corpus). Returns one row per input vector:
+    (id, cluster_id = component min id, cluster_size, is_keeper).
+
+    Scale shape: inherits each stage's audited plan — bucketed O(|b|²)
+    pairing capped by ``max_bucket`` (dropped buckets re-attached here
+    as ``.dropped_buckets``), O(log n) large-star/small-star rounds
+    with bounded lineage, one combinable agg + join-back for sizes.
+    The vector table itself is shuffled once (on bucket); components
+    operate on the pair list, which LSH-capping keeps ≪ corpus-sized.
+    SemDeDup's per-cluster 'keep the vector farthest from the cluster
+    centroid' refinement reduces to a keeper rule swap; min-id is the
+    engine-wide first-wins convention (q06/q47/q50)."""
+    from .dedup import connected_components, keep_corpus
+
+    pairs = embedding_neardup_pairs(
+        assigned, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        round_to=round_to, max_bucket=max_bucket,
+    )
+    comps = connected_components(
+        pairs.select("id_a", "id_b"),
+        vertices=assigned.select(id_col),
+        id_col=id_col,
+        max_iters=max_iters,
+    )
+    out = keep_corpus(comps, id_col=id_col)
+    out.dropped_buckets = pairs.dropped_buckets
+    return out

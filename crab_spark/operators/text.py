@@ -523,3 +523,144 @@ def source_reputation_gate(
         lhs["source"].eqNullSafe(F.col("_rsrc")),
     ).select(id_col, "source", "src_n_docs", "src_mean_words",
              "src_dup_frac", "keep")
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    join_weights: bool = False,
+) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier — the
+    fastText-style model-based filter (Joulin et al. 2016) that
+    DCLM/FineWeb-class pipelines run after the heuristic gate: each
+    token hashes into one of ``len(weights)`` buckets, the document's
+    score is ``bias + Σ weights[bucket(token)]`` over ALL occurrences
+    (bag semantics), and ``keep = score > 0`` — which IS the
+    sigmoid-at-0.5 decision, since sigmoid is monotone; the raw margin
+    stays engine-exact while probabilities would round differently
+    per libm. The token bucket is the first two md5 bytes mod
+    |weights| (the engine's deterministic-hash convention), so a
+    trained weight vector is portable across engines and runs.
+
+    Reproducibility contract: pass weights that are exactly
+    representable dyadic rationals (k/2^m, e.g. quantized to 1/256)
+    and every partial sum is EXACT in double — the score is
+    independent of Spark's partition-order-dependent summation AND
+    bit-equal to the SQL oracle. Arbitrary floats still work but the
+    last ulp may then depend on aggregation order.
+
+    Scale shape: the default inline path is ONE scan, zero shuffles —
+    the weight array is a codegen literal and the per-token fold runs
+    inside F.aggregate (fine for the D ≤ ~64k of a distilled gate).
+    ``join_weights=True`` is the real-model path (fastText D = 2M
+    buckets would bloat every task's codegen): explode → bucket →
+    BROADCAST-join the (bucket, weight) table → map-side-combinable
+    groupBy(doc) sum; the corpus still never shuffles on anything but
+    doc_id. NULL/empty text scores exactly ``bias`` (q46 convention:
+    a verdict, not a dropped row)."""
+    d = len(weights)
+    if d == 0:
+        raise ValueError("weights must be non-empty")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    tks = F.filter(tokens(normalized(txt)), lambda w: w != "")
+
+    def bucket(w: Column) -> Column:
+        return F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") % d
+
+    if not join_weights:
+        wlit = F.array(*[F.lit(float(x)) for x in weights])
+        score = F.lit(float(bias)) + F.aggregate(
+            tks,
+            F.lit(0.0),
+            lambda acc, w: acc
+            + F.element_at(wlit, (bucket(w) + 1).cast("int")),
+        )
+        return docs.select(
+            F.col(id_col),
+            F.size(tks).cast("long").alias("n_tokens"),
+            F.round(score, 6).alias("score"),
+            (score > 0).alias("keep"),
+        )
+    wdf = docs.sparkSession.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(weights)], "bkt long, w double"
+    )
+    tok = docs.select(F.col(id_col), F.explode(tks).alias("t"))
+    summed = (
+        tok.select(F.col(id_col), bucket(F.col("t")).alias("bkt"))
+        .join(F.broadcast(wdf), "bkt")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("_sw"), F.count("*").alias("_nt"))
+    )
+    score = F.lit(float(bias)) + F.coalesce("_sw", F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(summed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_nt", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(score, 6).alias("score"),
+            (score > 0).alias("keep"),
+        )
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each language, rank documents by unigram-LM avg-NLL (lm_score) and
+    split into equal thirds — head (most fluent; what CCNet keeps for
+    pretraining), middle, tail. The split is RANK-based over the total
+    order (empty-last, avg_nll, doc_id) with exact integer boundary
+    rules (rank·3 < n / rank·3 < 2n), never an interpolated float
+    quantile — deterministic and engine-portable, the q54 convention.
+    Empty documents rank last within their language (an empty doc in
+    'head' is exactly backwards).
+
+    Scale shape: lm_score's audited pre-aggregated plan, then
+    ``ordered_index`` (two-pass range-partitioned rank — NO
+    per-language window, so the one giant language every real crawl
+    has can't funnel into a single task; the rank key leads with the
+    language, making per-language rank = global rank − the language's
+    broadcast min-rank offset). Per-language stats are one combinable
+    agg, O(#languages), broadcast back. NULL languages form their own
+    bucket group (null-safe join) instead of silently dropping."""
+    from ..util import ordered_index
+
+    scored = (
+        lm_score(docs, text_col=text_col, id_col=id_col)
+        .join(docs.select(id_col, lang_col), id_col)
+        .withColumn("_empty", F.col("n_words") == 0)
+    )
+    ranked = ordered_index(
+        scored, [lang_col, "_empty", "avg_nll", id_col], "_rk", start=0
+    )
+    cache = ranked.df_ordered_cache
+    stats = ranked.groupBy(lang_col).agg(
+        F.min("_rk").alias("_off"), F.count("*").alias("_n")
+    )
+    joined = ranked.join(
+        F.broadcast(stats.withColumnRenamed(lang_col, "_lang")),
+        F.col(lang_col).eqNullSafe(F.col("_lang")),
+    )
+    rk = F.col("_rk") - F.col("_off")
+    out = joined.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_words",
+        "avg_nll",
+        rk.cast("long").alias("lang_rank"),
+        F.col("_n").cast("long").alias("lang_n"),
+        F.when(rk * 3 < F.col("_n"), F.lit("head"))
+        .when(rk * 3 < 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    out.df_ordered_cache = cache
+    return out

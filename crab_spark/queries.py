@@ -781,6 +781,39 @@ def q63_neardup_decontam(spark, sf):
     )
 
 
+def q64_semantic_dedup(spark, sf):
+    """SemDeDup: embedding near-dup pairs (same IVF bucket, capped;
+    exact cosine verify) → connected components → per-vector keep
+    verdicts. The q29 candidate plan feeding the q40 clustering plan —
+    semantic duplication is transitive, so keepers need the component
+    label."""
+    cents = _centroids(spark, sf)
+    assigned = S.ivf_assign(t(spark, sf, "embeddings"), cents)
+    return S.semantic_dedup(assigned, threshold=0.35, max_bucket=_MAX_BUCKET)
+
+
+# q65 weights: 64 buckets, dyadic-rational values (k/16, k ∈ [-20, 20])
+# so every partial sum is exact in double — the score is independent of
+# partition order AND bit-equal to the DuckDB oracle's sum.
+_Q65_W = [((b * 37 + 11) % 41 - 20) / 16 for b in range(64)]
+
+
+def q65_linear_classifier(spark, sf):
+    """fastText-style hashed linear quality classifier: token → md5
+    bucket → weight, score = bias + Σ weights (bag semantics), keep =
+    score > 0 (the sigmoid-at-0.5 decision on the exact margin). Inline
+    weight-array path: one scan, zero shuffles."""
+    return X.linear_quality_score(t(spark, sf, "documents"), _Q65_W, bias=0.25)
+
+
+def q66_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity thirds per language: lm_score
+    → two-pass range rank (language-leading key; per-language rank =
+    global rank − broadcast offset, never a per-language window) →
+    exact integer third boundaries."""
+    return X.ccnet_buckets(t(spark, sf, "documents"))
+
+
 def q49_lm_score(spark, sf):
     """Unigram-LM quality score (mean negative log-likelihood in nats
     under the corpus's own unigram distribution) — the cheap perplexity
@@ -1785,3 +1818,76 @@ ORACLE_SQL["q63_neardup_decontam"] = f"""
            coalesce(per.mx, 0.0) AS max_jaccard,
            coalesce(per.n, 0) > 0 AS contaminated
     FROM corpus c LEFT JOIN per USING (doc_id)"""
+
+# q64: q29's assign/cap/verify CTEs verbatim, then the q40-style
+# recursive min-label propagation over embeddings vertices and the
+# q50-style size/keeper projection — the SQL form of semantic_dedup's
+# pairs → components → keep_corpus composition
+ORACLE_SQL["q64_semantic_dedup"] = f"""
+    WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT e.vec_id, any_value(e.embedding::DOUBLE[]) AS ve,
+             arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce))
+               AS bucket
+      FROM embeddings e, c GROUP BY e.vec_id
+      QUALIFY count(*) OVER (PARTITION BY bucket) <= {_MAX_BUCKET}),
+    ver AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM assign a JOIN assign b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.ve, b.ve), 4) >= 0.35),
+    e AS (SELECT id_a AS ea, id_b AS eb FROM ver
+          UNION SELECT id_b, id_a FROM ver),
+    reach(n, m) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.n, e.eb FROM reach r JOIN e ON r.m = e.ea),
+    lab AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           (vec_id = cluster_id) AS is_keeper
+    FROM lab"""
+
+# q65: the weight list verbatim (dyadic rationals → exact double sums
+# regardless of aggregation order), bucket = first two md5 bytes mod 64
+# — the same _hexbyte convention as the sampling oracles
+_Q65_WLIST = "[" + ", ".join(repr(w) for w in _Q65_W) + "]"
+_Q65_BKT = f"(({_hexbyte('h', 0)} * 256 + {_hexbyte('h', 1)}) % {len(_Q65_W)})"
+ORACLE_SQL["q65_linear_classifier"] = f"""
+    WITH nrm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, w FROM nrm, unnest(string_split(t, ' ')) s(w)
+             WHERE w <> ''),
+    b AS (SELECT doc_id, md5(w) AS h FROM toks),
+    s AS (SELECT doc_id, count(*) AS n_tokens,
+                 sum(list_extract({_Q65_WLIST}, {_Q65_BKT} + 1)) AS sw
+          FROM b GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(0.25 + coalesce(s.sw, 0.0), 6) AS score,
+           (0.25 + coalesce(s.sw, 0.0)) > 0 AS keep
+    FROM documents d LEFT JOIN s USING (doc_id)"""
+
+# q66: the q49 LM chain verbatim, then per-language rank over the SAME
+# total order the engine uses (empty-last, avg_nll, doc_id) and the
+# exact integer third boundaries (rank·3 < n / < 2n)
+ORACLE_SQL["q66_ccnet_buckets"] = (
+    """
+    WITH lm AS (SELECT * FROM ("""
+    + ORACLE_SQL["q49_lm_score"]
+    + """)),
+    j AS (SELECT d.doc_id, d.lang, lm.n_words, lm.avg_nll
+          FROM documents d JOIN lm USING (doc_id)),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY (n_words = 0), avg_nll, doc_id) - 1
+                     AS lang_rank,
+                 count(*) OVER (PARTITION BY lang) AS lang_n
+          FROM j)
+    SELECT doc_id, lang, n_words, avg_nll,
+           CAST(lang_rank AS BIGINT) AS lang_rank,
+           CAST(lang_n AS BIGINT) AS lang_n,
+           CASE WHEN lang_rank * 3 < lang_n THEN 'head'
+                WHEN lang_rank * 3 < 2 * lang_n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r"""
+)

@@ -1426,3 +1426,91 @@ def test_neardup_contamination_planted(spark):
     assert g["clean"]["max_jaccard"] == 0.0
     assert_no_cartesian(out)
     assert "BroadcastHashJoin" in formatted_plan(out)
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    """A≈B and B≈C but A, C are below threshold pairwise: semantic
+    duplication is transitive, so all three land in ONE cluster with
+    the min id as keeper; an unrelated vector stays a singleton keeper.
+    Geometry: unit vectors in the plane at 0°, 25°, 50° with a 0.8
+    cosine threshold (cos25° ≈ 0.906, cos50° ≈ 0.643) — pairs alone
+    would keep A and C both."""
+    import math as m
+
+    def v(deg):
+        return [float(m.cos(m.radians(deg))), float(m.sin(m.radians(deg))), 0.0]
+
+    rows = [(0, v(0)), (1, v(25)), (2, v(50)), (3, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = S.ivf_assign(df, [[1.0, 0.0, 0.0]])      # one bucket: all
+    out = {r["vec_id"]: r for r in S.semantic_dedup(
+        assigned, threshold=0.8).collect()}
+    assert {i: out[i]["cluster_id"] for i in range(4)} == {0: 0, 1: 0, 2: 0, 3: 3}
+    assert out[0]["is_keeper"] and out[0]["cluster_size"] == 3
+    assert not out[1]["is_keeper"] and not out[2]["is_keeper"]
+    assert out[3]["is_keeper"] and out[3]["cluster_size"] == 1
+
+
+def test_linear_quality_score_paths_and_nulls(spark):
+    """The inline weight-array path (zero shuffles) and the
+    broadcast-join path (real-model D) agree row-for-row with dyadic
+    weights; NULL/empty text scores exactly bias; keep is the sign of
+    the margin. A replayed Python fold cross-checks the values."""
+    import hashlib
+
+    w = [((b * 37 + 11) % 41 - 20) / 16 for b in range(64)]
+    rows = [(0, "the quick brown fox"), (1, "the the the"),
+            (2, None), (3, "   "), (4, "zebra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inline = X.linear_quality_score(docs, w, bias=0.25)
+    got = {r["doc_id"]: r for r in inline.collect()}
+
+    def replay(text):
+        toks = [t for t in " ".join((text or "").lower().split()).split(" ")
+                if t]
+        s = 0.25 + sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 64]
+            for t in toks)
+        return len(toks), round(s, 6), s > 0
+    for i, text in rows:
+        n, s, k = replay(text)
+        assert (got[i]["n_tokens"], got[i]["score"], got[i]["keep"]) == (n, s, k), i
+    assert got[2]["score"] == 0.25 and got[3]["score"] == 0.25  # bias only
+    # bag semantics: 3× the same token = 3× its weight
+    one = replay("the")[1] - 0.25
+    assert abs((got[1]["score"] - 0.25) - 3 * one) < 1e-12
+    from crab_spark.plans import formatted_plan
+    assert "Exchange" not in formatted_plan(inline)
+    joined = {r["doc_id"]: r for r in X.linear_quality_score(
+        docs, w, bias=0.25, join_weights=True).collect()}
+    assert {i: (r["n_tokens"], r["score"], r["keep"]) for i, r in got.items()} \
+        == {i: (r["n_tokens"], r["score"], r["keep"]) for i, r in joined.items()}
+
+
+def test_ccnet_buckets_thirds_and_empty_last(spark):
+    """Six docs in one language split exactly 2/2/2 head/middle/tail in
+    avg_nll order; the empty doc ranks LAST (tail) despite its
+    coalesced 0.0 score; a second language buckets independently; a
+    NULL-language doc is bucketed (own group), not dropped."""
+    rare = ["zeta", "yak", "xylo", "wisp", "verb"]
+    rows = [
+        # 'en'-labeled: doc i repeats common word 'the' (6-i) times and
+        # uses i distinct rare words → avg_nll strictly increases with i
+        *[(i, "en", " ".join(["the"] * (6 - i) + rare[:i])) for i in range(5)],
+        (5, "en", "   "),                    # empty: n_words=0, ranks last
+        (6, "fr", "le le le"), (7, "fr", "unmotrare"),
+        (8, None, "the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in X.ccnet_buckets(docs).collect()}
+    assert len(out) == 9                                  # NULL lang kept
+    en = [out[i] for i in range(6)]
+    assert [r["bucket"] for r in en] == ["head", "head", "middle", "middle",
+                                         "tail", "tail"]
+    assert out[5]["n_words"] == 0 and out[5]["lang_rank"] == 5   # empty last
+    assert [r["lang_rank"] for r in en] == list(range(6))
+    assert all(r["lang_n"] == 6 for r in en)
+    # fr: n=2 → rank0: 0<2 head; rank1: 3<4 middle (never tail at n=2)
+    assert out[6]["bucket"] == "head" and out[7]["bucket"] == "middle"
+    assert out[6]["avg_nll"] <= out[7]["avg_nll"]
+    assert out[8]["bucket"] == "head" and out[8]["lang_n"] == 1
