@@ -195,7 +195,15 @@ def neardup_contamination(
         key,
         F.array_distinct(word_shingles(F.col(text_col), verify_k)).alias(out),
     )
-    csets = sets(docs, F.col(id_col), "_sh")
+    # verify sets only for CANDIDATE docs: the candidate id set is
+    # bounded by |bench bands| × max_bucket (broadcastable next to the
+    # corpus), so the semi-join prunes map-side and the full corpus's
+    # shingle arrays are never materialized or shuffled — only the
+    # banded hits' are
+    cand_docs = docs.join(
+        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
+    )
+    csets = sets(cand_docs, F.col(id_col), "_sh")
     bsets = sets(benchmark, F.col(bid).alias("_bid"), "_bsh")
     inter = F.size(F.array_intersect("_sh", "_bsh")).cast("double")
     union = F.size(F.array_union("_sh", "_bsh")).cast("double")

@@ -143,7 +143,9 @@ def heuristic_quality_gate(
     al = Fraction(str(min_alpha_frac))
     stops = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
 
-    norm = normalized(F.col(text_col))
+    # NULL text = empty (q46 convention): n_words 0 → the word-count
+    # rule rejects it with a False verdict, never a NULL keep
+    norm = normalized(F.coalesce(F.col(text_col), F.lit("")))
     ws = F.split(norm, " ")
     n_words = F.size(F.filter(ws, lambda w: w != "")).cast("long")
     word_chars = F.length(F.regexp_replace(norm, " ", "")).cast("long")

@@ -1371,6 +1371,7 @@ def test_heuristic_quality_gate_planted(spark):
         (4, "the is 111 222 333 444 555 666 777 888"),       # non-alpha
         (5, "cats dogs birds fish lions tigers bears wolves"),  # no stopwords
         (6, "wait... wait... stop here the cat is very good now"),  # ellipsis
+        (7, None),                                           # NULL text
     ]
     out = X.heuristic_quality_gate(
         spark.createDataFrame(rows, "doc_id long, text string")
@@ -1386,7 +1387,9 @@ def test_heuristic_quality_gate_planted(spark):
     assert g[4]["rule_mean_word_len"] is True              # 2.9 in [2, 12]
     assert g[5]["rule_stopwords"] is False
     assert g[6]["rule_symbol_ratio"] is False              # '...' counted
-    for i in range(1, 7):
+    # NULL text = empty: a False verdict (word-count rule), never NULL
+    assert g[7]["n_words"] == 0 and g[7]["rule_word_count"] is False
+    for i in range(1, 8):
         assert g[i]["keep"] is False
     assert "Exchange" not in formatted_plan(out)
 
