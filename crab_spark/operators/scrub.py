@@ -381,3 +381,35 @@ def cross_source_neardup(
     # too — a dropped boilerplate mega-bucket undercounts syndication
     out.dropped_buckets = getattr(pairs, "dropped_buckets", None)
     return out
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repeated-line removal — the RefinedWeb/Gopher
+    line-level cleanup (Penedo et al. 2023 §4.2): navigation menus,
+    cookie banners and SEO footers repeat the same exact line inside
+    one document; every occurrence after the FIRST is dropped and the
+    survivors keep their original order. This is the within-doc
+    complement of ``paragraph_dedup`` (cross-doc first-wins): there the
+    unit is a word-window across the corpus, here it is an exact
+    newline-delimited line within a single row.
+
+    Output: (id, text = cleaned, n_lines, n_removed). NULL text is
+    treated as '' (q46 convention: 0/0 counts, never a NULL verdict).
+
+    Scale shape: ONE scan, ZERO shuffles — `array_distinct` is
+    documented order-preserving (keeps first occurrences), so the
+    whole op is per-row codegen over the line array; no explode, no
+    window, nothing leaves the row. The oracle reproduces first-wins
+    with a per-(doc, line) row_number over positions."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    kept = F.array_distinct(lines)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+    )

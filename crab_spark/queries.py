@@ -814,6 +814,36 @@ def q66_ccnet_buckets(spark, sf):
     return X.ccnet_buckets(t(spark, sf, "documents"))
 
 
+# q67: testdata docs are single-line word streams, so a deterministic
+# line layer reshapes each into 6-word lines (the q51 segment-slicing
+# expression, joined with \n) and the md5 coin appends a duplicate of
+# the FIRST line to ~25% of docs — the repeated nav/footer line the op
+# exists to strip. Docs whose natural segments repeat dedupe too, in
+# both engines alike.
+def q67_line_dedup(spark, sf):
+    """RefinedWeb within-document repeated-line removal: first
+    occurrence survives in place, later exact copies drop. Zero
+    shuffles — array_distinct is order-preserving per-row codegen."""
+    docs = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    coin = F.substring(F.md5(F.concat(F.lit("ld"), did.cast("string"))), 1, 1)
+    ws = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(ws) / F.lit(6.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(ws, i * 6 + 1, F.lit(6)), " "),
+    )
+    lined = F.array_join(segs, "\n")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            coin.isin("0", "1", "2", "3"),
+            F.concat(lined, F.lit("\n"), F.element_at(segs, 1)),
+        ).otherwise(lined),
+    )
+    return SC.dedup_lines(injected)
+
+
 def q49_lm_score(spark, sf):
     """Unigram-LM quality score (mean negative log-likelihood in nats
     under the corpus's own unigram distribution) — the cheap perplexity
@@ -1891,3 +1921,35 @@ ORACLE_SQL["q66_ccnet_buckets"] = (
                 ELSE 'tail' END AS bucket
     FROM r"""
 )
+
+# q67: the injection (6-word segments + coin-gated duplicate first
+# line) rebuilt in SQL from the q51 slicing pattern, then first-wins
+# line dedup as a per-(doc, line) row_number over positions — the SQL
+# form of order-preserving array_distinct
+ORACLE_SQL["q67_line_dedup"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (SELECT doc_id, i,
+                    array_to_string(ws[i*6+1 : i*6+6], ' ') AS seg
+             FROM w, unnest(range(CAST(ceil(len(ws) / 6.0) AS BIGINT))) t(i)),
+    lined AS (SELECT doc_id,
+                     string_agg(seg, chr(10) ORDER BY i) AS txt,
+                     min(CASE WHEN i = 0 THEN seg END) AS first_seg
+              FROM segs GROUP BY doc_id),
+    inj AS (SELECT doc_id,
+                   CASE WHEN substr(md5('ld' || CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0', '1', '2', '3')
+                        THEN txt || chr(10) || first_seg ELSE txt END AS text
+            FROM lined),
+    l AS (SELECT doc_id, ls[i+1] AS line, i
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj),
+               unnest(range(len(ls))) t(i)),
+    k AS (SELECT doc_id, line, i,
+                 row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
+          FROM l)
+    SELECT doc_id,
+           string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY i)
+               AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+    FROM k GROUP BY doc_id"""

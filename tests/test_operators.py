@@ -1517,3 +1517,28 @@ def test_ccnet_buckets_thirds_and_empty_last(spark):
     assert out[6]["bucket"] == "head" and out[7]["bucket"] == "middle"
     assert out[6]["avg_nll"] <= out[7]["avg_nll"]
     assert out[8]["bucket"] == "head" and out[8]["lang_n"] == 1
+
+
+def test_dedup_lines_first_wins_order(spark):
+    """Repeated lines drop after their FIRST occurrence, survivors keep
+    document order; NULL text gets 0/0 counts; a doc with no repeats is
+    untouched. Zero-shuffle plan (pure per-row codegen)."""
+    from crab_spark.operators import scrub as SC
+    from crab_spark.plans import formatted_plan
+
+    rows = [
+        (0, "nav menu\nreal content a\nnav menu\nreal content b\nnav menu"),
+        (1, "only line"),
+        (2, None),
+        (3, "a\nb\na\nb\na\nb"),
+    ]
+    out = SC.dedup_lines(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    g = {r["doc_id"]: r for r in out.collect()}
+    assert g[0]["text"] == "nav menu\nreal content a\nreal content b"
+    assert (g[0]["n_lines"], g[0]["n_removed"]) == (5, 2)
+    assert g[1]["text"] == "only line" and g[1]["n_removed"] == 0
+    assert (g[2]["text"], g[2]["n_lines"], g[2]["n_removed"]) == ("", 1, 0)
+    assert g[3]["text"] == "a\nb" and g[3]["n_removed"] == 4
+    assert "Exchange" not in formatted_plan(out)
