@@ -164,3 +164,59 @@ def token_budget_sample(
     )
     out.df_ordered_cache = ranged  # caller may unpersist after its action
     return out
+
+
+def temperature_mixture_rates(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Multinomial temperature reweighting — the mixture step of the
+    GPT-3 / PaLM / mT5 data recipes: a source's sampling share is its
+    token share raised to ``alpha`` (< 1 upweights small/high-quality
+    sources, 1 = natural distribution), renormalized. One row per
+    source: n_docs, n_tokens, ``token_share`` p_s, ``temp_share``
+    p_s^α / Σ p^α, and ``boost`` = temp_share / token_share — the
+    per-source rate multiplier a sampler applies.
+
+    Composition contract: this is the RATES half; applying them is the
+    already-audited `stratified_sample` (q38) with per-source rates =
+    clamp(base_rate · boost) — rates cross the driver as an O(#sources)
+    collect, the engine's documented pattern for tiny model state
+    (centroids, depth counts). Keep decisions then remain exact
+    hash-threshold comparisons; nothing downstream depends on float
+    boundary behavior inside a filter.
+
+    Scale shape: one map-side-combinable aggregation over (source) —
+    token counts from size(tokens()) per row, no explode — plus two
+    1-row/broadcast totals. NULL sources aggregate as their own group
+    (the q57 convention); NULL text counts 0 tokens."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_tok = F.size(F.filter(tokens(txt), lambda w: w != "")).cast("long")
+    per = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_t"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.col("n_tokens") / F.col("_t")
+    ).withColumn("_pa", F.pow("_p", F.lit(float(alpha))))
+    z = shared.agg(F.sum("_pa").alias("_z"))
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .select(
+            source_col,
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("_p", round_to).alias("token_share"),
+            F.round(F.col("_pa") / F.col("_z"), round_to).alias("temp_share"),
+            # a 0-token source contributes nothing a sampler could take:
+            # boost pinned to 0.0, not the IEEE 0/0 NaN
+            F.when(F.col("_p") > 0, F.round(
+                F.col("_pa") / F.col("_z") / F.col("_p"), round_to
+            )).otherwise(F.lit(0.0)).alias("boost"),
+        )
+    )

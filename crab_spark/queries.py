@@ -814,6 +814,14 @@ def q66_ccnet_buckets(spark, sf):
     return X.ccnet_buckets(t(spark, sf, "documents"))
 
 
+def q68_temperature_mix(spark, sf):
+    """Multinomial temperature mixture rates (α = 0.5): per-source
+    token share, temperature share p^α/Σp^α, and the boost multiplier
+    a sampler applies — one combinable aggregation + two broadcast
+    totals."""
+    return SA.temperature_mixture_rates(t(spark, sf, "documents"), alpha=0.5)
+
+
 # q67: testdata docs are single-line word streams, so a deterministic
 # line layer reshapes each into 6-word lines (the q51 segment-slicing
 # expression, joined with \n) and the md5 coin appends a duplicate of
@@ -1953,3 +1961,25 @@ ORACLE_SQL["q67_line_dedup"] = """
            CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_removed
     FROM k GROUP BY doc_id"""
+
+# q68: same aggregation in SQL — token counts per source from the
+# whitespace-collapsed split (the q30 convention), pow(share, 0.5) and
+# the same 6-dp rounding
+ORACLE_SQL["q68_temperature_mix"] = f"""
+    WITH per AS (SELECT source, count(*) AS n_docs,
+                        sum(len(list_filter(string_split(
+                            regexp_replace(coalesce(text, ''),
+                                           '\\s+', ' ', 'g'), ' '),
+                            w -> w <> ''))) AS n_tokens
+                 FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    sh AS (SELECT source, n_docs, n_tokens,
+                  n_tokens::DOUBLE / t AS p,
+                  pow(n_tokens::DOUBLE / t, 0.5) AS pa
+           FROM per CROSS JOIN tot),
+    z AS (SELECT sum(pa) AS z FROM sh)
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(p, 6) AS token_share,
+           round(pa / z.z, 6) AS temp_share,
+           CASE WHEN p > 0 THEN round(pa / z.z / p, 6) ELSE 0.0 END AS boost
+    FROM sh CROSS JOIN z"""

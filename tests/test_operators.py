@@ -1542,3 +1542,30 @@ def test_dedup_lines_first_wins_order(spark):
     assert (g[2]["text"], g[2]["n_lines"], g[2]["n_removed"]) == ("", 1, 0)
     assert g[3]["text"] == "a\nb" and g[3]["n_removed"] == 4
     assert "Exchange" not in formatted_plan(out)
+
+
+def test_temperature_mixture_rates_planted(spark):
+    """α = 0.5 replayed in Python on known token counts: a small source
+    gets boost > 1, the big one < 1, temp shares sum to 1; a NULL
+    source is its own group; an all-empty source gets boost 0.0 (not
+    the 0/0 NaN)."""
+    import math as m
+
+    from crab_spark.operators import sampling as SA
+
+    rows = [(0, "big", "w " * 89 + "w"), (1, "small", "a b c d e f g h i j"),
+            (2, None, "k l m n o p q r s t"), (3, "empty", "   "),
+            (4, "empty", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in SA.temperature_mixture_rates(
+        docs, alpha=0.5).collect()}
+    counts = {"big": 90, "small": 10, None: 10, "empty": 0}
+    total = 110
+    z = sum(m.sqrt(c / total) for c in counts.values())
+    for s, c in counts.items():
+        assert got[s]["n_tokens"] == c
+        assert got[s]["token_share"] == round(c / total, 6)
+        assert got[s]["temp_share"] == round(m.sqrt(c / total) / z, 6)
+    assert got["empty"]["boost"] == 0.0 and got["empty"]["n_docs"] == 2
+    assert got["small"]["boost"] > 1.0 > got["big"]["boost"]
+    assert abs(sum(r["temp_share"] for r in got.values()) - 1.0) < 1e-5
