@@ -531,3 +531,96 @@ def keep_corpus(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+
+
+def dedup_incremental_neardup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    sig_k: int = 2,
+    verify_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup registration — ``dedup_incremental``'s
+    fuzzy counterpart: a new snapshot is probed against the accumulated
+    corpus for lightly-rewritten copies (syndicated rewrites, template
+    churn) that exact content hashes miss. One row per BATCH document:
+    ``n_neardup_corpus`` (corpus docs with shingle-set Jaccard ≥
+    ``min_jaccard``), ``max_jaccard`` (over all banded candidates, 0.0
+    when none), ``is_neardup`` = n_neardup_corpus > 0 — an ingest
+    appends ``NOT is_neardup`` rows (compose with the exact op and, for
+    in-batch fuzzy groups, ``lsh_candidate_pairs`` on the batch alone —
+    the batch is the small side by construction).
+
+    Scale shape — the mirror-image of ``decontam.
+    neardup_contamination`` (there the 100 TB side gets the verdicts;
+    here the broadcast side does): the BATCH's band keys and shingle
+    sets are broadcast (a snapshot ≪ the accumulated corpus); the
+    corpus pays its ONE audited signature shuffle (explode +
+    map-combinable groupBy(min), the q22 plan — a maintained ingest
+    would persist this table instead of recomputing), probes the
+    broadcast band keys map-side, and only banded candidates — bounded
+    by |batch bands| × ``max_bucket`` under the corpus-side bucket cap
+    — materialize shingle sets for the verify. The corpus is never
+    shuffled on band keys or shingles; dropped corpus buckets attach
+    as ``.dropped_buckets``."""
+    bsig = minhash_signatures(
+        batch, text_col=text_col, id_col=id_col, n_hashes=n_hashes, k=sig_k
+    )
+    bkeys = band_keys(bsig, id_col, n_hashes, band_size).withColumnRenamed(
+        id_col, "_bid"
+    )
+    csig = minhash_signatures(
+        corpus, text_col=text_col, id_col=id_col, n_hashes=n_hashes, k=sig_k
+    )
+    ckeys = band_keys(csig, id_col, n_hashes, band_size)
+    dropped = None
+    if max_bucket is not None:
+        ckeys, dropped = cap_buckets(ckeys, ["band_idx", "band_key"], max_bucket)
+    cand = (
+        ckeys.join(F.broadcast(bkeys), ["band_idx", "band_key"])
+        .select(F.col(id_col).alias("_cid"), "_bid")
+        .distinct()
+    )
+    sets = lambda frame, key, out: frame.select(  # noqa: E731
+        key,
+        F.array_distinct(word_shingles(F.col(text_col), verify_k)).alias(out),
+    )
+    cand_corpus = corpus.join(
+        F.broadcast(cand.select(F.col("_cid").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
+    csets = sets(cand_corpus, F.col(id_col).alias("_cid"), "_csh")
+    bsets = sets(batch, F.col(id_col).alias("_bid"), "_bsh")
+    inter = F.size(F.array_intersect("_csh", "_bsh")).cast("double")
+    union = F.size(F.array_union("_csh", "_bsh")).cast("double")
+    j = (
+        cand.join(csets, "_cid")
+        .join(F.broadcast(bsets), "_bid")
+        .select("_bid", F.round(inter / union, 6).alias("_j"))
+    )
+    per = j.groupBy("_bid").agg(
+        F.sum((F.col("_j") >= F.lit(min_jaccard)).cast("long")).alias(
+            "n_neardup_corpus"
+        ),
+        F.max("_j").alias("max_jaccard"),
+    )
+    out = (
+        batch.select(id_col)
+        .join(per.withColumnRenamed("_bid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_neardup_corpus", F.lit(0)).cast("long").alias(
+                "n_neardup_corpus"
+            ),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_neardup_corpus", F.lit(0)) > 0).alias("is_neardup"),
+        )
+    )
+    out.dropped_buckets = dropped
+    return out

@@ -814,6 +814,38 @@ def q66_ccnet_buckets(spark, sf):
     return X.ccnet_buckets(t(spark, sf, "documents"))
 
 
+# q69: the q61 snapshot split (doc_id%10) with the q63-style NEAR-dup
+# injection — same-variant boiler docs land on both sides of the split
+# with distinct per-doc tails, so batch boiler docs are fuzzy (not
+# exact) copies of corpus ones.
+def q69_incremental_neardup(spark, sf):
+    """Incremental near-dup registration: the new snapshot's band keys
+    and shingle sets broadcast; the accumulated corpus pays one
+    signature shuffle, probes the bands map-side, and only banded
+    candidates materialize verify sets."""
+    did = F.col("doc_id")
+    coin = F.substring(F.md5(F.concat(F.lit("inb"), did.cast("string"))), 1, 1)
+    boiler = F.concat(
+        F.repeat(
+            F.concat(F.lit("ingest boilerplate variant "),
+                     F.pmod(did, F.lit(4)).cast("string"), F.lit(" ")),
+            12,
+        ),
+        F.lit("tail"),
+        F.pmod(did, F.lit(5)).cast("string"),
+    )
+    injected = t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(coin.isin("0", "1", "2"), boiler).otherwise(F.col("text")),
+    )
+    corpus = injected.filter(F.pmod(did, F.lit(10)) < 8)
+    batch = injected.filter(F.pmod(did, F.lit(10)) >= 8)
+    return D.dedup_incremental_neardup(
+        batch, corpus, n_hashes=8, band_size=2, sig_k=2, verify_k=3,
+        min_jaccard=0.5, max_bucket=_MAX_BUCKET,
+    )
+
+
 def q68_temperature_mix(spark, sf):
     """Multinomial temperature mixture rates (α = 0.5): per-source
     token share, temperature share p^α/Σp^α, and the boost multiplier
@@ -1983,3 +2015,37 @@ ORACLE_SQL["q68_temperature_mix"] = f"""
            round(pa / z.z, 6) AS temp_share,
            CASE WHEN p > 0 THEN round(pa / z.z / p, 6) ELSE 0.0 END AS boost
     FROM sh CROSS JOIN z"""
+
+# q69: the injection + split verbatim, then the q63 side-builder for
+# both halves (corpus bands capped, batch side the broadcast mirror),
+# candidates, Jaccard verify, per-BATCH-doc aggregation
+ORACLE_SQL["q69_incremental_neardup"] = f"""
+    WITH inj AS (SELECT doc_id,
+            CASE WHEN substr(md5('inb' || CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2')
+                 THEN repeat('ingest boilerplate variant '
+                             || CAST(doc_id % 4 AS VARCHAR) || ' ', 12)
+                      || 'tail' || CAST(doc_id % 5 AS VARCHAR)
+                 ELSE text END AS text
+          FROM documents),
+    corpus AS (SELECT doc_id, text FROM inj WHERE doc_id % 10 < 8),
+    batch AS (SELECT doc_id, text FROM inj WHERE doc_id % 10 >= 8),
+    {_q63_side('c', 'corpus', cap=True)},
+    {_q63_side('b', 'batch', cap=False)},
+    cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+             FROM bband b JOIN cband c USING (band_idx, band_key)),
+    j AS (SELECT cand.bid,
+                 round(len(list_intersect(cs.sh, bs.sh))::DOUBLE /
+                       len(list_distinct(list_concat(cs.sh, bs.sh))), 6)
+                     AS jc
+          FROM cand JOIN cset cs ON cs.doc_id = cand.cid
+                    JOIN bset bs ON bs.doc_id = cand.bid),
+    per AS (SELECT bid,
+                   sum(CASE WHEN jc >= 0.5 THEN 1 ELSE 0 END) AS n,
+                   max(jc) AS mx
+            FROM j GROUP BY bid)
+    SELECT b2.doc_id,
+           CAST(coalesce(per.n, 0) AS BIGINT) AS n_neardup_corpus,
+           coalesce(per.mx, 0.0) AS max_jaccard,
+           coalesce(per.n, 0) > 0 AS is_neardup
+    FROM batch b2 LEFT JOIN per ON per.bid = b2.doc_id"""

@@ -1569,3 +1569,35 @@ def test_temperature_mixture_rates_planted(spark):
     assert got["empty"]["boost"] == 0.0 and got["empty"]["n_docs"] == 2
     assert got["small"]["boost"] > 1.0 > got["big"]["boost"]
     assert abs(sum(r["temp_share"] for r in got.values()) - 1.0) < 1e-5
+
+
+def test_incremental_neardup_planted(spark):
+    """A batch doc that's a one-word rewrite of a corpus doc is flagged
+    (banded candidate + Jaccard ≥ 0.5); a batch doc near-identical only
+    to ANOTHER BATCH doc is NOT (corpus-probe semantics — in-batch
+    fuzzy grouping is the composed lsh_candidate_pairs step); a fresh
+    doc stays clean at 0.0. Plan: the batch side is broadcast, nothing
+    is cartesian."""
+    from crab_spark.plans import assert_no_cartesian, formatted_plan
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "completely unrelated corpus text about storage engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy cat"),   # ≈ corpus 100
+         (2, "fresh snapshot words never seen before anywhere at all"),
+         (3, "fresh snapshot words never seen before anywhere at most")],
+        "doc_id long, text string",                            # 3 ≈ 2 only
+    )
+    out = D.dedup_incremental_neardup(
+        batch, corpus, n_hashes=8, band_size=2, sig_k=2, verify_k=3,
+        min_jaccard=0.5,
+    )
+    g = {r["doc_id"]: r for r in out.collect()}
+    assert g[1]["is_neardup"] is True and g[1]["max_jaccard"] >= 0.5
+    assert g[2]["is_neardup"] is False
+    assert g[3]["is_neardup"] is False                 # batch-internal only
+    assert_no_cartesian(out)
+    assert "BroadcastHashJoin" in formatted_plan(out)
