@@ -113,3 +113,29 @@ def test_stream_symlink_dirs_reused_across_calls(spark, sf_dir):
     import os
     for d in added.values():
         assert os.path.isdir(d)
+
+
+def test_streaming_heuristic_gate_and_line_dedup_equal_batch(spark, sf_dir, tmp_path):
+    """The new stateless curation ops run on a stream unchanged — the
+    live-ingest contract: heuristic_quality_gate composed over
+    dedup_lines (clean first, gate the cleaned text) on the documents
+    file-source equals the same composition on the batch read. One
+    streaming query pins both ops plus their composition end-to-end."""
+    from crab_spark.operators import scrub as SC
+    from crab_spark.operators import text as X
+    from crab_spark.streaming.windows import (
+        run_available_now,
+        stream_documents,
+    )
+
+    def pipeline(docs):
+        return X.heuristic_quality_gate(SC.dedup_lines(docs))
+
+    got = run_available_now(
+        pipeline(stream_documents(spark, sf_dir)),
+        "gate_stream_test", str(tmp_path / "ck_gate"), output_mode="append",
+    )
+    want = pipeline(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    g = {r["doc_id"]: (r["n_words"], r["keep"]) for r in got.collect()}
+    w = {r["doc_id"]: (r["n_words"], r["keep"]) for r in want.collect()}
+    assert g == w and len(g) > 0 and any(v[1] for v in g.values())
