@@ -262,3 +262,51 @@ def source_mix_report(
             ).alias("dup_rate"),
         )
     )
+
+
+def embedding_decontamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space sibling of
+    ``ngram_contamination`` (and the third modality after q63's
+    near-dup text check): a benchmark item that was paraphrased or
+    translated into the corpus shares no shingles, but its embedding
+    still sits next to the eval vector. Flags every corpus vector
+    whose max cosine against ANY benchmark vector reaches
+    ``threshold``. Returns (id, max_bench_cos, is_contaminated) for
+    every corpus row — a verdict, not a dropped row (q46 convention).
+
+    Scale shape: eval benchmarks are MBs against a 100 TB corpus, so
+    the bench side is collapsed to ONE row (collect_list of its
+    vectors) and broadcast — the plan is a BroadcastNestedLoopJoin
+    with exactly one build row, i.e. a map-side constant. The corpus
+    is scanned ONCE, never shuffled, and never fans out to
+    |corpus| x |bench| intermediate rows: the max-cosine fold runs
+    per-row inside codegen over the broadcast array. Zero-norm
+    vectors cosine to NULL (similarity.cosine's ANSI guard);
+    array_max skips them exactly like the oracle's max().
+    """
+    from .similarity import cosine
+
+    pack = bench.agg(
+        F.collect_list(F.col(vec_col).cast("array<double>")).alias("_bvecs")
+    )
+    best = F.round(
+        F.array_max(
+            F.transform(F.col("_bvecs"), lambda b: cosine(F.col(vec_col), b))
+        ),
+        round_to,
+    )
+    return (
+        corpus.crossJoin(F.broadcast(pack))
+        .select(F.col(id_col), best.alias("max_bench_cos"))
+        .withColumn(
+            "is_contaminated",
+            F.col("max_bench_cos") >= F.lit(float(threshold)),
+        )
+    )

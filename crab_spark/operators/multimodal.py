@@ -281,3 +281,35 @@ def interleave_stats(docs: DataFrame, spans_col: str = "spans",
         ).alias("media_frac"),
         F.array_min(media_offsets).alias("first_media_offset"),
     )
+
+
+def media_ref_index(docs: DataFrame, spans_col: str = "spans",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Inverted media-asset index over the interleaved span shape
+    (BASELINE.json input_hint): one row per distinct ``media_ref``
+    with its total occurrence count, distinct-document count, first
+    (min) document, and an ``is_shared`` verdict for refs reused
+    across documents. This is the media analogue of the URL seen-set
+    (reference crab/src/storage.rs register-once semantics applied to
+    asset refs instead of link URLs): a crawl's media pipeline keys on
+    it to fetch each asset once, cache hot assets, and skip per-doc
+    re-downloads; a training pipeline uses ``is_shared`` to spot
+    boilerplate imagery (logos, tracking pixels) worth dropping.
+
+    Scale shape: media spans are filtered BEFORE the explode (text
+    spans never leave their row), then ONE map-side-combinable
+    groupBy(media_ref); the exact distinct-doc count rides the same
+    key via Spark's two-phase distinct-aggregate expansion. No join,
+    no window, no Python crossing."""
+    m = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(
+            F.filter(F.col(spans_col), lambda x: x["kind"] == F.lit("media"))
+        ).alias("s"),
+    ).select("_d", F.col("s.media_ref").alias("media_ref"))
+    return m.groupBy("media_ref").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("_d").cast("long").alias("n_docs"),
+        F.min("_d").alias("first_doc"),
+        (F.countDistinct("_d") > 1).alias("is_shared"),
+    )

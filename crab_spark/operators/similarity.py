@@ -259,6 +259,7 @@ def semantic_dedup(
     round_to: int = 4,
     max_bucket: int | None = None,
     max_iters: int = 50,
+    keeper: str = "min_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): documents whose EMBEDDINGS are near-identical
@@ -279,11 +280,30 @@ def semantic_dedup(
     with bounded lineage, one combinable agg + join-back for sizes.
     The vector table itself is shuffled once (on bucket); components
     operate on the pair list, which LSH-capping keeps ≪ corpus-sized.
-    SemDeDup's per-cluster 'keep the vector farthest from the cluster
-    centroid' refinement reduces to a keeper rule swap; min-id is the
-    engine-wide first-wins convention (q06/q47/q50)."""
+
+    Keeper rules (``keeper``):
+
+    - ``"min_id"`` (default): keep the component's min id — the
+      engine-wide first-wins convention (q06/q47/q50). Output:
+      (id, cluster_id, cluster_size, is_keeper).
+    - ``"farthest"``: SemDeDup's published refinement — per cluster,
+      keep the member FARTHEST from the cluster centroid (lowest
+      cosine; min id breaks ties), the paper's argument being that
+      the most atypical member carries the most marginal information.
+      Output adds ``centroid_cos``. Extra cost over min_id: one
+      posexplode → groupBy(cluster_id, pos) avg for the centroids
+      (|clusters| × D cells, map-side combinable — the same shape as
+      label_centroid_cosine), a shuffle join back on cluster_id, and
+      one combinable min-struct agg for the per-cluster argmin; the
+      vector table is never compared pairwise again. Singletons are
+      their own centroid (cos 1.0) and always keep. Zero-norm
+      vectors cosine to NULL; the argmin orders them LAST via a +2.0
+      sentinel (a real cosine can't exceed 1), matching the oracle's
+      coalesce."""
     from .dedup import connected_components, keep_corpus
 
+    if keeper not in ("min_id", "farthest"):
+        raise ValueError(f"unknown keeper rule: {keeper!r}")
     pairs = embedding_neardup_pairs(
         assigned, threshold=threshold, id_col=id_col, vec_col=vec_col,
         round_to=round_to, max_bucket=max_bucket,
@@ -294,6 +314,48 @@ def semantic_dedup(
         id_col=id_col,
         max_iters=max_iters,
     )
-    out = keep_corpus(comps, id_col=id_col)
+    if keeper == "min_id":
+        out = keep_corpus(comps, id_col=id_col)
+        out.dropped_buckets = pairs.dropped_buckets
+        return out
+
+    mem = comps.join(assigned.select(id_col, vec_col), id_col)
+    cells = (
+        mem.select(
+            F.col("cluster_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    cents = cells.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda x: x["m"],
+        ).alias("_centroid")
+    )
+    scored = mem.join(cents, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        F.round(cosine(F.col(vec_col), F.col("_centroid")), round_to).alias(
+            "centroid_cos"
+        ),
+    )
+    pick = scored.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min(
+            F.struct(
+                F.coalesce(F.col("centroid_cos"), F.lit(2.0)).alias("c"),
+                F.col(id_col).alias("i"),
+            )
+        )["i"].alias("_keep_id"),
+    )
+    out = scored.join(pick, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        "centroid_cos",
+        (F.col(id_col) == F.col("_keep_id")).alias("is_keeper"),
+    )
     out.dropped_buckets = pairs.dropped_buckets
     return out

@@ -534,6 +534,7 @@ def linear_quality_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     join_weights: bool = False,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Hashed-bag-of-words linear quality classifier — the
     fastText-style model-based filter (Joulin et al. 2016) that
@@ -582,6 +583,7 @@ def linear_quality_score(
         )
         return docs.select(
             F.col(id_col),
+            *keep_cols,
             F.size(tks).cast("long").alias("n_tokens"),
             F.round(score, 6).alias("score"),
             (score > 0).alias("keep"),
@@ -598,10 +600,11 @@ def linear_quality_score(
     )
     score = F.lit(float(bias)) + F.coalesce("_sw", F.lit(0.0))
     return (
-        docs.select(id_col)
+        docs.select(id_col, *keep_cols)
         .join(summed, id_col, "left")
         .select(
             F.col(id_col),
+            *keep_cols,
             F.coalesce("_nt", F.lit(0)).cast("long").alias("n_tokens"),
             F.round(score, 6).alias("score"),
             (score > 0).alias("keep"),
@@ -666,3 +669,68 @@ def ccnet_buckets(
     )
     out.df_ordered_cache = cache
     return out
+
+
+def source_prior_gate(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    shrink_k: int = 20,
+    min_prior: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Empirical-Bayes SOURCE quality prior — the domain-reputation
+    layer (RefinedWeb's URL/domain scoring, CommonCrawl host priors)
+    that per-doc gates can't express: a source with three brilliant
+    docs shouldn't outrank one with three thousand good ones. Each
+    doc is scored by the hashed linear classifier
+    (``linear_quality_score``), then per source the raw mean is shrunk
+    toward the GLOBAL mean with pseudo-count ``shrink_k``::
+
+        prior = (sum_scores + k * mu) / (n_docs + k),  mu = global mean
+
+    so small sources sit near mu until they earn their own evidence.
+    Returns one row per source: (source, n_docs, mean_score,
+    prior_score, keep = prior >= min_prior) — the allowlist a crawl's
+    host-budget scorer and a corpus build's mixture step both consume
+    (complements source_reputation_gate's hard length/dup rules with
+    a graded, model-based score).
+
+    Reproducibility: with dyadic-rational weights every per-source
+    sum is EXACT in double; mu and the prior are then fixed chains of
+    IEEE ops, bit-equal on any engine, so ``keep`` compares the
+    UNROUNDED prior (display columns round to 6 dp).
+
+    Scale shape: the doc scan is the classifier's zero-shuffle inline
+    path with ``source`` carried through; then ONE map-side-combinable
+    groupBy(source). The global totals re-aggregate the per-source
+    frame (|sources| rows) and come back as a broadcast single-row
+    cross join — the corpus is scanned once and shuffled once, on
+    source."""
+    scored = linear_quality_score(
+        docs.select(id_col, source_col, text_col),
+        weights, bias=bias, text_col=text_col, id_col=id_col,
+        keep_cols=(source_col,),
+    )
+    per_src = scored.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("score").alias("_sum"),
+    )
+    tot = per_src.agg(
+        F.sum("_sum").alias("_ts"), F.sum("n_docs").alias("_tn")
+    )
+    mu = F.col("_ts") / F.col("_tn").cast("double")
+    prior = (F.col("_sum") + F.lit(float(shrink_k)) * mu) / (
+        F.col("n_docs").cast("double") + F.lit(float(shrink_k))
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        F.round(F.col("_sum") / F.col("n_docs").cast("double"), 6).alias(
+            "mean_score"
+        ),
+        F.round(prior, 6).alias("prior_score"),
+        (prior >= F.lit(float(min_prior))).alias("keep"),
+    )

@@ -893,6 +893,69 @@ def q49_lm_score(spark, sf):
     return X.lm_score(t(spark, sf, "documents"))
 
 
+def q70_media_index(spark, sf):
+    """Inverted media-asset index over the interleaved span shape —
+    the media analogue of the URL seen-set (register each asset ref
+    once, flag refs shared across documents). Same deterministic span
+    lift as q56/q59 so the oracle reuses the mod-7 rule. One
+    filtered explode + one map-side-combinable groupBy(media_ref)."""
+    return M.media_ref_index(_span_lift(spark, sf))
+
+
+# q71 bench split: every 23rd vector is the "benchmark" (eval set),
+# the rest are the corpus; 0.32 sits inside the observed max-cosine
+# tail at sf0.01 (p90 ≈ 0.323) so both verdict classes fire.
+_Q71_BENCH_MOD, _Q71_COS_T = 23, 0.32
+
+
+def q71_embedding_decontam(spark, sf):
+    """Semantic decontamination: max cosine of every corpus vector
+    against the broadcast benchmark set — the embedding-space sibling
+    of q44's n-gram and q63's near-dup text checks (catches
+    paraphrased/translated eval leakage that shares no shingles).
+    Corpus scanned once, zero shuffles: the bench side collapses to a
+    single broadcast row and the max-cosine fold runs in codegen."""
+    emb = t(spark, sf, "embeddings")
+    m = F.pmod(F.col("vec_id"), F.lit(_Q71_BENCH_MOD))
+    return DC.embedding_decontamination(
+        emb.filter(m != 0), emb.filter(m == 0), threshold=_Q71_COS_T
+    )
+
+
+def q72_semdedup_far(spark, sf):
+    """SemDeDup with the paper's published keeper rule: per semantic
+    cluster keep the member FARTHEST from the cluster centroid (lowest
+    cosine, min-id tiebreak) — the most atypical member carries the
+    most marginal information. Same candidate/closure chain as q64;
+    the keeper swap adds one |clusters|xD combinable centroid agg and
+    a min-struct argmin, never a second pairwise pass."""
+    cents = _centroids(spark, sf)
+    assigned = S.ivf_assign(t(spark, sf, "embeddings"), cents)
+    return S.semantic_dedup(
+        assigned, threshold=0.35, max_bucket=_MAX_BUCKET, keeper="farthest"
+    )
+
+
+# q73 shrinkage: pseudo-count 20 ≈ one source's doc count at sf0.01,
+# so the prior visibly pulls small-sample means toward mu; 4.0 sits
+# between the shrunk extremes (3.7 … 6.4 observed) so both keep
+# classes fire.
+_Q73_SHRINK_K, _Q73_MIN_PRIOR = 20, 4.0
+
+
+def q73_source_prior(spark, sf):
+    """Empirical-Bayes source-reputation prior over the q65 classifier
+    margins: per-source mean shrunk toward the global mean with
+    pseudo-count k — the graded domain-quality score feeding a crawl's
+    host budgets and a corpus build's mixture weights. One combinable
+    groupBy(source) after the zero-shuffle scoring scan; the global
+    totals re-aggregate the per-source frame and broadcast back."""
+    return X.source_prior_gate(
+        t(spark, sf, "documents"), _Q65_W, bias=0.25,
+        shrink_k=_Q73_SHRINK_K, min_prior=_Q73_MIN_PRIOR,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1893,7 +1956,10 @@ ORACLE_SQL["q63_neardup_decontam"] = f"""
 # recursive min-label propagation over embeddings vertices and the
 # q50-style size/keeper projection — the SQL form of semantic_dedup's
 # pairs → components → keep_corpus composition
-ORACLE_SQL["q64_semantic_dedup"] = f"""
+# Shared SemDeDup CTE chain (q64 min-id keeper, q72 farthest keeper):
+# IVF assign → capped same-bucket pairs → cosine verify → recursive-CTE
+# transitive closure → (vec_id, cluster_id) labels in `lab`.
+_SEMDEDUP_LAB = f"""
     WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                FROM embeddings WHERE vec_id < 8),
     assign AS (
@@ -1912,7 +1978,9 @@ ORACLE_SQL["q64_semantic_dedup"] = f"""
         SELECT vec_id, vec_id FROM embeddings
         UNION
         SELECT r.n, e.eb FROM reach r JOIN e ON r.m = e.ea),
-    lab AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n)
+    lab AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n)"""
+
+ORACLE_SQL["q64_semantic_dedup"] = _SEMDEDUP_LAB + """
     SELECT vec_id, cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                AS cluster_size,
@@ -2049,3 +2117,79 @@ ORACLE_SQL["q69_incremental_neardup"] = f"""
            coalesce(per.mx, 0.0) AS max_jaccard,
            coalesce(per.n, 0) > 0 AS is_neardup
     FROM batch b2 LEFT JOIN per ON per.bid = b2.doc_id"""
+
+# q70: the q56/q59 span-lift rule (word index ≡ 3,4 mod 7 → media span,
+# ref = 'm-' || md5(word)), then the asset-level rollup
+ORACLE_SQL["q70_media_index"] = """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, t.i AS off, ws[t.i + 1] AS w
+            FROM s, unnest(range(len(ws))) t(i)),
+    media AS (SELECT doc_id, 'm-' || md5(w) AS media_ref
+              FROM tok WHERE off % 7 IN (3, 4))
+    SELECT media_ref,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc,
+           count(DISTINCT doc_id) > 1 AS is_shared
+    FROM media GROUP BY media_ref"""
+
+# q71: max cosine against the mod-23 benchmark slice; the verdict
+# compares the ROUNDED max on both sides so a hash-matching value can
+# never disagree with its own flag
+ORACLE_SQL["q71_embedding_decontam"] = f"""
+    WITH bench AS (SELECT embedding::DOUBLE[] AS b FROM embeddings
+                   WHERE vec_id % {_Q71_BENCH_MOD} = 0),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % {_Q71_BENCH_MOD} <> 0),
+    sc AS (SELECT c.vec_id,
+                  round(max(list_cosine_similarity(c.v, bench.b)), 4)
+                      AS max_bench_cos
+           FROM corpus c CROSS JOIN bench GROUP BY c.vec_id)
+    SELECT vec_id, max_bench_cos,
+           max_bench_cos >= {_Q71_COS_T} AS is_contaminated
+    FROM sc"""
+
+# q72: the shared SemDeDup closure (`lab`), then per-cluster centroids
+# (positional avg), each member's rounded cosine to its centroid, and
+# the farthest-member keeper (min rounded cos, min-id tiebreak;
+# NULL cos ranks last via the 2.0 sentinel — same as the Spark side)
+ORACLE_SQL["q72_semdedup_far"] = _SEMDEDUP_LAB + """,
+    mem AS (SELECT l.vec_id, l.cluster_id, e.embedding::DOUBLE[] AS v
+            FROM lab l JOIN embeddings e USING (vec_id)),
+    cells AS (SELECT cluster_id, t.i AS pos, avg(v[t.i + 1]) AS m
+              FROM mem, unnest(range(len(v))) t(i)
+              GROUP BY cluster_id, t.i),
+    cent AS (SELECT cluster_id, list(m ORDER BY pos) AS ce
+             FROM cells GROUP BY cluster_id),
+    sc AS (SELECT mem.vec_id, mem.cluster_id,
+                  round(list_cosine_similarity(mem.v, cent.ce), 4)
+                      AS centroid_cos
+           FROM mem JOIN cent USING (cluster_id))
+    SELECT vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           centroid_cos,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY coalesce(centroid_cos, 2.0), vec_id) = 1
+               AS is_keeper
+    FROM sc"""
+
+# q73: the q65 chain verbatim as a CTE, then the per-source shrinkage
+# with the IDENTICAL IEEE op order as the Spark expression — keep
+# compares the UNROUNDED prior on both sides
+ORACLE_SQL["q73_source_prior"] = f"""
+    WITH q65 AS ({ORACLE_SQL["q65_linear_classifier"]}),
+    per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   sum(q65.score) AS s
+            FROM q65 JOIN documents d USING (doc_id)
+            GROUP BY d.source),
+    tot AS (SELECT sum(s) AS ts, sum(n_docs) AS tn FROM per)
+    SELECT source, n_docs,
+           round(s / CAST(n_docs AS DOUBLE), 6) AS mean_score,
+           round((s + {_Q73_SHRINK_K}.0 * (ts / CAST(tn AS DOUBLE))) /
+                 (CAST(n_docs AS DOUBLE) + {_Q73_SHRINK_K}.0), 6)
+               AS prior_score,
+           (s + {_Q73_SHRINK_K}.0 * (ts / CAST(tn AS DOUBLE))) /
+                 (CAST(n_docs AS DOUBLE) + {_Q73_SHRINK_K}.0)
+               >= {_Q73_MIN_PRIOR} AS keep
+    FROM per CROSS JOIN tot"""

@@ -1601,3 +1601,113 @@ def test_incremental_neardup_planted(spark):
     assert g[3]["is_neardup"] is False                 # batch-internal only
     assert_no_cartesian(out)
     assert "BroadcastHashJoin" in formatted_plan(out)
+
+
+def test_media_ref_index_planted(spark):
+    """Shared vs doc-unique media refs roll up correctly; text spans
+    never reach the index. Plan contract: no join of any kind — one
+    filtered explode feeding one combinable aggregation."""
+    from crab_spark.plans import formatted_plan
+
+    def sp(kind, text, ref, off):
+        return (kind, text, ref, off)
+
+    rows = [
+        (0, [sp("text", "intro", "", 0), sp("media", "img", "m-a", 1),
+             sp("media", "img", "m-a", 2), sp("media", "img", "m-b", 3)]),
+        (1, [sp("media", "img", "m-a", 0), sp("text", "tail", "", 1)]),
+        (2, [sp("text", "only", "", 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {r["media_ref"]: r for r in M.media_ref_index(df).collect()}
+    assert set(out) == {"m-a", "m-b"}
+    a, b = out["m-a"], out["m-b"]
+    assert (a["n_occurrences"], a["n_docs"], a["first_doc"], a["is_shared"]) \
+        == (3, 2, 0, True)
+    assert (b["n_occurrences"], b["n_docs"], b["first_doc"], b["is_shared"]) \
+        == (1, 1, 0, False)
+    plan = formatted_plan(M.media_ref_index(df))
+    assert "Join" not in plan, plan
+
+
+def test_embedding_decontamination_planted(spark):
+    """An exact copy of a bench vector is contaminated, an orthogonal
+    one isn't, a zero-norm corpus vector gets a NULL verdict (cosine's
+    ANSI guard), and the flag always agrees with the rounded score.
+    Plan contract: the corpus side never shuffles — the bench set
+    arrives as ONE broadcast row (BroadcastNestedLoopJoin), so the
+    corpus-side plan has no Exchange at all."""
+    from crab_spark.operators import decontam as DC
+    from crab_spark.plans import formatted_plan
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(0, [2.0, 0.0, 0.0]),      # parallel to bench 100 → cos 1.0
+         (1, [0.0, 1.0, 0.0]),      # orthogonal to both → cos 0.0
+         (2, [1.0, 1.0, 0.0]),      # cos ≈ 0.7071 < 0.9
+         (3, [0.0, 0.0, 0.0])],     # zero norm → NULL
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           DC.embedding_decontamination(corpus, bench, threshold=0.9).collect()}
+    assert out[0]["max_bench_cos"] == 1.0 and out[0]["is_contaminated"]
+    assert out[1]["max_bench_cos"] == 0.0 and not out[1]["is_contaminated"]
+    assert out[2]["max_bench_cos"] == 0.7071 and not out[2]["is_contaminated"]
+    assert out[3]["max_bench_cos"] is None
+    assert out[3]["is_contaminated"] is None
+    plan = formatted_plan(
+        DC.embedding_decontamination(corpus, bench, threshold=0.9))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semantic_dedup_farthest_keeper(spark):
+    """SemDeDup's published keeper rule: in the 0°/20°/50° chain
+    cluster the centroid points ≈23°, so the 50° member is farthest
+    (lowest centroid cosine) and keeps — NOT the min id that the
+    default rule would pick. Singletons are their own centroid
+    (cos 1.0) and always keep."""
+    import math as m
+
+    def v(deg):
+        return [float(m.cos(m.radians(deg))), float(m.sin(m.radians(deg))), 0.0]
+
+    rows = [(0, v(0)), (1, v(20)), (2, v(50)), (3, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = S.ivf_assign(df, [[1.0, 0.0, 0.0]])
+    out = {r["vec_id"]: r for r in S.semantic_dedup(
+        assigned, threshold=0.8, keeper="farthest").collect()}
+    assert {i: out[i]["cluster_id"] for i in range(4)} == {0: 0, 1: 0, 2: 0, 3: 3}
+    assert [out[i]["is_keeper"] for i in range(3)] == [False, False, True]
+    assert out[2]["cluster_size"] == 3
+    assert out[2]["centroid_cos"] < out[0]["centroid_cos"] < out[1]["centroid_cos"]
+    assert out[3]["is_keeper"] and out[3]["centroid_cos"] == 1.0
+    with pytest.raises(ValueError):
+        S.semantic_dedup(assigned, keeper="median")
+
+
+def test_source_prior_gate_planted(spark):
+    """Shrinkage arithmetic end-to-end with weights=[1.0] (score =
+    #tokens): srcA = docs of 1 and 3 tokens (mean 2), srcB = one
+    9-token doc (mean 9), mu = 13/3; with k=3 the priors are exactly
+    17/5 = 3.4 and 22/4 = 5.5 — the small high-mean source clears a
+    min_prior=4 gate that its raw-mean-ranked opposite doesn't."""
+    docs = spark.createDataFrame(
+        [(0, "a", "one"), (1, "a", "one two three"),
+         (2, "b", "t t t t t t t t t")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in X.source_prior_gate(
+        docs, [1.0], bias=0.0, shrink_k=3, min_prior=4.0).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["mean_score"], a["prior_score"], a["keep"]) \
+        == (2, 2.0, 3.4, False)
+    assert (b["n_docs"], b["mean_score"], b["prior_score"], b["keep"]) \
+        == (1, 9.0, 5.5, True)
