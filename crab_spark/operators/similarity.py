@@ -359,3 +359,81 @@ def semantic_dedup(
     )
     out.dropped_buckets = pairs.dropped_buckets
     return out
+
+
+def knn_label_vote(
+    train: DataFrame,
+    test: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor label assignment over the IVF buckets — the
+    embedding-space classifier a curation pipeline uses to propagate a
+    small labeled seed set (topic, quality tier, language) onto the
+    whole corpus. For every test vector: its k nearest LABELED vectors
+    in the SAME bucket by rounded cosine (train id breaks ties), then
+    a majority vote (vote count desc, label asc — total order, so the
+    prediction is deterministic and engine-portable). Returns one row
+    per test vector (a verdict, not a dropped row): (id, pred_label,
+    n_votes, n_neighbors); vectors whose bucket holds no labeled
+    neighbors (or was capped away) predict NULL with n_neighbors 0.
+
+    Scale shape: candidates are same-bucket only — the q29/q64
+    candidate plan, O(|bucket|·|test∩bucket|), never corpus all-pairs
+    — with the labeled side cap_buckets-capped (dropped buckets attach
+    as ``.dropped_buckets``; no silent caps). The per-test top-k
+    window is bounded by the bucket cap; the vote is one combinable
+    agg over ≤k rows per test vector."""
+    from pyspark.sql import Window
+
+    tr = ivf_assign(
+        train.select(id_col, vec_col, label_col), centroids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    te = ivf_assign(
+        test.select(id_col, vec_col), centroids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dropped = None
+    if max_bucket is not None:
+        from .dedup import cap_buckets
+
+        tr, dropped = cap_buckets(tr, ["bucket"], max_bucket)
+    tr = tr.select(
+        "bucket",
+        F.col(id_col).alias("_tid"),
+        F.col(vec_col).alias("_tv"),
+        F.col(label_col).alias("_tl"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("_tid")
+    )
+    top = (
+        te.join(tr, "bucket")
+        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_tv")), round_to))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+    )
+    votes = top.groupBy(id_col, "_tl").agg(F.count("*").cast("long").alias("v"))
+    pick = votes.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("v")).alias("nv"), F.col("_tl").alias("l"))).alias("_p"),
+    )
+    nn = top.groupBy(id_col).agg(F.count("*").cast("long").alias("_nn"))
+    out = (
+        te.select(id_col)
+        .join(pick, id_col, "left")
+        .join(nn, id_col, "left")
+        .select(
+            id_col,
+            F.col("_p.l").alias("pred_label"),
+            (-F.col("_p.nv")).cast("long").alias("n_votes"),
+            F.coalesce(F.col("_nn"), F.lit(0)).cast("long").alias("n_neighbors"),
+        )
+    )
+    out.dropped_buckets = dropped
+    return out

@@ -734,3 +734,71 @@ def source_prior_gate(
         F.round(prior, 6).alias("prior_score"),
         (prior >= F.lit(float(min_prior))).alias("keep"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set (Robertson &
+    Zaragoza 2009; the Lucene ``ln(1 + (N-df+.5)/(df+.5))`` idf, which
+    never goes negative) — the retrieval scorer a curation pipeline
+    uses to pull topic-targeted subsets out of a web corpus ("find the
+    k docs most about X"), one notch smarter than tfidf_topk's
+    per-doc keywords because it length-normalizes via k1/b. Returns
+    the top-k (doc_id, dl, score) under the TOTAL order
+    (score desc, doc_id) — deterministic at the cut, engine-portable.
+
+    Scale shape: the document length is per-row codegen (size, no
+    explode) and only QUERY-TERM occurrences are exploded — the
+    corpus's token relation never materializes, so the tf shuffle
+    carries at most |q| rows per doc. df (|q| rows) and the N/avgdl
+    totals (1 row) come back as broadcasts; the final top-k is
+    TakeOrderedAndProject (distributed heads, no global window)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    q = sorted({t.lower() for t in query_terms})
+    toks = F.filter(tokens(normalized(F.col(text_col))), lambda w: w != "")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        F.filter(toks, lambda w: w.isin(*q)).alias("_q"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("dl").cast("double").alias("_sdl"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("_q").alias("w"))
+        .groupBy(id_col, "dl", "w")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    avgdl = F.col("_sdl") / F.col("_n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term = idf * (
+        F.col("tf") * F.lit(float(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_t", term)
+        .groupBy(id_col, "dl")
+        .agg(F.round(F.sum("_t"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -956,6 +956,47 @@ def q73_source_prior(spark, sf):
     )
 
 
+# q74: terms from the synthetic corpus vocabulary so tf/df have real
+# spread; Lucene-default k1/b. The oracle interpolates the PYTHON-
+# computed float constants (repr) so both engines fold identical
+# doubles.
+_Q74_TERMS, _Q74_K, _Q74_K1, _Q74_B = ["spark", "join", "window"], 20, 1.2, 0.75
+
+
+def q74_bm25_topk(spark, sf):
+    """BM25 retrieval: the k docs most about a fixed query-term set
+    under Lucene-idf BM25 — topic-targeted subset extraction. Only
+    query-term occurrences are ever exploded (the corpus token
+    relation never materializes); df and N/avgdl come back as
+    broadcasts; the final top-k is TakeOrderedAndProject."""
+    return X.bm25_topk(
+        t(spark, sf, "documents"), _Q74_TERMS,
+        k=_Q74_K, k1=_Q74_K1, b=_Q74_B,
+    )
+
+
+# q75: every 5th vector keeps its label (the seed set), the rest are
+# scored; same vec_id<8 centroid rule as q64 so the oracle reuses the
+# assign convention
+_Q75_TRAIN_MOD, _Q75_KNN = 5, 5
+
+
+def q75_knn_labels(spark, sf):
+    """kNN label propagation: majority label among the 5 nearest
+    same-IVF-bucket labeled vectors (rounded cosine, deterministic
+    tiebreaks end-to-end) — seed-set classification over the q29/q64
+    candidate plan, never corpus all-pairs. Unreachable test vectors
+    (empty or capped-away bucket) get a NULL verdict row."""
+    emb = t(spark, sf, "embeddings")
+    m = F.pmod(F.col("vec_id"), F.lit(_Q75_TRAIN_MOD))
+    return S.knn_label_vote(
+        emb.filter(m == 0),
+        emb.filter(m != 0).drop("label"),
+        _centroids(spark, sf),
+        k=_Q75_KNN, max_bucket=_MAX_BUCKET,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2193,3 +2234,71 @@ ORACLE_SQL["q73_source_prior"] = f"""
                  (CAST(n_docs AS DOUBLE) + {_Q73_SHRINK_K}.0)
                >= {_Q73_MIN_PRIOR} AS keep
     FROM per CROSS JOIN tot"""
+
+# q74: BM25 with the Spark expression's exact IEEE constant folds
+# (repr-interpolated) and the same (score desc, doc_id) total order at
+# the LIMIT cut
+ORACLE_SQL["q74_bm25_topk"] = f"""
+    WITH nrm AS (SELECT doc_id, {{_NORM}} AS t FROM documents),
+    tk AS (SELECT doc_id, w FROM nrm, unnest(string_split(t, ' ')) s(w)
+           WHERE w <> ''),
+    dln AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+    dl0 AS (SELECT d.doc_id, CAST(coalesce(dln.dl, 0) AS BIGINT) AS dl
+            FROM documents d LEFT JOIN dln USING (doc_id)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dl) AS DOUBLE) AS sdl FROM dl0),
+    tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM tk
+           WHERE w IN ({{terms}}) GROUP BY doc_id, w),
+    dfr AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+    sc AS (SELECT tf.doc_id, dl0.dl,
+                  ln(1.0 + (CAST(tot.n AS DOUBLE) - dfr.df + 0.5)
+                         / (dfr.df + 0.5))
+                  * (tf.tf * {{k1p1}}
+                     / (tf.tf + {{k1}} * ({{omb}} + {{b}}
+                        * CAST(dl0.dl AS DOUBLE) / (tot.sdl / CAST(tot.n AS DOUBLE)))))
+                      AS term
+           FROM tf JOIN dl0 USING (doc_id) CROSS JOIN tot JOIN dfr USING (w))
+    SELECT doc_id, dl, round(sum(term), 4) AS score
+    FROM sc GROUP BY doc_id, dl
+    ORDER BY score DESC, doc_id LIMIT {{klim}}""".format(
+    _NORM=_NORM,
+    terms=", ".join(f"'{w}'" for w in sorted(set(_Q74_TERMS))),
+    k1p1=repr(float(_Q74_K1) + 1.0), k1=repr(float(_Q74_K1)),
+    omb=repr(1.0 - float(_Q74_B)), b=repr(float(_Q74_B)), klim=_Q74_K,
+)
+
+# q75: train/test IVF assignment (q64's arg_max convention, cap on the
+# TRAIN side only), rounded-cosine top-k with (cos desc, tid) ties,
+# majority vote on (votes desc, label), NULL verdicts preserved by the
+# final left join
+ORACLE_SQL["q75_knn_labels"] = f"""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 8),
+    te AS (SELECT e.vec_id, any_value(e.embedding::DOUBLE[]) AS v,
+                  arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce))
+                      AS bucket
+           FROM embeddings e, c WHERE e.vec_id % {_Q75_TRAIN_MOD} <> 0
+           GROUP BY e.vec_id),
+    tr AS (SELECT t.vec_id AS tid, any_value(t.label) AS label,
+                  any_value(t.embedding::DOUBLE[]) AS v,
+                  arg_max(c.cid, list_cosine_similarity(t.embedding::DOUBLE[], c.ce))
+                      AS bucket
+           FROM embeddings t, c WHERE t.vec_id % {_Q75_TRAIN_MOD} = 0
+           GROUP BY t.vec_id
+           QUALIFY count(*) OVER (PARTITION BY bucket) <= {_MAX_BUCKET}),
+    top AS (SELECT te.vec_id, tr.tid, tr.label,
+                   round(list_cosine_similarity(te.v, tr.v), 4) AS cos
+            FROM te JOIN tr USING (bucket)
+            QUALIFY row_number() OVER (PARTITION BY te.vec_id
+                                       ORDER BY cos DESC, tr.tid)
+                    <= {_Q75_KNN}),
+    votes AS (SELECT vec_id, label, CAST(count(*) AS BIGINT) AS v
+              FROM top GROUP BY vec_id, label),
+    pick AS (SELECT vec_id, label AS pred_label, v FROM votes
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY v DESC, label) = 1),
+    nn AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+           FROM top GROUP BY vec_id)
+    SELECT te.vec_id, pick.pred_label, pick.v AS n_votes,
+           CAST(coalesce(nn.n_neighbors, 0) AS BIGINT) AS n_neighbors
+    FROM te LEFT JOIN pick USING (vec_id) LEFT JOIN nn USING (vec_id)"""

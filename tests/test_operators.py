@@ -1711,3 +1711,61 @@ def test_source_prior_gate_planted(spark):
         == (2, 2.0, 3.4, False)
     assert (b["n_docs"], b["mean_score"], b["prior_score"], b["keep"]) \
         == (1, 9.0, 5.5, True)
+
+
+def test_bm25_topk_planted(spark):
+    """BM25 semantics end-to-end on a 4-doc corpus: the rarer query
+    term dominates (idf), repeating a term saturates instead of
+    scaling linearly (k1), and a longer document is penalized (b).
+    Plan contract: only query-term occurrences explode — df and the
+    totals come back broadcast, no SortMergeJoin."""
+    from crab_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark filler filler filler filler filler"),
+         (1, "rareword filler filler filler filler filler filler filler"),
+         (2, "spark filler filler filler filler filler filler filler"),
+         (3, "filler " * 50 + "spark")],   # long doc, one hit
+        "doc_id long, text string",
+    )
+    out = X.bm25_topk(docs, ["spark", "rareword"], k=10)
+    rows = out.collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert set(got) == {0, 1, 2, 3}           # doc with no hits never appears
+    # rareword (df=1) outscores even the triple-hit common term (df=3)
+    assert got[1] > got[0] > got[2] > got[3]
+    # k1 saturation: 3 hits < 3x one hit
+    assert got[0] < 3 * got[2]
+    plan = formatted_plan(out)
+    assert "SortMergeJoin" not in plan, plan
+    with pytest.raises(ValueError):
+        X.bm25_topk(docs, [])
+
+
+def test_knn_label_vote_planted(spark):
+    """Two well-separated clusters: test vectors take their cluster's
+    majority label through the bucket-local vote; a zero vector (NULL
+    bucket) gets the NULL verdict row with n_neighbors 0; ties in the
+    vote break to the smaller label."""
+    train = spark.createDataFrame(
+        [(10, [1.0, 0.0], 7), (11, [0.9, 0.1], 7), (12, [0.8, 0.2], 3),
+         (13, [0.0, 1.0], 4), (14, [0.1, 0.9], 4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    test = spark.createDataFrame(
+        [(0, [0.95, 0.05]), (1, [0.05, 0.95]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r["vec_id"]: r for r in S.knn_label_vote(
+        train, test, cents, k=3).collect()}
+    assert out[0]["pred_label"] == 7 and out[0]["n_votes"] == 2 \
+        and out[0]["n_neighbors"] == 3
+    assert out[1]["pred_label"] == 4 and out[1]["n_votes"] == 2 \
+        and out[1]["n_neighbors"] == 2
+    assert out[2]["pred_label"] is None and out[2]["n_neighbors"] == 0
+    # vote tie → smaller label: one neighbor each of labels 3 and 7
+    out2 = {r["vec_id"]: r for r in S.knn_label_vote(
+        train.filter(F.col("vec_id").isin(11, 12)), test, cents,
+        k=2).collect()}
+    assert out2[0]["pred_label"] == 3 and out2[0]["n_votes"] == 1
