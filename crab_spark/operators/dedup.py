@@ -624,3 +624,57 @@ def dedup_incremental_neardup(
     )
     out.dropped_buckets = dropped
     return out
+
+
+def novelty_score(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT
+    k-word shingles that appear in NO other document — the inverse of
+    the duplication signal, used to PREFER content (rank fresh
+    reporting above the thousandth syndicated copy) where the dedup
+    ops only drop it. A boilerplate-heavy page scores near 0, a unique
+    document near 1. Returns one row per input doc:
+    (id, n_shingles, n_novel, novelty), with novelty NULL when the doc
+    produced no shingles (NULL text) — never an ANSI 0/0.
+
+    Scale shape: distinct (doc, shingle-md5) pairs — ONE shuffle on the
+    pair, map-side combinable — then the document-frequency table
+    derives from those pairs (groupBy hash; AQE reuses nothing here but
+    the relation is already deduped, so a hot boilerplate shingle is
+    one row per containing doc, not one per occurrence); the verdict
+    join runs on the 16-byte hash, the standard AQE skew-join case.
+    The raw shingle strings never shuffle."""
+    # NULL/empty text shingles to '' (concat_ws over a NULL slice):
+    # filter it so those docs get the (0, 0, NULL) verdict, not a
+    # phantom md5('') shingle shared across every empty doc
+    ds = (
+        docs.select(
+            F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("s")
+        )
+        .filter(F.col("s") != "")
+        .select(F.col(id_col), F.md5("s").alias("h"))
+        .distinct()
+    )
+    dfreq = ds.groupBy("h").agg(F.count("*").alias("nd"))
+    per = (
+        ds.join(dfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("nd") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+            ).alias("novelty"),
+        )
+    )

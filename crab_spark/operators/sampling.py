@@ -220,3 +220,71 @@ def temperature_mixture_rates(
             )).otherwise(F.lit(0.0)).alias("boost"),
         )
     )
+
+
+def holdout_split(
+    df: DataFrame,
+    fractions: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic leakage-free holdout assignment — every document
+    lands in exactly ONE split, and lands in the SAME split on every
+    run, engine, retry, and corpus revision (a doc that was in `test`
+    last month cannot silently migrate into `train` after a re-shard,
+    which is how eval contamination happens in practice). The splits
+    are cumulative intervals of the same md5 key-hash the samplers use:
+    a doc is `names[i]` iff its hash falls in
+    [Σ fractions[:i], Σ fractions[:i+1]) · 2^128 — disjoint and
+    exhaustive by construction, no second hash, no residual bucket.
+
+    NULL keys hash as '' (the `_key_hash` convention) so they get a
+    deterministic split instead of a NULL verdict.
+
+    Scale shape: one codegen'd CASE over the scan — zero shuffles,
+    zero joins; the split column is computed where the row already is.
+    Oracle mirror: the identical CASE over
+    md5(salt || COALESCE(CAST(key AS VARCHAR), ''))."""
+    if len(fractions) != len(names) or not names:
+        raise ValueError("fractions and names must be equal-length and non-empty")
+    h = _key_hash(key_col, salt)
+    expr: Column | None = None
+    cum = 0.0
+    for frac, name in zip(fractions[:-1], names[:-1]):
+        cum += float(frac)
+        cond = h < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def epoch_order(
+    df: DataFrame,
+    seed: str = "",
+    key_col: str = "doc_id",
+    name: str = "epoch_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    dense 0-based position in md5(seed || key) order — the corpus
+    shuffle a training run performs before sharding, reproducible
+    across engines and retries (unlike ORDER BY rand()). A new seed is
+    a new epoch order; the same seed replays the same order, so an
+    interrupted data-prep job resumes into identical shards.
+
+    Scale shape: the two-pass range-partitioned rank (`ordered_index`)
+    — a parallel sort by the hash key plus a per-partition row_number
+    with broadcast offsets, never a single-task global window. Output
+    keeps the shuffle key so downstream shard assignment
+    (floor(pos / shard_size)) needs no re-hash.
+
+    Oracle mirror: row_number() OVER (ORDER BY md5-key, key) - 1."""
+    from ..util import ordered_index
+
+    keyed = df.withColumn("_sk", _key_hash(key_col, seed))
+    ranked = ordered_index(keyed, ["_sk", key_col], name)
+    out = ranked.select(
+        key_col, F.col("_sk").alias("shuffle_key"), F.col(name).cast("long").alias(name)
+    )
+    out.df_ordered_cache = ranked.df_ordered_cache
+    return out

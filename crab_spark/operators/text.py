@@ -110,6 +110,7 @@ def heuristic_quality_gate(
     min_alpha_frac: Fraction | str = "0.8",
     min_stopword_hits: int = 2,
     stopwords: list[str] | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The published heuristic rule-set gate (Gopher, Rae et al. 2021
     §A1.1 / RefinedWeb) — the cheap first filter every pretraining
@@ -168,6 +169,7 @@ def heuristic_quality_gate(
     r_stop = hits >= min_stopword_hits
     return docs.select(
         F.col(id_col),
+        *keep_cols,
         n_words.alias("n_words"),
         F.round(word_chars / F.greatest(n_words, F.lit(1)), 4).alias("mean_word_len"),
         r_words.alias("rule_word_count"),
@@ -801,4 +803,190 @@ def bm25_topk(
         .agg(F.round(F.sum("_t"), 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def source_quota(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    quota: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source quality quota: keep at most ``quota`` documents per
+    source, the best first by the hashed-linear-classifier margin —
+    the anti-domination rule of a mixture build (one mega-crawl of a
+    single domain must not crowd out every other source, however good
+    its mean score is; complements the graded `source_prior_gate`,
+    which scores sources but caps nothing). Returns one row per doc:
+    (id, source, score, src_rank, keep = src_rank < quota) with a
+    0-based dense per-source rank under the deterministic total order
+    (score desc, id asc).
+
+    Scale shape: the classifier's zero-shuffle scoring scan, then the
+    ccnet_buckets rank machinery — `ordered_index` over the
+    SOURCE-LEADING key (source, -score, id), so per-source rank =
+    global rank − the source's broadcast min-rank offset and the one
+    giant source every real crawl has can never funnel into a single
+    window task. NULL sources form their own quota group (null-safe
+    offset join), never silently dropped."""
+    from ..util import ordered_index
+
+    scored = linear_quality_score(
+        docs.select(id_col, source_col, text_col),
+        weights, bias=bias, text_col=text_col, id_col=id_col,
+        keep_cols=(source_col,),
+    ).withColumn("_ns", -F.col("score"))
+    ranked = ordered_index(scored, [source_col, "_ns", id_col], "_rk")
+    cache = ranked.df_ordered_cache
+    offs = ranked.groupBy(source_col).agg(F.min("_rk").alias("_off"))
+    joined = ranked.join(
+        F.broadcast(offs.withColumnRenamed(source_col, "_src")),
+        F.col(source_col).eqNullSafe(F.col("_src")),
+    )
+    rk = F.col("_rk") - F.col("_off")
+    out = joined.select(
+        F.col(id_col),
+        F.col(source_col),
+        "score",
+        rk.cast("long").alias("src_rank"),
+        (rk < quota).alias("keep"),
+    )
+    out.df_ordered_cache = cache
+    return out
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM quality score with add-α smoothing — the next rung
+    above q49's unigram scorer toward the 5-gram KenLM CCNet actually
+    runs: per-document mean negative log likelihood (nats) of each
+    bigram under the corpus's own smoothed bigram model,
+    P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V), V = the distinct
+    continuation vocabulary. Word-salad that passes a unigram filter
+    (common words in impossible order) scores high here.
+
+    Scale shape: bigrams are row-local (arrays_zip of two slices — the
+    corpus token relation never self-joins); per-(doc,w1,w2) counts
+    are one map-side-combinable aggregation, and BOTH model tables
+    derive from that frame (bigram counts re-group it; context counts
+    re-group the bigram counts — AQE reuses the exchanges instead of
+    re-exploding the corpus, the q49 discipline). The scoring joins
+    run on PRE-AGGREGATED counts, so a hot bigram is one row per
+    containing doc; V is a 1-row broadcast. Docs with <2 tokens get
+    (0, 0.0), the q49 empty-doc convention."""
+    txt = normalized(F.coalesce(F.col(text_col), F.lit("")))
+    ws = F.filter(tokens(txt), lambda w: w != "")
+    n = F.size(ws)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    p = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(ws, 1, pair_len).alias("w1"),
+                F.slice(ws, 2, pair_len).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    dc = p.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c"))
+    big = dc.groupBy("w1", "w2").agg(F.sum("c").alias("n12"))
+    ctx = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = dc.agg(F.countDistinct("w2").cast("double").alias("_v"))
+    a = float(alpha)
+    lp = F.log(
+        (F.col("n12") + F.lit(a)) / (F.col("n1") + F.lit(a) * F.col("_v"))
+    )
+    per = (
+        dc.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * -lp) / F.sum("c"), 4).alias("avg_nll"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
+        )
+    )
+
+
+def dataset_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source dataset card — the one-page summary a corpus release
+    ships (Datasheets for Datasets / HF dataset cards): volume, token
+    mass, within-source exact-duplicate fraction, language mix, and
+    the heuristic-gate pass rate, per source. This is the report a
+    mixture designer reads BEFORE choosing q58/q68 weights, and the
+    regression surface a recrawl diffs against.
+
+    One row per source: (source, n_docs, n_distinct, dup_fraction,
+    n_words_total, mean_words, keep_rate, n_langs, top_lang,
+    top_lang_share). NULL sources report as their own row; NULL langs
+    count as a language value for top_lang but not for n_langs
+    (count-distinct semantics, both engines).
+
+    Scale shape: ONE corpus scan — the heuristic gate's zero-shuffle
+    per-row expressions with (source, lang, content-hash) carried
+    through via keep_cols — then one groupBy(source) (count-distinct
+    is the standard two-phase expand) plus an O(#sources × #langs)
+    top-lang pick; the tiny post-aggregate window and null-safe join
+    never see corpus-sized data."""
+    enriched = docs.withColumn(
+        "_chash", F.md5(normalized(F.coalesce(F.col(text_col), F.lit(""))))
+    )
+    g = heuristic_quality_gate(
+        enriched, text_col=text_col, id_col=id_col,
+        keep_cols=(source_col, lang_col, "_chash"),
+    )
+    per = g.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("_chash").cast("long").alias("n_distinct"),
+        F.sum("n_words").cast("long").alias("n_words_total"),
+        F.sum(F.col("keep").cast("long")).alias("_n_keep"),
+        F.countDistinct(lang_col).cast("long").alias("n_langs"),
+    )
+    lc = g.groupBy(source_col, lang_col).agg(F.count("*").alias("_lc"))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("_lc").desc(), F.col(lang_col).asc_nulls_last()
+    )
+    top = (
+        lc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(source_col).alias("_src"),
+            F.col(lang_col).alias("top_lang"),
+            F.col("_lc").alias("_top_n"),
+        )
+    )
+    return per.join(
+        top, F.col(source_col).eqNullSafe(F.col("_src"))
+    ).select(
+        source_col,
+        "n_docs",
+        "n_distinct",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 6).alias("dup_fraction"),
+        "n_words_total",
+        F.round(F.col("n_words_total") / F.col("n_docs"), 4).alias("mean_words"),
+        F.round(F.col("_n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
+        "n_langs",
+        "top_lang",
+        F.round(F.col("_top_n") / F.col("n_docs"), 6).alias("top_lang_share"),
     )

@@ -997,6 +997,77 @@ def q75_knn_labels(spark, sf):
     )
 
 
+
+
+# q76 split: 80/10/10, salted so the assignment is decorrelated from
+# the q37/q44 samples of the same corpus
+_Q76_FRACS, _Q76_NAMES, _Q76_SALT = (0.8, 0.1, 0.1), ("train", "val", "test"), "h76"
+
+
+def q76_holdout_split(spark, sf):
+    """Deterministic leakage-free train/val/test assignment: cumulative
+    md5-interval membership — every doc in exactly one split, the same
+    split on every run/engine/corpus revision. One codegen'd CASE over
+    the scan, zero shuffles."""
+    return SA.holdout_split(
+        t(spark, sf, "documents"), _Q76_FRACS, _Q76_NAMES, salt=_Q76_SALT
+    ).select("doc_id", "split")
+
+
+def q77_doc_novelty(spark, sf):
+    """Per-document novelty: fraction of its distinct 3-word shingles
+    found in NO other document — the PREFER-side of the dedup signal
+    (rank fresh content above the thousandth syndicated copy). Distinct
+    (doc, shingle-md5) pairs feed both the document-frequency table and
+    the per-doc verdict; raw shingle strings never shuffle."""
+    return D.novelty_score(t(spark, sf, "documents"), k=3)
+
+
+_Q78_SEED = "ep1"
+
+
+def q78_epoch_order(spark, sf):
+    """Deterministic global training-order shuffle: dense 0-based
+    position in md5(seed || doc_id) order via the two-pass
+    range-partitioned rank — reproducible across engines and retries,
+    never an ORDER BY rand() and never a single-task global window."""
+    return SA.epoch_order(t(spark, sf, "documents"), seed=_Q78_SEED)
+
+
+# q79 quota: 10 of each source's 25 docs at sf0.01 — both keep classes
+# fire in every source
+_Q79_QUOTA = 10
+
+
+def q79_source_quota(spark, sf):
+    """Per-source quality quota: keep the best `quota` docs per source
+    by classifier margin (anti-domination rule of a mixture build).
+    Zero-shuffle scoring scan, then the ccnet_buckets rank machinery —
+    source-leading two-pass rank minus broadcast per-source offsets,
+    never a per-source window."""
+    return X.source_quota(
+        t(spark, sf, "documents"), _Q65_W, bias=0.25, quota=_Q79_QUOTA
+    )
+
+
+def q80_bigram_lm(spark, sf):
+    """Bigram-LM quality score with add-0.5 smoothing — the next rung
+    above q49's unigram scorer toward CCNet's 5-gram KenLM: word-salad
+    with plausible unigrams scores high here. Bigrams are row-local
+    (arrays_zip of two slices); both model tables derive from the
+    per-(doc,w1,w2) counts so AQE reuses the exchanges."""
+    return X.bigram_lm_score(t(spark, sf, "documents"), alpha=0.5)
+
+
+def q81_dataset_card(spark, sf):
+    """Per-source dataset card: volume, token mass, within-source
+    exact-dup fraction, language mix, heuristic-gate pass rate — the
+    release-notes report a mixture designer reads before choosing
+    q58/q68 weights. One corpus scan (gate expressions + content hash),
+    one groupBy(source), O(#sources x #langs) top-lang pick."""
+    return X.dataset_card(t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2302,3 +2373,137 @@ ORACLE_SQL["q75_knn_labels"] = f"""
     SELECT te.vec_id, pick.pred_label, pick.v AS n_votes,
            CAST(coalesce(nn.n_neighbors, 0) AS BIGINT) AS n_neighbors
     FROM te LEFT JOIN pick USING (vec_id) LEFT JOIN nn USING (vec_id)"""
+
+# q76: the identical cumulative md5-interval CASE (thresholds computed
+# by the same float accumulation the operator runs)
+ORACLE_SQL["q76_holdout_split"] = (
+    "SELECT doc_id, CASE WHEN md5('" + _Q76_SALT
+    + "' || COALESCE(CAST(doc_id AS VARCHAR), '')) < '"
+    + SA._hex_threshold(_Q76_FRACS[0])
+    + "' THEN 'train' WHEN md5('" + _Q76_SALT
+    + "' || COALESCE(CAST(doc_id AS VARCHAR), '')) < '"
+    + SA._hex_threshold(_Q76_FRACS[0] + _Q76_FRACS[1])
+    + "' THEN 'val' ELSE 'test' END AS split FROM documents"
+)
+
+# q77: distinct (doc, shingle-md5) pairs -> document frequency ->
+# per-doc novel fraction; NULL-/shingle-less docs keep a NULL novelty
+ORACLE_SQL["q77_doc_novelty"] = (
+    "WITH " + _SHINGLE_CTE.format(k=3, km1=2) + """,
+    ds AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh WHERE s <> ''),
+    dfreq AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM ds GROUP BY h),
+    per AS (SELECT ds.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel
+            FROM ds JOIN dfreq USING (h) GROUP BY ds.doc_id)
+    SELECT d.doc_id, CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN n_shingles > 0
+                THEN round(n_novel / CAST(n_shingles AS DOUBLE), 6)
+           END AS novelty
+    FROM documents d LEFT JOIN per USING (doc_id)"""
+)
+
+# q78: row_number over the same (md5-key, id) total order
+ORACLE_SQL["q78_epoch_order"] = f"""
+    SELECT doc_id,
+           md5('{_Q78_SEED}' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+               AS shuffle_key,
+           CAST(row_number() OVER (
+                ORDER BY md5('{_Q78_SEED}'
+                             || COALESCE(CAST(doc_id AS VARCHAR), '')),
+                         doc_id) - 1 AS BIGINT) AS epoch_pos
+    FROM documents"""
+
+# q79: the q65 margin + per-source row_number over the same
+# (score desc, id) order the engine ranks by
+ORACLE_SQL["q79_source_quota"] = f"""
+    WITH q65 AS ({{q65}}),
+    s AS (SELECT q65.doc_id, d.source, q65.score
+          FROM q65 JOIN documents d USING (doc_id)),
+    r AS (SELECT doc_id, source, score,
+                 CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY score DESC, doc_id) - 1
+                      AS BIGINT) AS src_rank
+          FROM s)
+    SELECT doc_id, source, score, src_rank,
+           src_rank < {_Q79_QUOTA} AS keep FROM r"""
+
+# q80: row-local bigrams, both model tables re-grouped from the
+# per-(doc,w1,w2) counts, add-alpha smoothing with repr'd constants
+ORACLE_SQL["q80_bigram_lm"] = """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(regexp_replace(
+                          lower(coalesce(text, '')), '\\s+', ' ', 'g'), ' '),
+                          x -> x <> '') AS ws
+               FROM documents),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+           FROM w, unnest(range(1, len(ws))) t(i)),
+    dc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY ALL),
+    big AS (SELECT w1, w2, sum(c) AS n12 FROM dc GROUP BY ALL),
+    ctx AS (SELECT w1, sum(n12) AS n1 FROM big GROUP BY ALL),
+    v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS nv FROM dc),
+    sc AS (SELECT dc.doc_id, dc.c,
+                  ln((big.n12 + {a}) / (ctx.n1 + {a} * v.nv)) AS lp
+           FROM dc JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+    per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   round(sum(c * -lp) / sum(c), 4) AS avg_nll
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           coalesce(avg_nll, 0.0) AS avg_nll
+    FROM documents d LEFT JOIN per USING (doc_id)""".format(a=repr(0.5))
+
+# q81: gate rules inlined over the raw corpus (q62's rule SQL without
+# its planted-mutation CTE), plus content hash / language mix rollup
+ORACLE_SQL["q81_dataset_card"] = f"""
+    WITH n AS (SELECT doc_id, source, lang,
+                      regexp_replace(lower(coalesce(text, '')),
+                                     '\\s+', ' ', 'g') AS t
+               FROM documents),
+    f AS (SELECT doc_id, source, lang, md5(t) AS chash,
+                 string_split(t, ' ') AS ws,
+                 CAST(length(replace(t, ' ', '')) AS BIGINT) AS word_chars,
+                 CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+                 + (length(t) - length(replace(t, '...', ''))) // 3
+                     AS n_symbols
+          FROM n),
+    g AS (SELECT doc_id, source, lang, chash, word_chars, n_symbols,
+                 CAST(len(list_filter(ws, w -> w != '')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                      AS BIGINT) AS n_alpha,
+                 CAST(len(list_intersect(list_distinct(ws), {_Q62_STOPS}))
+                      AS BIGINT) AS hits
+          FROM f),
+    e AS (SELECT doc_id, source, lang, chash, n_words,
+                 (n_words >= 5 AND n_words <= 100000)
+                 AND (word_chars >= 2 * n_words AND word_chars <= 12 * n_words)
+                 AND (n_symbols * 10 <= 1 * n_words)
+                 AND (n_alpha * 5 >= 4 * n_words)
+                 AND (hits >= 2) AS keep
+          FROM g),
+    per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT chash) AS BIGINT) AS n_distinct,
+                   CAST(sum(n_words) AS BIGINT) AS n_words_total,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS nk,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM e GROUP BY source),
+    lc AS (SELECT source, lang, count(*) AS c FROM e GROUP BY source, lang),
+    top AS (SELECT source, lang AS top_lang, c AS top_n FROM lc
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY c DESC,
+                                                lang ASC NULLS LAST) = 1)
+    SELECT per.source, n_docs, n_distinct,
+           round(1.0 - n_distinct / CAST(n_docs AS DOUBLE), 6)
+               AS dup_fraction,
+           n_words_total,
+           round(n_words_total / CAST(n_docs AS DOUBLE), 4) AS mean_words,
+           round(nk / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
+           n_langs, top_lang,
+           round(top_n / CAST(n_docs AS DOUBLE), 6) AS top_lang_share
+    FROM per JOIN top ON per.source IS NOT DISTINCT FROM top.source"""
+
+# splice the q65 chain into q79 (plain replace: the SQL contains list
+# literals whose brackets str.format would not survive)
+ORACLE_SQL["q79_source_quota"] = ORACLE_SQL["q79_source_quota"].replace(
+    "{q65}", ORACLE_SQL["q65_linear_classifier"]
+)

@@ -1769,3 +1769,150 @@ def test_knn_label_vote_planted(spark):
         train.filter(F.col("vec_id").isin(11, 12)), test, cents,
         k=2).collect()}
     assert out2[0]["pred_label"] == 3 and out2[0]["n_votes"] == 1
+
+
+def test_holdout_split_planted(spark):
+    """Every row lands in exactly one split, matching a Python md5
+    replay of the cumulative thresholds; NULL keys get a deterministic
+    split ('' hash), never NULL; mismatched fractions/names raise.
+    Zero-shuffle plan (one codegen'd CASE over the scan)."""
+    import hashlib
+
+    from crab_spark.operators import sampling as SA
+    from crab_spark.operators.sampling import _hex_threshold
+    from crab_spark.plans import formatted_plan
+
+    rows = [(i, f"doc {i}") for i in range(50)] + [(None, "null id")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = SA.holdout_split(docs, (0.6, 0.2, 0.2), ("train", "val", "test"),
+                           salt="s")
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    t1, t2 = _hex_threshold(0.6), _hex_threshold(0.6 + 0.2)
+    for i, _ in rows:
+        h = hashlib.md5(f"s{'' if i is None else i}".encode()).hexdigest()
+        want = "train" if h < t1 else ("val" if h < t2 else "test")
+        assert got[i] == want, (i, h)
+    assert got[None] in ("train", "val", "test")
+    assert len(set(got.values())) == 3          # all three splits hit
+    assert "Exchange" not in formatted_plan(out)
+    with pytest.raises(ValueError):
+        SA.holdout_split(docs, (0.5, 0.5), ("a",))
+
+
+def test_epoch_order_planted(spark):
+    """Positions are a dense 0-based permutation matching the Python
+    md5-sort replay; the same seed replays the same order; a different
+    seed yields a different deterministic order."""
+    import hashlib
+
+    from crab_spark.operators import sampling as SA
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(20)], "doc_id long, text string"
+    )
+
+    def replay(seed):
+        return {
+            i: pos
+            for pos, (_, i) in enumerate(
+                sorted((hashlib.md5(f"{seed}{i}".encode()).hexdigest(), i)
+                       for i in range(20))
+            )
+        }
+
+    for seed in ("e1", "e2"):
+        got = {r["doc_id"]: r["epoch_pos"]
+               for r in SA.epoch_order(docs, seed=seed).collect()}
+        assert got == replay(seed), seed
+        assert sorted(got.values()) == list(range(20))
+
+
+def test_novelty_score_planted(spark):
+    """Exact dups score 0 (every shingle shared), a unique doc 1, a
+    partially-overlapping doc the exact shared fraction; NULL text gets
+    (0, 0, NULL) — never an ANSI 0/0."""
+    rows = [
+        (0, "w1 w2 w3 w4"),                  # dup pair with 1
+        (1, "w1 w2 w3 w4"),
+        (2, "all alone unique words here"),  # fully novel
+        (3, "a b c d e"),                    # shares 'a b c' with 4
+        (4, "a b c x y"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {r["doc_id"]: r for r in D.novelty_score(docs, k=3).collect()}
+    assert g[0]["novelty"] == 0.0 and g[1]["novelty"] == 0.0
+    assert g[2]["novelty"] == 1.0 and g[2]["n_shingles"] == 3
+    assert g[3]["n_shingles"] == 3 and g[3]["n_novel"] == 2
+    assert g[3]["novelty"] == round(2 / 3, 6) == g[4]["novelty"]
+    assert (g[5]["n_shingles"], g[5]["n_novel"], g[5]["novelty"]) == (0, 0, None)
+
+
+def test_source_quota_planted(spark):
+    """Per-source ranks follow (score desc, id) with keep = rank <
+    quota; a NULL source is its own quota group; ranks are dense from 0
+    in every group."""
+    w = [0.5] * 8                            # every token scores +0.5
+    rows = [
+        (0, "s1", "a b c d"),                # 4 tokens → 2.0 (+bias)
+        (1, "s1", "a b"),                    # 1.0
+        (2, "s1", "a b c"),                  # 1.5
+        (3, "s2", "a"),                      # 0.5
+        (4, None, "a b c d e"),              # NULL-source group
+        (5, None, "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = X.source_quota(docs, w, bias=0.0, quota=2)
+    g = {r["doc_id"]: r for r in out.collect()}
+    assert [g[i]["src_rank"] for i in (0, 2, 1)] == [0, 1, 2]   # score desc
+    assert g[0]["keep"] and g[2]["keep"] and not g[1]["keep"]
+    assert g[3]["src_rank"] == 0 and g[3]["keep"]
+    assert {g[4]["src_rank"], g[5]["src_rank"]} == {0, 1}       # NULL group kept
+    assert g[4]["src_rank"] == 0                                # higher score first
+
+
+def test_bigram_lm_planted(spark):
+    """Python replay of the smoothed bigram model on known counts:
+    P(b|a) = (3+α)/(3+αV), P(a|b) = (1+α)/(1+αV) with V = 2 distinct
+    continuations; docs with <2 tokens get (0, 0.0)."""
+    import math as m
+
+    rows = [(0, "a b a b"), (1, "a b"), (2, "x"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {r["doc_id"]: r for r in X.bigram_lm_score(docs, alpha=0.5).collect()}
+    v = 2.0                                   # distinct w2 = {a, b}
+    p_ab = (3 + 0.5) / (3 + 0.5 * v)          # c(a,b)=3, c(a·)=3
+    p_ba = (1 + 0.5) / (1 + 0.5 * v)          # c(b,a)=1, c(b·)=1
+    assert g[0]["n_bigrams"] == 3
+    assert g[0]["avg_nll"] == round((2 * -m.log(p_ab) + -m.log(p_ba)) / 3, 4)
+    assert g[1]["n_bigrams"] == 1 and g[1]["avg_nll"] == round(-m.log(p_ab), 4)
+    assert (g[2]["n_bigrams"], g[2]["avg_nll"]) == (0, 0.0)
+    assert (g[3]["n_bigrams"], g[3]["avg_nll"]) == (0, 0.0)
+
+
+def test_dataset_card_planted(spark):
+    """Hand-computed card for a 3-doc source (one exact dup pair, one
+    gate-failing short doc, two languages) and a NULL-source group;
+    NULL langs count for top_lang but not n_langs."""
+    good = "the cat is on the mat and it sat there"       # 10 words, passes
+    rows = [
+        (0, "s1", "en", good),
+        (1, "s1", "en", "The  cat is on the mat and it sat there"),  # dup of 0
+        (2, "s1", "de", "tiny doc"),                      # fails word-count
+        (3, None, None, good),
+        (4, None, None, good + " again"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    g = {r["source"]: r for r in X.dataset_card(docs).collect()}
+    s1 = g["s1"]
+    assert (s1["n_docs"], s1["n_distinct"]) == (3, 2)
+    assert s1["dup_fraction"] == round(1.0 - 2 / 3, 6)
+    assert s1["n_words_total"] == 22 and s1["mean_words"] == round(22 / 3, 4)
+    assert s1["keep_rate"] == round(2 / 3, 6)
+    assert s1["n_langs"] == 2
+    assert s1["top_lang"] == "en" and s1["top_lang_share"] == round(2 / 3, 6)
+    nul = g[None]
+    assert (nul["n_docs"], nul["n_distinct"], nul["n_langs"]) == (2, 2, 0)
+    assert nul["top_lang"] is None and nul["top_lang_share"] == 1.0
