@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from fractions import Fraction
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized, word_shingles
@@ -309,4 +309,65 @@ def embedding_decontamination(
             "is_contaminated",
             F.col("max_bench_cos") >= F.lit(float(threshold)),
         )
+    )
+
+
+def contamination_attribution(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """WHICH benchmark document leaked — the audit step after
+    `ngram_contamination`'s per-doc flag: for every corpus document
+    sharing at least one k-gram with the eval set, the single
+    benchmark doc it overlaps most (shared distinct-shingle count,
+    ties to the lowest bench id), the doc's own distinct-shingle
+    count, and the overlap fraction. A decontamination report that
+    says "contaminated" without saying *by what* can't distinguish an
+    eval-set copy from a benchmark built on the same public source —
+    the attribution is what a human reviews.
+
+    Scale shape: both sides dedupe shingles per doc row-locally
+    (array_distinct before the explode); the benchmark side —
+    (bench_id, shingle), eval sets are MBs against a 100 TB corpus —
+    is BROADCAST, so the corpus is scanned once and never shuffled on
+    shingle values. Per-(doc, bench) counts are one map-side-combinable
+    aggregation; the argmax window partitions by doc over at most
+    |bench| matched rows, and the per-doc shingle totals join on the
+    id. Returns only docs with ≥1 shared shingle (the q44 flag is the
+    full-coverage surface)."""
+    bsh = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(
+            F.array_distinct(word_shingles(normalized(F.col(text_col)), k))
+        ).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    dsh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(normalized(F.col(text_col)), k))
+        ).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    matches = (
+        dsh.join(F.broadcast(bsh), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("n_shared").desc(), F.col("bench_id").asc()
+    )
+    top = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    nsh = dsh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_shingles"))
+    return top.join(nsh, id_col).select(
+        id_col,
+        "bench_id",
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("overlap_frac"),
     )

@@ -179,3 +179,51 @@ def pack_stats(packed: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+def shard_manifest(
+    packed: DataFrame,
+    packs_per_shard: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integrity manifest for the training-shard export — the sidecar
+    a data loader (or a re-run) checks BEFORE reading terabytes of
+    JSONL: per shard, the pack/chunk/token counts plus an
+    order-sensitive digest (md5 over the chunk hashes concatenated in
+    exact packing order), so a re-shard that changes any chunk, drops
+    one, or reorders two is one string compare away from detection.
+    Input is the `chunk_documents` + `with_pack_ids` frame
+    (id, chunk_id, n_words, chunk_hash, pack_id); shard =
+    pack_id DIV packs_per_shard, `write_training_shards`' layout rule.
+
+    Scale shape: ONE combinable aggregation on shard_id. The digest's
+    collect_list is bounded by the shard size a caller already chose
+    for its files (packs_per_shard × pack budget — the same rows
+    write_training_shards puts in one file), sorted row-locally after
+    the shuffle; only 32-byte hashes travel, never chunk text."""
+    if packs_per_shard < 1:
+        raise ValueError("packs_per_shard must be >= 1")
+    return (
+        packed.withColumn(
+            "shard_id", F.expr(f"pack_id DIV {int(packs_per_shard)}").cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.countDistinct("pack_id").cast("long").alias("n_packs"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("pack_id", id_col, "chunk_id", "chunk_hash")
+                            )
+                        ),
+                        lambda s: s["chunk_hash"],
+                    ),
+                )
+            ).alias("digest"),
+        )
+    )

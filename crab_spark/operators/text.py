@@ -990,3 +990,64 @@ def dataset_card(
         "top_lang",
         F.round(F.col("_top_n") / F.col("n_docs"), 6).alias("top_lang_share"),
     )
+
+
+def score_calibration(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classifier-calibration report: rank the corpus by the hashed
+    linear classifier's margin, cut it into ``n_buckets`` equal
+    rank-based buckets (deciles by default), and report each bucket's
+    heuristic-gate pass rate — the sanity check a pipeline runs before
+    trusting a model gate (a classifier whose top decile passes the
+    rule gate no more often than its bottom decile learned something
+    other than quality). One row per bucket: (bucket, n_docs,
+    min_score, max_score, mean_score, gate_keep_rate).
+
+    Determinism: bucket boundaries are EXACT integer arithmetic over
+    the two-pass rank ((rank·n_buckets) DIV n — the q54/q66
+    convention, never an interpolated quantile), under the total order
+    (score, id) both engines share; scores are the classifier's
+    rounded dyadic-exact margins.
+
+    Scale shape: two zero-shuffle scans (classifier + gate) joined on
+    the id, then `ordered_index`'s range-partitioned rank — no global
+    single-task window — and one combinable aggregation over
+    ``n_buckets`` groups; the row count is a broadcast 1-row total."""
+    from ..util import ordered_index
+
+    s = linear_quality_score(
+        docs.select(id_col, text_col), weights, bias=bias,
+        text_col=text_col, id_col=id_col,
+    ).select(id_col, "score")
+    g = heuristic_quality_gate(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("keep").alias("_gate")
+    )
+    j = s.join(g, id_col)
+    ranked = ordered_index(j, ["score", id_col], "_rk")
+    cache = ranked.df_ordered_cache
+    tot = ranked.agg(F.count("*").alias("_n"))
+    out = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.expr(f"(_rk * {int(n_buckets)}) DIV _n").cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.round(F.sum("score") / F.count("*"), 6).alias("mean_score"),
+            F.round(
+                F.sum(F.col("_gate").cast("long")) / F.count("*"), 6
+            ).alias("gate_keep_rate"),
+        )
+    )
+    out.df_ordered_cache = cache
+    return out

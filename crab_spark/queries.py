@@ -1068,6 +1068,69 @@ def q81_dataset_card(spark, sf):
     return X.dataset_card(t(spark, sf, "documents"))
 
 
+
+
+def q82_contamination_attribution(spark, sf):
+    """Decontamination audit: for every corpus doc sharing a 5-gram
+    with the benchmark (the q44 split), WHICH benchmark doc it
+    overlaps most — shared-shingle argmax with (count desc, bench id)
+    ties. Bench side broadcast with ids attached; the corpus never
+    shuffles on shingle values. The synthetic corpus has no natural
+    5-gram overlap with its own 2% sample, so ~1/16 of corpus docs
+    (md5-coin, the q62 mutation convention) get the lowest-id bench
+    doc's text appended — the oracle plants identically, and the
+    attribution rows are non-vacuous at every SF."""
+    docs = t(spark, sf, "documents")
+    bench = SA.hash_sample(docs, _BENCH_RATE, salt=_BENCH_SALT)
+    donor = (
+        bench.orderBy("doc_id").limit(1).select(F.col("text").alias("_bt"))
+    )
+    corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    coin = F.substring(
+        F.md5(F.concat(F.lit("q82"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    mut = (
+        corpus.crossJoin(F.broadcast(donor))
+        .withColumn(
+            "text",
+            F.when(
+                coin == "0", F.concat(F.col("text"), F.lit(" "), F.col("_bt"))
+            ).otherwise(F.col("text")),
+        )
+        .drop("_bt")
+    )
+    return DC.contamination_attribution(mut, bench, k=5)
+
+
+def q83_score_calibration(spark, sf):
+    """Classifier calibration: corpus cut into rank-based score deciles
+    (two-pass rank, exact integer boundaries), each reporting its
+    heuristic-gate pass rate — the trust check before swapping a model
+    gate in for the rule gate."""
+    return X.score_calibration(
+        t(spark, sf, "documents"), _Q65_W, bias=0.25, n_buckets=10
+    )
+
+
+# q84: 8 packs per shard over the q55 chunk/pack constants (64/48
+# chunks into 512-token packs) so sf0.01 yields a handful of shards
+_Q84_PPS = 8
+
+
+def q84_shard_manifest(spark, sf):
+    """Training-export integrity manifest: per shard (= pack_id DIV 8),
+    pack/chunk/token counts plus an order-sensitive md5 digest over the
+    chunk hashes in exact packing order — the sidecar a loader checks
+    before reading terabytes. One combinable agg; only 32-byte hashes
+    travel."""
+    chunks = SC.chunk_documents(t(spark, sf, "documents"), 64, 48)
+    packed = P.with_pack_ids(
+        chunks, budget=512, order_cols=["doc_id", "chunk_id"],
+        weight_col="n_words",
+    )
+    return P.shard_manifest(packed, packs_per_shard=_Q84_PPS)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2507,3 +2570,116 @@ ORACLE_SQL["q81_dataset_card"] = f"""
 ORACLE_SQL["q79_source_quota"] = ORACLE_SQL["q79_source_quota"].replace(
     "{q65}", ORACLE_SQL["q65_linear_classifier"]
 )
+
+# q82: the q44 shingle split with bench ids kept, per-(doc,bench)
+# shared counts, argmax with (n_shared desc, bench_id) ties
+ORACLE_SQL["q82_contamination_attribution"] = (
+    "WITH bench_ids AS (SELECT doc_id FROM documents "
+    "WHERE md5('bench' || COALESCE(CAST(doc_id AS VARCHAR), '')) < '"
+    + SA._hex_threshold(_BENCH_RATE)
+    + """'),
+    donor AS (SELECT text AS bt FROM documents
+              WHERE doc_id = (SELECT min(doc_id) FROM bench_ids)),
+    mut AS (SELECT doc_id,
+                   CASE WHEN doc_id NOT IN (SELECT doc_id FROM bench_ids)
+                             AND substr(md5('q82' || CAST(doc_id AS VARCHAR)),
+                                        1, 1) = '0'
+                        THEN text || ' ' || (SELECT bt FROM donor)
+                        ELSE text END AS text
+            FROM documents),"""
+    + f" n AS (SELECT doc_id, {_NORM} AS text FROM mut),"
+    + _SHINGLE_CTE.format(k=5, km1=4).replace("FROM documents", "FROM n")
+    + """,
+    shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s != ''),
+    bsh AS (SELECT doc_id AS bench_id, s FROM shd
+            WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+    csh AS (SELECT doc_id, s FROM shd
+            WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
+    m AS (SELECT csh.doc_id, bsh.bench_id, CAST(count(*) AS BIGINT)
+                     AS n_shared
+          FROM csh JOIN bsh USING (s) GROUP BY csh.doc_id, bsh.bench_id),
+    top AS (SELECT * FROM m
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY n_shared DESC, bench_id)
+                    = 1),
+    nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM csh GROUP BY doc_id)
+    SELECT top.doc_id, top.bench_id, n_shared, n_shingles,
+           round(n_shared / CAST(n_shingles AS DOUBLE), 6) AS overlap_frac
+    FROM top JOIN nsh USING (doc_id)"""
+)
+
+# q83: q65 margins + the q81 gate-rule chain, rank-based integer
+# decile boundaries over the shared (score, id) total order
+ORACLE_SQL["q83_score_calibration"] = f"""
+    WITH q65 AS ({ORACLE_SQL["q65_linear_classifier"]}),
+    n AS (SELECT doc_id,
+                 regexp_replace(lower(coalesce(text, '')),
+                                '\\s+', ' ', 'g') AS t
+          FROM documents),
+    f AS (SELECT doc_id, string_split(t, ' ') AS ws,
+                 CAST(length(replace(t, ' ', '')) AS BIGINT) AS word_chars,
+                 CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+                 + (length(t) - length(replace(t, '...', ''))) // 3
+                     AS n_symbols
+          FROM n),
+    g AS (SELECT doc_id, word_chars, n_symbols,
+                 CAST(len(list_filter(ws, w -> w != '')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                      AS BIGINT) AS n_alpha,
+                 CAST(len(list_intersect(list_distinct(ws), {_Q62_STOPS}))
+                      AS BIGINT) AS hits
+          FROM f),
+    gate AS (SELECT doc_id,
+                    (n_words >= 5 AND n_words <= 100000)
+                    AND (word_chars >= 2 * n_words
+                         AND word_chars <= 12 * n_words)
+                    AND (n_symbols * 10 <= 1 * n_words)
+                    AND (n_alpha * 5 >= 4 * n_words)
+                    AND (hits >= 2) AS keep
+             FROM g),
+    j AS (SELECT q65.doc_id, q65.score, gate.keep
+          FROM q65 JOIN gate USING (doc_id)),
+    r AS (SELECT *,
+                 CAST(row_number() OVER (ORDER BY score, doc_id) - 1
+                      AS BIGINT) AS rk,
+                 CAST(count(*) OVER () AS BIGINT) AS nn
+          FROM j)
+    SELECT (rk * 10) // nn AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(score) AS min_score, max(score) AS max_score,
+           round(sum(score) / count(*), 6) AS mean_score,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS gate_keep_rate
+    FROM r GROUP BY 1"""
+
+# q84: the q48 chunk chain + the q39-style cumsum pack assignment in
+# (doc_id, chunk_id) order, shard = pack DIV 8, order-sensitive digest
+ORACLE_SQL["q84_shard_manifest"] = f"""
+    WITH nrm AS (SELECT doc_id, {_NORM} AS text FROM documents
+                 WHERE trim({_NORM}) <> ''),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM nrm),
+    c AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_id,
+                 ws[t.i*48+1 : t.i*48+64] AS cw
+          FROM w, unnest(range(CASE WHEN n <= 64 THEN 1
+                                    ELSE (n - 64 + 47) // 48 + 1 END)) t(i)),
+    ch AS (SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_words,
+                  md5(array_to_string(cw, ' ')) AS chunk_hash
+           FROM c),
+    cum AS (SELECT *,
+                   coalesce(sum(n_words) OVER (
+                       ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+            FROM ch),
+    p AS (SELECT *, cb // 512 AS pack_id FROM cum),
+    s AS (SELECT *, pack_id // {_Q84_PPS} AS shard_id FROM p)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           md5(string_agg(chunk_hash, ''
+                          ORDER BY pack_id, doc_id, chunk_id)) AS digest
+    FROM s GROUP BY shard_id"""

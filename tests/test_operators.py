@@ -1916,3 +1916,84 @@ def test_dataset_card_planted(spark):
     nul = g[None]
     assert (nul["n_docs"], nul["n_distinct"], nul["n_langs"]) == (2, 2, 0)
     assert nul["top_lang"] is None and nul["top_lang_share"] == 1.0
+
+
+def test_contamination_attribution_planted(spark):
+    """A verbatim copy attributes to its bench source with the right
+    shared count; a partial overlap attributes to the right doc with
+    the exact fraction; equal overlap ties to the LOWER bench id; a
+    clean doc is absent. Plan: bench side broadcast, no cartesian."""
+    from crab_spark.operators import decontam as DC
+    from crab_spark.plans import assert_no_cartesian, formatted_plan
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),      # copy of 100
+         (1, "one two three four nope nope"),             # partial of 101
+         (2, "totally clean unrelated words here now"),   # clean
+         (3, "alpha beta gamma one two three")],          # 1 shingle each: tie
+        "doc_id long, text string",
+    )
+    out = DC.contamination_attribution(corpus, bench, k=3)
+    g = {r["doc_id"]: r for r in out.collect()}
+    assert g[0]["bench_id"] == 100 and g[0]["n_shared"] == 4
+    assert g[0]["overlap_frac"] == 1.0
+    assert g[1]["bench_id"] == 101 and g[1]["n_shared"] == 2
+    assert g[1]["overlap_frac"] == 0.5                    # 2 of 4 shingles
+    assert 2 not in g                                     # clean doc absent
+    assert g[3]["bench_id"] == 100 and g[3]["n_shared"] == 1   # tie → lower id
+    assert_no_cartesian(out)
+    assert "BroadcastHashJoin" in formatted_plan(out)
+
+
+def test_score_calibration_planted(spark):
+    """Two rank-buckets over unit weights (score = n_tokens + bias):
+    the short gate-failing docs land in the bottom bucket with keep
+    rate 0, the long passing docs in the top with keep rate 1; exact
+    integer bucket boundaries."""
+    good = "the cat is on the mat and it sat there"       # 10 words, passes
+    rows = [(i, "zz qq") for i in range(3)] + [(i + 3, good) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.score_calibration(docs, [1.0] * 4, bias=0.0, n_buckets=2)
+    g = {r["bucket"]: r for r in out.collect()}
+    assert set(g) == {0, 1}
+    assert g[0]["n_docs"] == 3 and g[1]["n_docs"] == 3
+    assert (g[0]["min_score"], g[0]["max_score"]) == (2.0, 2.0)
+    assert (g[1]["min_score"], g[1]["max_score"]) == (10.0, 10.0)
+    assert g[0]["gate_keep_rate"] == 0.0 and g[1]["gate_keep_rate"] == 1.0
+    assert g[0]["mean_score"] == 2.0 and g[1]["mean_score"] == 10.0
+
+
+def test_shard_manifest_planted(spark):
+    """Digest equals a hashlib replay over chunk hashes in exact
+    (pack, doc, chunk) order; counts roll up per shard = pack DIV 2;
+    packs_per_shard < 1 raises."""
+    import hashlib
+
+    from crab_spark.operators import packing as P
+
+    rows = [
+        # (doc_id, chunk_id, n_words, chunk_hash, pack_id)
+        (0, 0, 10, "h00", 0),
+        (0, 1, 10, "h01", 0),
+        (1, 0, 12, "h10", 1),
+        (2, 0, 9, "h20", 2),
+        (2, 1, 9, "h21", 3),
+    ]
+    packed = spark.createDataFrame(
+        rows,
+        "doc_id long, chunk_id int, n_words long, chunk_hash string, pack_id long",
+    )
+    out = {r["shard_id"]: r for r in
+           P.shard_manifest(packed, packs_per_shard=2).collect()}
+    s0, s1 = out[0], out[1]
+    assert (s0["n_packs"], s0["n_chunks"], s0["n_tokens"]) == (2, 3, 32)
+    assert (s1["n_packs"], s1["n_chunks"], s1["n_tokens"]) == (2, 2, 18)
+    assert s0["digest"] == hashlib.md5(b"h00h01h10").hexdigest()
+    assert s1["digest"] == hashlib.md5(b"h20h21").hexdigest()
+    with pytest.raises(ValueError):
+        P.shard_manifest(packed, packs_per_shard=0)
