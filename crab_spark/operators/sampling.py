@@ -288,3 +288,54 @@ def epoch_order(
     )
     out.df_ordered_cache = ranked.df_ordered_cache
     return out
+
+
+def apply_mixture_rates(
+    docs: DataFrame,
+    rates: DataFrame,
+    base_rate: float,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """APPLY a mixture: per-doc keep verdicts under per-source rates =
+    min(base_rate × boost, 1.0), with ``rates`` the
+    `temperature_mixture_rates` output (or any (source, boost) frame)
+    — the missing half between computing a temperature mixture (q68)
+    and sampling it. The keep decision is the hash-fraction rule:
+    the first 48 bits of md5(salt‖key) as a fraction of 2^48 (EXACT in
+    double) compared against the rate — reproducible on any engine,
+    run, and retry, and a re-rate only flips the marginal docs
+    (nested-interval property of hash sampling).
+
+    Returns one row per doc: (key, source, rate, keep). Sources absent
+    from ``rates`` (and NULL sources, if absent) get rate 0.0 — an
+    unknown source must be an explicit decision, not a silent pass.
+
+    Scale shape: one corpus scan joined against the BROADCAST
+    (|sources|-row) rates frame — null-safe so NULL-source rows meet
+    their rate instead of dropping; no other shuffle."""
+    r = rates.select(
+        F.col(source_col).alias("_src"), F.col("boost").alias("_boost")
+    )
+    frac = (
+        F.conv(F.substring(_key_hash(key_col, salt), 1, 12), 16, 10).cast("long")
+        / F.lit(float(1 << 48))
+    )
+    rate = F.least(F.lit(float(base_rate)) * F.coalesce("_boost", F.lit(0.0)),
+                   F.lit(1.0))
+    return (
+        docs.join(F.broadcast(r), F.col(source_col).eqNullSafe(F.col("_src")),
+                  "left")
+        .select(
+            key_col,
+            source_col,
+            # NO display rounding: base (dyadic) x boost (identical
+            # rounded double) -> bit-identical product on any engine,
+            # while round()-ing it would land exactly on a half-tie
+            # whenever a 6-dp boost is halved (engines tie-break
+            # differently)
+            rate.alias("rate"),
+            (frac < rate).alias("keep"),
+        )
+    )

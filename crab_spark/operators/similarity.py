@@ -437,3 +437,78 @@ def knn_label_vote(
     )
     out.dropped_buckets = dropped
     return out
+
+
+def hyperplane_signs(n_bits: int, dim: int, seed: str = "hp") -> list[list[float]]:
+    """The deterministic random-hyperplane sign matrix for
+    `hyperplane_lsh`: sign s[k][i] = +1 iff the first byte of
+    md5(seed|k|i) is even. Computed DRIVER-side in Python (n_bits x dim
+    literals — model-sized state, the centroid convention) so the
+    identical matrix is embeddable in any engine's expression — the
+    DuckDB oracle uses these exact lists."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}|{k}|{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for k in range(n_bits)
+    ]
+
+
+def hyperplane_lsh(
+    emb: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: str = "hp",
+    quant: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane LSH (Charikar 2002 SimHash for vectors): bit k of a
+    vector's signature is the sign of its dot product with random
+    hyperplane k — vectors at small angles share most bits, so the
+    signature buckets are a cosine-ANN family that needs NO trained
+    centroids (the k-means-free alternative to the IVF path; real
+    pipelines run it when the corpus drifts faster than centroids can
+    be refit). Returns (id, sig) with sig = the n_bits-bit signature
+    as a long; banding it for near-dup pairing composes exactly like
+    the text simhash (split sig into nibble band keys → bucket join).
+
+    Reproducibility: components are QUANTIZED to k/quant (a power of
+    two) before the fold, so every projection is a sum of dyadic
+    rationals — EXACT in double regardless of engine or fold order
+    (the q65 weight convention), and the sign can never flip on a
+    last-ulp disagreement. The sign matrix is md5-derived and
+    driver-computed (`hyperplane_signs`), identical in the oracle.
+
+    Scale shape: zero shuffles, zero joins — n_bits row-local folds
+    over the embedding array (interpreted higher-order exprs; a real
+    deployment at D in the thousands would swap ONE mapInPandas numpy
+    matmul, same output contract). NULL embeddings keep a NULL sig."""
+    if quant < 1 or (quant & (quant - 1)):
+        raise ValueError("quant must be a positive power of two")
+    signs = hyperplane_signs(n_bits, dim, seed)
+    q = F.transform(
+        F.col(emb_col).cast("array<double>"),
+        lambda v: F.floor(v * quant) / quant,
+    )
+    sig = F.lit(0).cast("long")
+    for k in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s) for s in signs[k]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0)).cast("long")
+    return emb.select(
+        F.col(id_col),
+        F.when(F.col(emb_col).isNotNull(), sig).alias("sig"),
+    )

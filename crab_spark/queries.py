@@ -1131,6 +1131,37 @@ def q84_shard_manifest(spark, sf):
     return P.shard_manifest(packed, packs_per_shard=_Q84_PPS)
 
 
+
+
+_Q85_BITS, _Q85_DIM = 16, 64
+
+
+def q85_hyperplane_lsh(spark, sf):
+    """Hyperplane-LSH signatures (Charikar SimHash for vectors): bit k
+    = sign of the dot product with md5-derived hyperplane k — the
+    centroid-free cosine-ANN family beside the IVF path. Components
+    quantized to dyadic rationals so every projection sum is exact in
+    double on any engine; zero shuffles."""
+    return S.hyperplane_lsh(
+        t(spark, sf, "embeddings"), dim=_Q85_DIM, n_bits=_Q85_BITS
+    )
+
+
+_Q86_BASE, _Q86_SALT = 0.5, "mix"
+
+
+def q86_mixture_apply(spark, sf):
+    """The APPLY half of the temperature mixture: q68's per-source
+    boosts joined back (broadcast, null-safe) and the 48-bit
+    hash-fraction rule decides each doc — computing a mixture and
+    sampling it, composed as one oracled query."""
+    docs = t(spark, sf, "documents")
+    rates = SA.temperature_mixture_rates(docs, alpha=0.5)
+    return SA.apply_mixture_rates(
+        docs, rates, base_rate=_Q86_BASE, salt=_Q86_SALT
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2683,3 +2714,39 @@ ORACLE_SQL["q84_shard_manifest"] = f"""
            md5(string_agg(chunk_hash, ''
                           ORDER BY pack_id, doc_id, chunk_id)) AS digest
     FROM s GROUP BY shard_id"""
+
+# q85: the identical driver-computed sign matrix, dyadic quantization,
+# and per-bit dot-product sign, as literal lists in SQL
+def _q85_oracle() -> str:
+    signs = S.hyperplane_signs(_Q85_BITS, _Q85_DIM)
+    bits = " + ".join(
+        f"CASE WHEN list_dot_product(q, [{', '.join(repr(x) for x in signs[k])}])"
+        f" > 0 THEN {1 << k} ELSE 0 END"
+        for k in range(_Q85_BITS)
+    )
+    return f"""
+    WITH qv AS (SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                                      v -> floor(v * 4096) / 4096) AS q,
+                       embedding IS NULL AS isn
+                FROM embeddings)
+    SELECT vec_id,
+           CASE WHEN isn THEN NULL
+                ELSE CAST({bits} AS BIGINT) END AS sig
+    FROM qv"""
+
+
+ORACLE_SQL["q85_hyperplane_lsh"] = _q85_oracle()
+
+# q86: the q68 rate chain as a CTE, the same null-safe broadcast-shaped
+# join, and the identical exact 48-bit hash-fraction predicate
+ORACLE_SQL["q86_mixture_apply"] = f"""
+    WITH rates AS ({ORACLE_SQL["q68_temperature_mix"]})
+    SELECT d.doc_id, d.source,
+           least({_Q86_BASE} * coalesce(r.boost, 0.0), 1.0) AS rate,
+           (CAST(('0x' || substr(md5('{_Q86_SALT}'
+                 || COALESCE(CAST(d.doc_id AS VARCHAR), '')), 1, 12))
+                 AS BIGINT) / 281474976710656.0)
+               < least({_Q86_BASE} * coalesce(r.boost, 0.0), 1.0) AS keep
+    FROM documents d LEFT JOIN rates r
+      ON d.source IS NOT DISTINCT FROM r.source"""

@@ -1997,3 +1997,70 @@ def test_shard_manifest_planted(spark):
     assert s1["digest"] == hashlib.md5(b"h20h21").hexdigest()
     with pytest.raises(ValueError):
         P.shard_manifest(packed, packs_per_shard=0)
+
+
+def test_hyperplane_lsh_planted(spark):
+    """Signature equals the Python replay (quantize → signed dyadic
+    fold → bit); identical vectors collide; a negated vector flips
+    every bit whose projection is nonzero; NULL embeddings keep a NULL
+    sig; non-power-of-two quant raises. Zero-shuffle plan."""
+    import math as m
+
+    from crab_spark.plans import formatted_plan
+
+    dim, bits = 8, 6
+    v = [0.11, -0.52, 0.83, 0.27, -0.94, 0.45, -0.18, 0.66]
+    rows = [(0, v), (1, v), (2, [-x for x in v]), (3, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.hyperplane_lsh(emb, dim=dim, n_bits=bits)
+    g = {r["vec_id"]: r["sig"] for r in out.collect()}
+
+    signs = S.hyperplane_signs(bits, dim)
+
+    def replay(vec):
+        q = [m.floor(float(np.float32(x)) * 4096) / 4096 for x in vec]
+        sig = 0
+        for k in range(bits):
+            if sum(x * s for x, s in zip(q, signs[k])) > 0:
+                sig += 1 << k
+        return sig
+
+    assert g[0] == replay(v) == g[1]
+    assert g[2] == replay([-x for x in v])
+    assert g[0] ^ g[2] == (1 << bits) - 1      # antipodal: every bit flips
+    assert g[3] is None
+    assert "Exchange" not in formatted_plan(out)
+    with pytest.raises(ValueError):
+        S.hyperplane_lsh(emb, dim=dim, quant=3)
+
+
+def test_apply_mixture_rates_planted(spark):
+    """Keep verdicts replay the 48-bit hash-fraction rule under
+    per-source rates = min(base x boost, 1); sources absent from the
+    rates frame (including NULL) rate 0.0 and never pass; a NULL
+    source PRESENT in rates meets its rate (null-safe join); boosts
+    above 1/base clamp to rate 1.0 (always kept)."""
+    import hashlib
+
+    from crab_spark.operators import sampling as SA
+
+    docs = spark.createDataFrame(
+        [(i, s, "x") for i, s in
+         enumerate(["a", "a", "a", "b", "c", None, None])],
+        "doc_id long, source string, text string",
+    )
+    rates = spark.createDataFrame(
+        [("a", 2.0), ("b", 9.0), (None, 1.0)], "source string, boost double"
+    )
+    out = SA.apply_mixture_rates(docs, rates, base_rate=0.4, salt="t")
+    g = {r["doc_id"]: r for r in out.collect()}
+
+    def frac(i):
+        return int(hashlib.md5(f"t{i}".encode()).hexdigest()[:12], 16) / (1 << 48)
+
+    for i, s, want_rate in [(0, "a", 0.8), (1, "a", 0.8), (2, "a", 0.8),
+                            (3, "b", 1.0), (4, "c", 0.0),
+                            (5, None, 0.4), (6, None, 0.4)]:
+        assert g[i]["rate"] == want_rate
+        assert g[i]["keep"] == (frac(i) < want_rate), (i, s)
+    assert g[3]["keep"] is True and g[4]["keep"] is False
