@@ -34,6 +34,7 @@ from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import packing as P
 from .operators import pipeline as PL
+from .operators import relational as R
 from .operators import sampling as SA
 from .operators import scrub as SC
 from .operators import similarity as S
@@ -1160,6 +1161,41 @@ def q86_mixture_apply(spark, sf):
     return SA.apply_mixture_rates(
         docs, rates, base_rate=_Q86_BASE, salt=_Q86_SALT
     )
+
+
+
+
+def q87_asof_join(spark, sf):
+    """As-of join (kdb aj / merge_asof): every error event picks up the
+    user's most recent purchase at-or-before it — union-tag carry
+    forward, ONE shuffle on user_id, no range self-join. NULL payload
+    when no prior purchase exists."""
+    ev = t(spark, sf, "events")
+    return R.asof_join(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+        key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        payload_cols=["value"],
+    )
+
+
+_Q88_TIERS = [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1e9, "high")]
+
+
+def q88_range_join(spark, sf):
+    """Range-bucket join: events banded into value tiers via a
+    broadcast non-equi join (BroadcastNestedLoopJoin over a
+    3-row literal table — the big side never shuffles), rolled up per
+    tier with DECIMAL-exact value totals."""
+    out = R.range_join_tiers(t(spark, sf, "events"), _Q88_TIERS)
+    # exact integer cents, not a decimal/double sum: DuckDB's client
+    # degrades DECIMAL to float64 and double sums are fold-order-
+    # dependent; round(v*100) is the same long on both engines
+    cents = F.round(F.col("value") * 100).cast("long")
+    return out.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    ).withColumn("total_value", F.col("total_cents") / 100.0)
 
 
 # ---------------------------------------------------------------------------
@@ -2750,3 +2786,40 @@ ORACLE_SQL["q86_mixture_apply"] = f"""
                < least({_Q86_BASE} * coalesce(r.boost, 0.0), 1.0) AS keep
     FROM documents d LEFT JOIN rates r
       ON d.source IS NOT DISTINCT FROM r.source"""
+
+# q87: the identical union-tag carry-forward (right rows side 0 sort
+# before left ties; latest (ts, id) right row wins)
+ORACLE_SQL["q87_asof_join"] = """
+    WITH u AS (
+      SELECT user_id, ts, 0 AS side, event_id, value FROM events
+      WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, event_id, NULL AS value FROM events
+      WHERE event_type = 'error'),
+    c AS (SELECT *,
+                 last_value(CASE WHEN side = 0 THEN
+                     struct_pack(eid := event_id, pts := ts, val := value)
+                 END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pay
+          FROM u)
+    SELECT event_id, user_id, ts,
+           pay.eid AS asof_event_id, pay.pts AS asof_ts,
+           pay.val AS asof_value
+    FROM c WHERE side = 1"""
+
+# q88: the same [lo, hi) banding + DECIMAL-exact totals
+ORACLE_SQL["q88_range_join"] = (
+    "WITH tiers AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({lo!r}, {hi!r}, '{name}')" for lo, hi, name in _Q88_TIERS)
+    + """) t(tier_lo, tier_hi, tier))
+    SELECT tier, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+    FROM events e LEFT JOIN tiers
+      ON e.value >= tier_lo AND e.value < tier_hi
+    GROUP BY tier"""
+)

@@ -2064,3 +2064,56 @@ def test_apply_mixture_rates_planted(spark):
         assert g[i]["rate"] == want_rate
         assert g[i]["keep"] == (frac(i) < want_rate), (i, s)
     assert g[3]["keep"] is True and g[4]["keep"] is False
+
+
+def test_asof_join_planted(spark):
+    """Each left row picks the latest right row at-or-before its ts
+    within its key: strictly-before works, exact-ts right rows count,
+    equal-ts right ties go to the largest id, rows before any right
+    row keep NULLs, and keys never leak across users."""
+    from datetime import datetime as dt
+
+    from crab_spark.operators import relational as R
+    from crab_spark.plans import assert_no_cartesian
+
+    t = lambda m: dt(2024, 1, 1, 0, m)
+    purchases = spark.createDataFrame(
+        [(1, t(10), 7, 10.0), (3, t(30), 7, 30.0),
+         (5, t(40), 7, 51.0), (6, t(40), 7, 52.0),     # equal-ts tie
+         (9, t(5), 8, 99.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    errors = spark.createDataFrame(
+        [(0, t(1), 7), (2, t(20), 7), (4, t(30), 7), (8, t(45), 7),
+         (10, t(1), 8)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = R.asof_join(errors, purchases, ["user_id"], "ts", "event_id",
+                      ["value"])
+    g = {r["event_id"]: r for r in out.collect()}
+    assert g[0]["asof_event_id"] is None and g[0]["asof_value"] is None
+    assert g[2]["asof_event_id"] == 1 and g[2]["asof_value"] == 10.0
+    assert g[4]["asof_event_id"] == 3          # exact-ts purchase counts
+    assert g[8]["asof_event_id"] == 6          # tie → largest id
+    assert g[8]["asof_value"] == 52.0
+    assert g[10]["asof_event_id"] is None      # user 8: purchase is LATER
+    assert_no_cartesian(out)
+
+
+def test_range_join_tiers_planted(spark):
+    """[lo, hi) semantics at the boundaries, NULL tier outside every
+    interval, overlapping tiers rejected; the tier side broadcasts."""
+    from crab_spark.operators import relational as R
+    from crab_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(0, 49.99), (1, 50.0), (2, 199.99), (3, 200.0), (4, -1.0)],
+        "id long, value double",
+    )
+    tiers = [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 300.0, "high")]
+    out = R.range_join_tiers(df, tiers)
+    g = {r["id"]: r["tier"] for r in out.collect()}
+    assert g == {0: "low", 1: "mid", 2: "mid", 3: "high", 4: None}
+    assert "BroadcastNestedLoopJoin" in formatted_plan(out)
+    with pytest.raises(ValueError):
+        R.range_join_tiers(df, [(0.0, 60.0, "a"), (50.0, 100.0, "b")])
