@@ -139,3 +139,38 @@ def test_streaming_heuristic_gate_and_line_dedup_equal_batch(spark, sf_dir, tmp_
     g = {r["doc_id"]: (r["n_words"], r["keep"]) for r in got.collect()}
     w = {r["doc_id"]: (r["n_words"], r["keep"]) for r in want.collect()}
     assert g == w and len(g) > 0 and any(v[1] for v in g.values())
+
+
+def test_streaming_holdout_split_and_mixture_equal_batch(spark, sf_dir, tmp_path):
+    """The new stateless sampling ops run on a stream unchanged:
+    holdout_split composed over apply_mixture_rates (rates precomputed
+    batch-side — the tiny-model-state pattern, like broadcast
+    centroids) on the documents file-source equals the batch result.
+    An ingest pipeline can thus assign splits and mixture verdicts AT
+    ARRIVAL TIME with the identical hash rules the batch engine uses."""
+    from crab_spark.operators import sampling as SA
+    from crab_spark.streaming.windows import (
+        run_available_now,
+        stream_documents,
+    )
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = SA.temperature_mixture_rates(batch, alpha=0.5)
+
+    def pipeline(docs):
+        split = SA.holdout_split(docs, (0.8, 0.1, 0.1),
+                                 ("train", "val", "test"), salt="st")
+        mixed = SA.apply_mixture_rates(split, rates, base_rate=0.5,
+                                       salt="sm")
+        return split.select("doc_id", "split").join(mixed, "doc_id")
+
+    got = run_available_now(
+        pipeline(stream_documents(spark, sf_dir)),
+        "holdout_stream_test", str(tmp_path / "ck_split"),
+        output_mode="append",
+    )
+    want = pipeline(batch)
+    g = {r["doc_id"]: (r["split"], r["keep"]) for r in got.collect()}
+    w = {r["doc_id"]: (r["split"], r["keep"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+    assert {v[0] for v in g.values()} == {"train", "val", "test"}
