@@ -882,19 +882,37 @@ def bigram_lm_score(
     containing doc; V is a 1-row broadcast. Docs with <2 tokens get
     (0, 0.0), the q49 empty-doc convention."""
     txt = normalized(F.coalesce(F.col(text_col), F.lit("")))
-    ws = F.filter(tokens(txt), lambda w: w != "")
+    # NO higher-order lambdas here: each F.filter/F.transform lambda
+    # gets fresh variable ids per reference, which defeats exchange
+    # canonicalization — the count exchange below would never be
+    # REUSED and the corpus explode would run once per model table
+    # (measured 8 Generate nodes before this form). After whitespace
+    # collapse '' tokens only occur at the array ends, so dropping
+    # pairs containing '' AFTER pairing equals filtering tokens first.
+    ws = tokens(txt)
     n = F.size(ws)
     pair_len = F.greatest(n - 1, F.lit(0))
-    p = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.arrays_zip(
-                F.slice(ws, 1, pair_len).alias("w1"),
-                F.slice(ws, 2, pair_len).alias("w2"),
-            )
-        ).alias("bg"),
-    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    dc = p.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c"))
+    p = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ws, 1, pair_len).alias("w1"),
+                    F.slice(ws, 2, pair_len).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    # the count relation feeds THREE consumers (scoring join, bigram
+    # table, vocab total); exchange-reuse alone cannot dedupe them
+    # (per-branch column pruning changes the canonical subplan), so
+    # cache it — the corpus explode + partial agg run ONCE and every
+    # model table reads the cached (doc,w1,w2,c) partitions. Exposed
+    # as df_ordered_cache for caller-side unpersist (the with_pack_ids
+    # convention).
+    dc = p.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c")).cache()
     big = dc.groupBy("w1", "w2").agg(F.sum("c").alias("n12"))
     ctx = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
     vocab = dc.agg(F.countDistinct("w2").cast("double").alias("_v"))
@@ -912,7 +930,7 @@ def bigram_lm_score(
             F.round(F.sum(F.col("c") * -lp) / F.sum("c"), 4).alias("avg_nll"),
         )
     )
-    return (
+    out = (
         docs.select(id_col)
         .join(per, id_col, "left")
         .select(
@@ -921,6 +939,8 @@ def bigram_lm_score(
             F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
         )
     )
+    out.df_ordered_cache = dc
+    return out
 
 
 def dataset_card(
