@@ -344,12 +344,21 @@ def contamination_attribution(
             F.array_distinct(word_shingles(normalized(F.col(text_col)), k))
         ).alias("shingle"),
     ).filter(F.col("shingle") != "")
-    dsh = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(normalized(F.col(text_col)), k))
-        ).alias("shingle"),
-    ).filter(F.col("shingle") != "")
+    # cached: the corpus shingle relation feeds BOTH the broadcast
+    # probe and the per-doc totals; word_shingles' lambda defeats
+    # exchange-reuse (the bigram_lm lesson), so without the cache the
+    # corpus explode would run once per consumer. df_ordered_cache is
+    # the caller-unpersist handle.
+    dsh = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(normalized(F.col(text_col)), k))
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+        .cache()
+    )
     matches = (
         dsh.join(F.broadcast(bsh), "shingle")
         .groupBy(id_col, "bench_id")
@@ -364,10 +373,12 @@ def contamination_attribution(
         .drop("_rn")
     )
     nsh = dsh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_shingles"))
-    return top.join(nsh, id_col).select(
+    out = top.join(nsh, id_col).select(
         id_col,
         "bench_id",
         "n_shared",
         "n_shingles",
         F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("overlap_frac"),
     )
+    out.df_ordered_cache = dsh
+    return out

@@ -648,6 +648,12 @@ def novelty_score(
     # NULL/empty text shingles to '' (concat_ws over a NULL slice):
     # filter it so those docs get the (0, 0, NULL) verdict, not a
     # phantom md5('') shingle shared across every empty doc
+    # cached: the distinct pair relation feeds BOTH the document-
+    # frequency table and the verdict join, and word_shingles' lambda
+    # gets fresh variable ids per plan reference, so exchange-reuse
+    # alone would re-run the corpus explode per consumer (the
+    # bigram_lm_score lesson). Exposed as df_ordered_cache for
+    # caller-side unpersist.
     ds = (
         docs.select(
             F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("s")
@@ -655,6 +661,7 @@ def novelty_score(
         .filter(F.col("s") != "")
         .select(F.col(id_col), F.md5("s").alias("h"))
         .distinct()
+        .cache()
     )
     dfreq = ds.groupBy("h").agg(F.count("*").alias("nd"))
     per = (
@@ -665,7 +672,7 @@ def novelty_score(
             F.sum((F.col("nd") == 1).cast("long")).alias("n_novel"),
         )
     )
-    return (
+    out = (
         docs.select(id_col)
         .join(per, id_col, "left")
         .select(
@@ -678,3 +685,5 @@ def novelty_score(
             ).alias("novelty"),
         )
     )
+    out.df_ordered_cache = ds
+    return out

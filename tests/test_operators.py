@@ -2138,3 +2138,19 @@ def test_bigram_lm_explodes_corpus_once(spark):
         assert ep.count("InMemoryTableScan") >= 3, ep
     finally:
         out.df_ordered_cache.unpersist()
+
+
+def test_novelty_explodes_corpus_once(spark):
+    """The distinct (doc, shingle-md5) relation feeds both the df
+    table and the verdict join; it is cached so the corpus shingle
+    explode materializes once (word_shingles' lambda defeats
+    exchange-reuse, the bigram_lm lesson)."""
+    d = spark.createDataFrame([(0, "a b c d e"), (1, "a b c x y")],
+                              "doc_id long, text string")
+    out = D.novelty_score(d, k=3)
+    out.collect()
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert ep.count("InMemoryTableScan") >= 2, ep
+    finally:
+        out.df_ordered_cache.unpersist()
