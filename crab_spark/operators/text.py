@@ -1071,3 +1071,78 @@ def score_calibration(
     )
     out.df_ordered_cache = cache
     return out
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every corpus document by how much
+    more likely its hashed-unigram bag is under the TARGET distribution
+    (a small high-quality/reference set) than under the corpus's own —
+    importance = Σ_w c_w · (ln p̂_target(bucket(w)) − ln p̂_corpus(bucket(w))),
+    add-α smoothed over ``n_buckets`` md5 buckets (the q65 bucket rule).
+    Rank-selecting by this score IS importance resampling toward the
+    target domain; composes with `quality_percentile_gate` / q54 for
+    the keep rule.
+
+    Scale shape: per-(doc, bucket) counts are one map-side-combinable
+    aggregation, CACHED because they feed both the corpus distribution
+    and the scoring join (the bigram_lm lesson — word-lambda plans
+    defeat exchange reuse); the model is an ``n_buckets``-row frame
+    (full-outer source×target, totals a 1-row cross join) that
+    BROADCASTS back, so a hot bucket costs one row per containing doc.
+    The target side (MBs against 100 TB) aggregates separately.
+    Docs with no tokens get (0, 0.0), the q49 convention."""
+    a = float(alpha)
+
+    def toks(frame):
+        t = frame.select(
+            F.col(id_col),
+            F.explode(tokens(normalized(F.coalesce(F.col(text_col), F.lit("")))))
+                .alias("w"),
+        ).filter(F.col("w") != "")
+        return t.select(
+            F.col(id_col),
+            (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+             % n_buckets).alias("b"),
+        )
+
+    dc = toks(docs).groupBy(id_col, "b").agg(F.count("*").alias("c")).cache()
+    src = dc.groupBy("b").agg(F.sum("c").alias("s"))
+    tgt = toks(target).groupBy("b").agg(F.count("*").alias("t"))
+    model = (
+        src.join(tgt, "b", "full")
+        .select(
+            "b",
+            F.coalesce("s", F.lit(0)).cast("long").alias("s"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("t"),
+        )
+    )
+    tot = model.agg(F.sum("s").alias("_S"), F.sum("t").alias("_T"))
+    lw = F.log((F.col("t") + F.lit(a)) / (F.col("_T") + F.lit(a * n_buckets))) - \
+        F.log((F.col("s") + F.lit(a)) / (F.col("_S") + F.lit(a * n_buckets)))
+    scored = (
+        dc.join(F.broadcast(model.crossJoin(F.broadcast(tot))), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * lw), 4).alias("importance"),
+        )
+    )
+    out = (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("importance", F.lit(0.0)).alias("importance"),
+        )
+    )
+    out.df_ordered_cache = dc
+    return out

@@ -1198,6 +1198,23 @@ def q88_range_join(spark, sf):
     ).withColumn("total_value", F.col("total_cents") / 100.0)
 
 
+
+
+_Q89_B, _Q89_A = 64, 0.5
+
+
+def q89_dsir_importance(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): every doc scored by
+    ln-likelihood-ratio of its hashed-unigram bag under the benchmark
+    target vs the corpus itself — importance resampling toward a
+    reference domain. Per-(doc,bucket) counts cached (feed the corpus
+    distribution AND the scoring join); the 64-row model broadcasts
+    back."""
+    docs = t(spark, sf, "documents")
+    target = SA.hash_sample(docs, _BENCH_RATE, salt=_BENCH_SALT)
+    return X.dsir_importance(docs, target, n_buckets=_Q89_B, alpha=_Q89_A)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2822,4 +2839,44 @@ ORACLE_SQL["q88_range_join"] = (
     FROM events e LEFT JOIN tiers
       ON e.value >= tier_lo AND e.value < tier_hi
     GROUP BY tier"""
+)
+
+# q89: same md5-bucket rule as q65, bench split as q44, full-outer
+# source x target model, add-alpha log-ratio with repr'd constants
+ORACLE_SQL["q89_dsir_importance"] = f"""
+    WITH nrm AS (SELECT doc_id,
+                        regexp_replace(lower(coalesce(text, '')),
+                                       '\\s+', ' ', 'g') AS t
+                 FROM documents),
+    toks AS (SELECT doc_id, md5(s.w) AS h FROM nrm,
+             unnest(string_split(t, ' ')) s(w) WHERE s.w <> ''),
+    bt AS (SELECT doc_id, {_Q65_BKT.replace('% 64', f'% {_Q89_B}')} AS b
+           FROM toks),
+    dc AS (SELECT doc_id, b, count(*) AS c FROM bt GROUP BY ALL),
+    srcb AS (SELECT b, sum(c) AS s FROM dc GROUP BY b),
+    bench_ids AS (SELECT doc_id FROM documents
+                  WHERE md5('bench' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+                        < '{{bthr}}'),
+    tgtb AS (SELECT b, count(*) AS t FROM bt
+             WHERE doc_id IN (SELECT doc_id FROM bench_ids) GROUP BY b),
+    model AS (SELECT coalesce(srcb.b, tgtb.b) AS b,
+                     CAST(coalesce(s, 0) AS BIGINT) AS s,
+                     CAST(coalesce(t, 0) AS BIGINT) AS t
+              FROM srcb FULL JOIN tgtb ON srcb.b = tgtb.b),
+    tot AS (SELECT sum(s) AS ts, sum(t) AS tt FROM model),
+    sc AS (SELECT dc.doc_id, dc.c,
+                  ln((model.t + {{a}}) / (tot.tt + {{ab}}))
+                  - ln((model.s + {{a}}) / (tot.ts + {{ab}})) AS lw
+           FROM dc JOIN model USING (b) CROSS JOIN tot),
+    per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(sum(c * lw), 4) AS importance
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(importance, 0.0) AS importance
+    FROM documents d LEFT JOIN per USING (doc_id)"""
+ORACLE_SQL["q89_dsir_importance"] = (
+    ORACLE_SQL["q89_dsir_importance"]
+    .replace("{bthr}", SA._hex_threshold(_BENCH_RATE))
+    .replace("{a}", repr(_Q89_A))
+    .replace("{ab}", repr(_Q89_A * _Q89_B))
 )

@@ -2154,3 +2154,45 @@ def test_novelty_explodes_corpus_once(spark):
         assert ep.count("InMemoryTableScan") >= 2, ep
     finally:
         out.df_ordered_cache.unpersist()
+
+
+def test_dsir_importance_planted(spark):
+    """Python replay of the smoothed log-ratio on known bucket counts:
+    a doc made of target-heavy words scores positive, one made of
+    corpus-only words negative; empty docs (0, 0.0); the per-(doc,
+    bucket) counts are cached (one corpus explode)."""
+    import hashlib
+    import math as m
+
+    docs = spark.createDataFrame(
+        [(0, "good good good"), (1, "junk junk junk junk"), (2, None)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(9, "good good")],
+                                   "doc_id long, text string")
+    B, a = 16, 0.5
+    out = X.dsir_importance(docs, target, n_buckets=B, alpha=a)
+    g = {r["doc_id"]: r for r in out.collect()}
+
+    def bkt(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % B
+
+    # corpus buckets: good x3, junk x4; target: good x2
+    s = {bkt("good"): 3, bkt("junk"): 4}
+    t = {bkt("good"): 2}
+    S, T = 7, 2
+
+    def lw(b):
+        return m.log((t.get(b, 0) + a) / (T + a * B)) - \
+            m.log((s.get(b, 0) + a) / (S + a * B))
+
+    try:
+        assert g[0]["n_tokens"] == 3
+        assert g[0]["importance"] == round(3 * lw(bkt("good")), 4)
+        assert g[1]["importance"] == round(4 * lw(bkt("junk")), 4)
+        assert g[0]["importance"] > 0 > g[1]["importance"]
+        assert (g[2]["n_tokens"], g[2]["importance"]) == (0, 0.0)
+        ep = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in ep
+    finally:
+        out.df_ordered_cache.unpersist()
