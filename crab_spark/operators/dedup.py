@@ -188,10 +188,27 @@ def ngram_jaccard(
     k: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify stage
-    after LSH). Returns (id_a, id_b, jaccard)."""
-    sh = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("_sh"),
+    after LSH). Returns (id_a, id_b, jaccard).
+
+    Scale shape: the shingle-set relation is built ONLY for docs that
+    appear in a candidate pair (semi-join prune — the verify set is
+    candidate-sized, not corpus-sized) and CACHED, because it feeds
+    both sides of the pair join and lambda plans defeat exchange
+    reuse (the bigram_lm lesson: the corpus shingling used to run
+    once per join side, over ALL docs). df_ordered_cache is the
+    caller-unpersist handle."""
+    ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .union(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(ids, docs[id_col] == ids["_id"], "left_semi")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(F.col(text_col), k)).alias("_sh"),
+        )
+        .cache()
     )
     j = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -199,9 +216,11 @@ def ngram_jaccard(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return j.select(
+    out = j.select(
         "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
     )
+    out.df_ordered_cache = sh
+    return out
 
 
 def connected_components(

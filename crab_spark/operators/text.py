@@ -317,10 +317,15 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         )
         .filter(F.col("w") != "")
     )
-    doc_counts = toks.groupBy(id_col, "w").agg(F.count("*").alias("c"))
-    # freqs derives from doc_counts, NOT from a second toks aggregation:
-    # different shuffle keys defeat ReusedExchange, so the raw
-    # split/explode of the corpus would run twice per query
+    # cached: doc_counts feeds the frequency table, the totals chain,
+    # AND the scoring join; deriving alone is not enough — exchange
+    # reuse fails whenever AQE picks broadcasts or pruning diverges
+    # (plan audit measured 3 corpus explodes per q49 run). The cache
+    # pins ONE token explode; df_ordered_cache is the caller-unpersist
+    # handle.
+    doc_counts = (
+        toks.groupBy(id_col, "w").agg(F.count("*").alias("c")).cache()
+    )
     freqs = doc_counts.groupBy("w").agg(F.sum("c").alias("n"))
     total = freqs.agg(F.sum("n").alias("_tot"))
     scored = (
@@ -336,7 +341,7 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
             ).alias("avg_nll"),
         )
     )
-    return (
+    out = (
         docs.select(id_col)
         .join(scored, id_col, "left")
         .select(
@@ -345,6 +350,8 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
             F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
         )
     )
+    out.df_ordered_cache = doc_counts
+    return out
 
 
 def word_freq(docs: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
