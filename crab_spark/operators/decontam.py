@@ -184,10 +184,16 @@ def neardup_contamination(
     if max_bucket is not None:
         ckeys, dropped = cap_buckets(ckeys, ["band_idx", "band_key"], max_bucket)
     bkeys = band_keys(bsigs, bid, n_hashes, band_size).withColumnRenamed(bid, "_bid")
+    # cached: cand feeds both the verify join and the semi-join prune;
+    # without it the whole candidate-generation subtree (the corpus
+    # band explode + cap window + broadcast probe) executes twice —
+    # cand itself is bounded by |bench bands| x max_bucket, so the
+    # cache is candidate-sized
     cand = (
         ckeys.join(F.broadcast(bkeys), ["band_idx", "band_key"])
         .select(id_col, "_bid")
         .distinct()
+        .cache()
     )
     # raw text, not normalized — the ngram_jaccard/q24 verify convention
     # (signatures and verify sets must see the SAME tokenization)

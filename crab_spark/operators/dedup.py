@@ -197,9 +197,14 @@ def ngram_jaccard(
     reuse (the bigram_lm lesson: the corpus shingling used to run
     once per join side, over ALL docs). df_ordered_cache is the
     caller-unpersist handle."""
+    # pairs is ALSO cached: it feeds the id-set prune and the verify
+    # join, and for LSH callers it is the whole sigs->bands->self-join
+    # chain — re-referencing it uncached would re-run that chain per
+    # consumer. Both caches are candidate-sized.
+    p = pairs.cache()
     ids = (
-        pairs.select(F.col("id_a").alias("_id"))
-        .union(pairs.select(F.col("id_b").alias("_id")))
+        p.select(F.col("id_a").alias("_id"))
+        .union(p.select(F.col("id_b").alias("_id")))
         .distinct()
     )
     sh = (
@@ -211,7 +216,7 @@ def ngram_jaccard(
         .cache()
     )
     j = (
-        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        p.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -220,6 +225,7 @@ def ngram_jaccard(
         "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
     )
     out.df_ordered_cache = sh
+    out.df_pairs_cache = p
     return out
 
 
@@ -600,10 +606,14 @@ def dedup_incremental_neardup(
     dropped = None
     if max_bucket is not None:
         ckeys, dropped = cap_buckets(ckeys, ["band_idx", "band_key"], max_bucket)
+    # cached: cand feeds both the verify join and the semi-join prune
+    # (the neardup_contamination rationale) — one corpus band pass,
+    # candidate-sized cache
     cand = (
         ckeys.join(F.broadcast(bkeys), ["band_idx", "band_key"])
         .select(F.col(id_col).alias("_cid"), "_bid")
         .distinct()
+        .cache()
     )
     sets = lambda frame, key, out: frame.select(  # noqa: E731
         key,

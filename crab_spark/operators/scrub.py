@@ -231,6 +231,10 @@ def cross_source_overlap(
     fan-out is bounded by the source count (a hash appears once per
     source after the distinct), so the worst bucket is |sources|²,
     never |docs|²."""
+    # cached: the self-join's two sides are the SAME relation, but the
+    # word_windows lambda defeats exchange canonicalization (the
+    # bigram_lm lesson) and the corpus segment explode ran once per
+    # side; MEMORY_AND_DISK cache = one pass, spill-safe
     sh = (
         docs.select(
             F.col(source_col).alias("s"),
@@ -239,13 +243,16 @@ def cross_source_overlap(
         .filter(F.col("seg") != "")
         .select("s", F.md5("seg").alias("h"))
         .distinct()
+        .cache()
     )
     a, b = sh.alias("a"), sh.alias("b")
-    return (
+    out = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.s") < F.col("b.s")))
         .groupBy(F.col("a.s").alias("source_a"), F.col("b.s").alias("source_b"))
         .agg(F.count("*").alias("n_shared"))
     )
+    out.df_ordered_cache = sh
+    return out
 
 
 def chunk_documents(

@@ -390,15 +390,17 @@ def tfidf_topk(
         )
         .filter(F.col("w") != "")
     )
-    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
-    # df derives from tf (one row per (doc, word) already) — a second
-    # distinct over raw tokens would re-explode the whole corpus
+    # cached: tf feeds the df table AND the scoring join, and deriving
+    # alone does not survive AQE/pruning canonicalization (the
+    # bigram_lm lesson) — without the cache the corpus token explode
+    # ran once per consumer
+    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf")).cache()
     df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).alias("_n"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("w").asc()
     )
-    return (
+    out = (
         tf.join(df_, "w")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
@@ -416,6 +418,8 @@ def tfidf_topk(
             "score",
         )
     )
+    out.df_ordered_cache = tf
+    return out
 
 
 def quality_percentile_gate(
