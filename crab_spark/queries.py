@@ -1499,13 +1499,13 @@ ORACLE_SQL: dict[str, str] = {
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.ve, b.ve), 4) >= 0.35""",
     "q30_token_count": """
-        SELECT doc_id, len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS n_tokens,
+        SELECT doc_id, len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n_tokens,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
         FROM documents""",
     "q31_quality": """
         SELECT doc_id, length(text) AS n_chars,
            round(length(text)::DOUBLE /
-                 greatest(len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')), 1), 4) AS mean_word_len,
+                 greatest(len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')), 1), 4) AS mean_word_len,
            round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
                  greatest(length(text), 1), 4) AS punct_ratio,
            round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE /
@@ -1559,7 +1559,7 @@ ORACLE_SQL: dict[str, str] = {
         + f" ELSE '{SA._hex_threshold(0.05)}' END GROUP BY lang"
     ),
     "q39_pack_sequences": """
-        WITH t AS (SELECT doc_id, len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS n FROM documents),
+        WITH t AS (SELECT doc_id, len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n FROM documents),
         c AS (SELECT doc_id, n,
                      sum(n) OVER (ORDER BY doc_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1999,7 +1999,7 @@ ORACLE_SQL["q57_source_gate"] = f"""
                  ELSE text END AS text
           FROM documents),
     pt AS (SELECT source, md5(text) AS th, count(*) AS n,
-                  sum(len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '))) AS wsum
+                  sum(len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '))) AS wsum
            FROM inj GROUP BY source, md5(text)),
     rep AS (SELECT source, sum(n) AS src_n_docs, sum(wsum) AS words,
                    count(*) AS dist
@@ -2022,7 +2022,7 @@ ORACLE_SQL["q57_source_gate"] = f"""
 # BEFORE the doc are under its source's budget
 ORACLE_SQL["q58_token_budget_mix"] = f"""
     WITH ord AS (SELECT doc_id, source,
-                        CAST(len(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+                        CAST(len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
                         md5('budget' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS h
                  FROM documents),
     c AS (SELECT doc_id, source, n_tokens,
