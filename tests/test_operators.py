@@ -2198,3 +2198,52 @@ def test_dsir_importance_planted(spark):
         assert "InMemoryTableScan" in ep
     finally:
         out.df_ordered_cache.unpersist()
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-validation against the reference implementation: on a
+    seeded random frame (40 users, duplicate timestamps included) the
+    operator's output equals pandas.merge_asof(direction='backward',
+    allow_exact_matches=True) with the right side pre-sorted by
+    (ts, id) so pandas' last-occurrence tie rule matches the
+    operator's largest-(ts, id) rule."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_r, n_l = 400, 300
+    right = pd.DataFrame({
+        "event_id": np.arange(n_r, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 500, n_r), unit="s"),
+        "user_id": rng.integers(0, 40, n_r).astype(np.int64),
+        "value": np.round(rng.random(n_r) * 100, 2),
+    })
+    left = pd.DataFrame({
+        "event_id": np.arange(1000, 1000 + n_l, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 500, n_l), unit="s"),
+        "user_id": rng.integers(0, 40, n_l).astype(np.int64),
+    })
+    out = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in (
+            spark.createDataFrame(left)
+            .transform(lambda l: __import__("crab_spark.operators.relational",
+                                            fromlist=["asof_join"]).asof_join(
+                l, spark.createDataFrame(right),
+                ["user_id"], "ts", "event_id", ["value"]))
+        ).collect()
+    }
+    want = pd.merge_asof(
+        left.sort_values(["ts", "event_id"], kind="stable"),
+        right.sort_values(["ts", "event_id"], kind="stable"),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True, suffixes=("", "_r"),
+    )
+    assert len(out) == n_l
+    for _, row in want.iterrows():
+        got_id, got_val = out[row["event_id"]]
+        if pd.isna(row["event_id_r"]):
+            assert got_id is None, row["event_id"]
+        else:
+            assert got_id == int(row["event_id_r"]), row["event_id"]
+            assert got_val == row["value"]
