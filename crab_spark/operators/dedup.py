@@ -72,8 +72,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles as an array column — all JVM-side:
-    split → sequence → slice → concat_ws."""
-    words = F.split(text, " ")
+    split → sequence → slice → concat_ws.
+
+    NULL text shingles like '' text (one '' shingle): split(NULL) is
+    NULL and concat_ws over a NULL slice silently produced '' on the
+    Spark side while the SQL mirror produced NULL — the
+    degenerate-corpus gate caught the two engines disagreeing on every
+    NULL-text doc. Coalescing here (and string_split(coalesce(text,''))
+    in _SHINGLE_CTE) pins ONE rule everywhere, and keeps the ≥1-row-
+    per-doc invariant ngram_contamination's no-second-join shape
+    relies on."""
+    words = F.split(F.coalesce(text, F.lit("")), " ")
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),

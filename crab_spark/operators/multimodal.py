@@ -92,21 +92,27 @@ def media_from_documents(docs: DataFrame, text_col: str = "text",
     the text, kind round-robins by id hash. Real crawls would append
     fetched bytes here instead."""
     # kind routes by the first byte of md5(doc_id) — a hash any engine
-    # reproduces (xxhash64 would be Spark-only and un-oracle-able)
+    # reproduces (xxhash64 would be Spark-only and un-oracle-able).
+    # NULL id/text coalesce to '' (the q46 convention): a NULL doc_id
+    # otherwise NULLs the media_id AND the kind route, and a NULL text
+    # NULLs the payload — the degenerate-corpus gate caught both
+    # engines inventing different groups for those rows
+    did = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10)
+            F.conv(F.substring(F.md5(did), 1, 2), 16, 10)
             .cast("int") % 3 + 1
         ).cast("int"),
     )
     return docs.select(
-        F.concat(F.lit("m:"), F.col(id_col).cast("string")).alias("media_id"),
-        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("m:"), did).alias("media_id"),
+        did.alias("doc_id"),
         kind.alias("kind"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.encode(txt, "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
-        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        F.octet_length(txt).cast("long").alias("n_bytes"),
     )
 
 

@@ -56,7 +56,10 @@ def with_pack_ids(
 
         tokens = token_count_udf(tokenizer)(F.col(text_col))
     else:
-        tokens = F.size(ws_tokens(F.col(text_col)))
+        # NULL text counts like '' (one '' token — the oracle's
+        # len(string_split(...)) convention); a NULL count would ripple
+        # NULL pack ids through the whole cumsum
+        tokens = F.size(ws_tokens(F.coalesce(F.col(text_col), F.lit(""))))
     ranged = (
         docs.withColumn("n_tokens", tokens.cast("long"))
         .repartitionByRange(num_partitions, *[F.col(c) for c in order])

@@ -69,8 +69,11 @@ def pii_scrub(
 ) -> DataFrame:
     """Per-document PII counts + a hash of the redacted text (the hash
     keeps the output narrow; the redacted column itself is one more
-    ``redacted()`` call at the write site). One scan, zero shuffles."""
-    text = F.col(text_col)
+    ``redacted()`` call at the write site). One scan, zero shuffles.
+    NULL text counts as '' (0 hits, md5('') hash, any_pii False) — a
+    verdict, not a NULL row (this op NAMED the convention; the
+    degenerate-corpus gate caught it not following it)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
     return docs.select(

@@ -29,7 +29,15 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str)
+            # normalize null spellings first: Spark hands back None,
+            # DuckDB np.nan/pd.NA inside object columns — astype(str)
+            # would otherwise render 'None' vs 'nan' for the SAME NULL
+            pdf[c] = pdf[c].map(
+                lambda v: None
+                if v is None or v is pd.NA
+                or (isinstance(v, float) and np.isnan(v))
+                else v
+            ).astype(str)
         elif np.issubdtype(pdf[c].dtype, np.floating):
             pdf[c] = pdf[c].round(6)
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)

@@ -363,12 +363,17 @@ def q34_word_freq(spark, sf):
 
 def q35_media_stats(spark, sf):
     docs = t(spark, sf, "documents")
+    # NULL id routes to kind 'image' (coalesce 0) and NULL text to 0
+    # bytes — verdict groups, never a NULL kind group the two engines
+    # would invent differently
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+        (F.coalesce(F.col("doc_id"), F.lit(0)) % 3 + 1).cast("int"),
     )
     media = docs.select(
-        kind.alias("kind"), F.octet_length("text").cast("long").alias("n_bytes")
+        kind.alias("kind"),
+        F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+            .alias("n_bytes"),
     )
     return media.groupBy("kind").agg(
         F.count("*").alias("n"),
@@ -647,9 +652,12 @@ def q57_source_gate(spark, sf):
     combinable aggs + an O(#sources) broadcast join-back."""
     did = F.col("doc_id")
     coin = F.substring(F.md5(F.concat(F.lit("dup"), did.cast("string"))), 1, 1)
+    # coalesce: 'from ' || NULL source would NULL the whole injected
+    # text (and the md5/count chain after it) — the degenerate-corpus
+    # gate caught the NULL-source doc getting a NULL keep verdict
     boiler = F.concat(
         F.repeat(F.lit("syndicated boilerplate "), 24),
-        F.lit("from "), F.col("source"),
+        F.lit("from "), F.coalesce(F.col("source"), F.lit("")),
     )
     injected = t(spark, sf, "documents").withColumn(
         "text",
@@ -1255,10 +1263,11 @@ _SIMHASH_CTE = """
             SELECT doc_id,
                    sum(CASE WHEN vote > 0 THEN 1::HUGEINT << bit
                             ELSE 0::HUGEINT END) AS u
-            FROM votes GROUP BY doc_id) s USING (doc_id))
+            FROM votes GROUP BY doc_id) s
+            ON d.doc_id IS NOT DISTINCT FROM s.doc_id)
 """
 _SHINGLE_CTE = """
- w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+ w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') ws FROM documents),
  sh AS (SELECT doc_id, array_to_string(ws[i:i+{km1}], ' ') s
         FROM w, unnest(range(1, greatest(len(ws) - {k}, 0) + 2)) t(i))
 """
@@ -1283,7 +1292,7 @@ _LSH_CAND_SETS = (
                  FROM bands a JOIN bands b
                    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                   AND a.doc_id < b.doc_id),
-        w3 AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        w3 AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') ws FROM documents),
         sh3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') s
                 FROM w3, unnest(range(1, greatest(len(ws) - 3, 0) + 2)) t(i)),
         sets AS (SELECT doc_id, list_distinct(list(s)) sh FROM sh3 GROUP BY doc_id)"""
@@ -1440,7 +1449,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n""",
     "q27_embedding_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) AS score
+        SELECT vec_id, round((CASE WHEN embedding::DOUBLE[] IS NULL OR q.qe IS NULL OR list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(q.qe, q.qe) = 0 THEN NULL ELSE list_cosine_similarity(embedding::DOUBLE[], q.qe) END), 4) AS score
         FROM embeddings, q
         ORDER BY score DESC, vec_id LIMIT 10""",
     "q25_simhash": (
@@ -1474,12 +1483,12 @@ ORACLE_SQL: dict[str, str] = {
         q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
         assign AS (
           SELECT e.vec_id, any_value(e.embedding::DOUBLE[]) AS ve,
-                 arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce))
+                 arg_max(c.cid, (CASE WHEN e.embedding::DOUBLE[] IS NULL OR c.ce IS NULL OR list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.ce, c.ce) = 0 THEN NULL ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.ce) END))
                    AS bucket
           FROM embeddings e, c GROUP BY e.vec_id),
         probe AS (SELECT c.cid FROM c, q
-                  ORDER BY list_cosine_similarity(c.ce, q.qe) DESC LIMIT 3)
-        SELECT a.vec_id, round(list_cosine_similarity(a.ve, q.qe), 4) AS score
+                  ORDER BY (CASE WHEN c.ce IS NULL OR q.qe IS NULL OR list_dot_product(c.ce, c.ce) = 0 OR list_dot_product(q.qe, q.qe) = 0 THEN NULL ELSE list_cosine_similarity(c.ce, q.qe) END) DESC LIMIT 3)
+        SELECT a.vec_id, round((CASE WHEN a.ve IS NULL OR q.qe IS NULL OR list_dot_product(a.ve, a.ve) = 0 OR list_dot_product(q.qe, q.qe) = 0 THEN NULL ELSE list_cosine_similarity(a.ve, q.qe) END), 4) AS score
         FROM assign a, q
         WHERE a.bucket IN (SELECT cid FROM probe)
         ORDER BY score DESC, a.vec_id LIMIT 10""",
@@ -1489,15 +1498,15 @@ ORACLE_SQL: dict[str, str] = {
                    FROM embeddings WHERE vec_id < 8),
         assign AS (
           SELECT e.vec_id, any_value(e.embedding::DOUBLE[]) AS ve,
-                 arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce))
+                 arg_max(c.cid, (CASE WHEN e.embedding::DOUBLE[] IS NULL OR c.ce IS NULL OR list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.ce, c.ce) = 0 THEN NULL ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.ce) END))
                    AS bucket
           FROM embeddings e, c GROUP BY e.vec_id
           QUALIFY count(*) OVER (PARTITION BY bucket) <= {_MAX_BUCKET})
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.ve, b.ve), 4) AS score
+               round((CASE WHEN a.ve IS NULL OR b.ve IS NULL OR list_dot_product(a.ve, a.ve) = 0 OR list_dot_product(b.ve, b.ve) = 0 THEN NULL ELSE list_cosine_similarity(a.ve, b.ve) END), 4) AS score
         FROM assign a JOIN assign b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.ve, b.ve), 4) >= 0.35""",
+        WHERE round((CASE WHEN a.ve IS NULL OR b.ve IS NULL OR list_dot_product(a.ve, a.ve) = 0 OR list_dot_product(b.ve, b.ve) = 0 THEN NULL ELSE list_cosine_similarity(a.ve, b.ve) END), 4) >= 0.35""",
     "q30_token_count": """
         SELECT doc_id, len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n_tokens,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
@@ -1523,7 +1532,8 @@ ORACLE_SQL: dict[str, str] = {
             + f"])) AS s_{lang}"
             for lang, ws in sorted(X.LANG_STOPWORDS.items())
         )
-        + " FROM toks)\n        SELECT doc_id,\n               CASE "
+        + " FROM toks)\n        SELECT doc_id,\n"
+        + "               CASE WHEN best IS NULL THEN NULL "
         + " ".join(
             f"WHEN s_{lang} = best THEN '{lang}'"
             for lang in sorted(X.LANG_STOPWORDS)[:-1]
@@ -1538,7 +1548,7 @@ ORACLE_SQL: dict[str, str] = {
         + _SHINGLE_CTE.format(k=5, km1=4).replace("FROM documents", "FROM n")
         + f"""
         SELECT n.doc_id, md5(n.text) AS content_hash,
-               (SELECT min(md5(s)) FROM sh WHERE sh.doc_id = n.doc_id) AS structural_hash
+               (SELECT min(md5(s)) FROM sh WHERE sh.doc_id IS NOT DISTINCT FROM n.doc_id) AS structural_hash
         FROM n"""
     ),
     "q34_word_freq": f"""
@@ -1559,9 +1569,9 @@ ORACLE_SQL: dict[str, str] = {
         + f" ELSE '{SA._hex_threshold(0.05)}' END GROUP BY lang"
     ),
     "q39_pack_sequences": """
-        WITH t AS (SELECT doc_id, len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n FROM documents),
+        WITH t AS (SELECT doc_id, len(string_split(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'), ' ')) AS n FROM documents),
         c AS (SELECT doc_id, n,
-                     sum(n) OVER (ORDER BY doc_id
+                     sum(n) OVER (ORDER BY doc_id NULLS FIRST
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        - n AS cum_before
               FROM t)
@@ -1571,9 +1581,9 @@ ORACLE_SQL: dict[str, str] = {
     # decode → resize plan: the stub decoder's dims (md5-derived, see
     # q36) fit into a 64×64 box aspect-preserved, floor(dim·scale)
     "q41_media_resize": f"""
-        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS did,
-                          md5(CAST(doc_id AS VARCHAR)) AS kh,
-                          md5(text) AS ph
+        WITH m AS (SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS did,
+                          md5(COALESCE(CAST(doc_id AS VARCHAR), '')) AS kh,
+                          md5(coalesce(text, '')) AS ph
                    FROM documents),
         dec AS (SELECT 'm:' || did AS media_id,
                        ['image','audio','video'][({_hexbyte('kh', 0)} % 3) + 1] AS kind,
@@ -1592,9 +1602,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT *, least(64.0 / width, 64.0 / height, 1.0) AS s FROM dec)""",
     # decode → stride-2 frame sample: one row per kept frame index
     "q42_frame_sample": f"""
-        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS did,
-                          md5(CAST(doc_id AS VARCHAR)) AS kh,
-                          md5(text) AS ph
+        WITH m AS (SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS did,
+                          md5(COALESCE(CAST(doc_id AS VARCHAR), '')) AS kh,
+                          md5(coalesce(text, '')) AS ph
                    FROM documents),
         dec AS (SELECT 'm:' || did AS media_id,
                        ['image','audio','video'][({_hexbyte('kh', 0)} % 3) + 1] AS kind,
@@ -1607,9 +1617,9 @@ ORACLE_SQL: dict[str, str] = {
     # SQL expression (payload = utf-8 bytes of text, so md5(text) in
     # DuckDB hashes the identical bytes); kind routes by md5(doc_id)
     "q36_media_features": f"""
-        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS did,
-                          md5(CAST(doc_id AS VARCHAR)) AS kh,
-                          md5(text) AS ph
+        WITH m AS (SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS did,
+                          md5(COALESCE(CAST(doc_id AS VARCHAR), '')) AS kh,
+                          md5(coalesce(text, '')) AS ph
                    FROM documents)
         SELECT 'm:' || did AS media_id,
                ['image','audio','video'][({_hexbyte('kh', 0)} % 3) + 1] AS kind,
@@ -1620,8 +1630,8 @@ ORACLE_SQL: dict[str, str] = {
                {', '.join(f"CAST({_hexbyte('ph', i)} AS INT) AS f{i}" for i in range(8))}
         FROM m""",
     "q35_media_stats": """
-        WITH m AS (SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
-                          octet_length(encode(text)) AS n_bytes
+        WITH m AS (SELECT ['image','audio','video'][(coalesce(doc_id, 0) % 3 + 1)::INT] AS kind,
+                          octet_length(encode(coalesce(text, ''))) AS n_bytes
                    FROM documents)
         SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
                round(avg(n_bytes), 4) AS avg_bytes
@@ -1666,8 +1676,9 @@ ORACLE_SQL: dict[str, str] = {
         + " > "
         + str(Fraction(str(_CONTAM_MAX_FRAC)).numerator)
         + """ * coalesce(s.ns, 0) AS contaminated
-        FROM corpus c LEFT JOIN hits h USING (doc_id)
-                      LEFT JOIN nsh s USING (doc_id)"""
+        FROM corpus c
+        LEFT JOIN hits h ON c.doc_id IS NOT DISTINCT FROM h.doc_id
+        LEFT JOIN nsh s ON c.doc_id IS NOT DISTINCT FROM s.doc_id"""
     ),
     # per-source mixture-weighting rollup; dup rate over normalized-
     # content hashes
@@ -1696,8 +1707,8 @@ ORACLE_SQL: dict[str, str] = {
                     THEN ' dial +1 555 867 530' || CAST(doc_id % 10 AS VARCHAR)
                     ELSE '' END AS text
           FROM documents),
-        st AS (SELECT doc_id, text,
-                      regexp_replace(text, '{SC.EMAIL_RE}', '<EMAIL>', 'g')
+        st AS (SELECT doc_id, coalesce(text, '') AS text,
+                      regexp_replace(coalesce(text, ''), '{SC.EMAIL_RE}', '<EMAIL>', 'g')
                           AS after_email
                FROM inj),
         st2 AS (SELECT *, regexp_replace(after_email, '{SC.IPV4_RE}',
@@ -1792,7 +1803,7 @@ ORACLE_SQL: dict[str, str] = {
         toks AS (SELECT doc_id, t.w FROM nrm,
                  unnest(string_split(text, ' ')) t(w) WHERE t.w <> ''),
         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
-        dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
         nq AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
         sc AS (SELECT doc_id, w, tf, df,
                       round(tf * ln(nd::DOUBLE / df), 4) AS score
@@ -1812,7 +1823,7 @@ ORACLE_SQL: dict[str, str] = {
         cents AS (SELECT label, list(m ORDER BY pos) AS c
                   FROM cells GROUP BY label)
         SELECT e.vec_id, e.label,
-               round(list_cosine_similarity(e.embedding::DOUBLE[], c.c), 4)
+               round((CASE WHEN e.embedding::DOUBLE[] IS NULL OR c.c IS NULL OR list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.c, c.c) = 0 THEN NULL ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.c) END), 4)
                    AS centroid_cos
         FROM embeddings e JOIN cents c USING (label)""",
 }
@@ -1842,7 +1853,7 @@ ORACLE_SQL["q54_quality_gate"] = (
     + """)),
     nq AS (SELECT count(*) AS nd FROM sc),
     rk AS (SELECT *, row_number()
-                     OVER (ORDER BY (n_words = 0), avg_nll, doc_id) - 1 AS rk
+                     OVER (ORDER BY (n_words = 0), avg_nll, doc_id NULLS FIRST) - 1 AS rk
            FROM sc)
     SELECT doc_id, n_words, avg_nll,
            round(rk::DOUBLE / greatest(nd - 1, 1), 6) AS quality_pct,
@@ -1995,7 +2006,7 @@ ORACLE_SQL["q57_source_gate"] = f"""
     WITH inj AS (SELECT doc_id, source,
             CASE WHEN substr(md5('dup' || CAST(doc_id AS VARCHAR)), 1, 1)
                       IN ('0', '1', '2', '3')
-                 THEN repeat('syndicated boilerplate ', 24) || 'from ' || source
+                 THEN repeat('syndicated boilerplate ', 24) || 'from ' || coalesce(source, '')
                  ELSE text END AS text
           FROM documents),
     pt AS (SELECT source, md5(text) AS th, count(*) AS n,
@@ -2110,7 +2121,10 @@ ORACLE_SQL["q62_heuristic_gate"] = f"""
               WHEN '3' THEN repeat('wait... ', 30)
               ELSE text END AS text
           FROM documents),
-    n AS (SELECT doc_id, {_NORM} AS t FROM mut),
+    n AS (SELECT doc_id,
+                 regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')
+                     AS t
+          FROM mut),
     f AS (SELECT doc_id, string_split(t, ' ') AS ws,
                  CAST(length(replace(t, ' ', '')) AS BIGINT) AS word_chars,
                  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
@@ -2223,14 +2237,14 @@ _SEMDEDUP_LAB = f"""
                FROM embeddings WHERE vec_id < 8),
     assign AS (
       SELECT e.vec_id, any_value(e.embedding::DOUBLE[]) AS ve,
-             arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce))
+             arg_max(c.cid, (CASE WHEN e.embedding::DOUBLE[] IS NULL OR c.ce IS NULL OR list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.ce, c.ce) = 0 THEN NULL ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.ce) END))
                AS bucket
       FROM embeddings e, c GROUP BY e.vec_id
       QUALIFY count(*) OVER (PARTITION BY bucket) <= {_MAX_BUCKET}),
     ver AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM assign a JOIN assign b
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.ve, b.ve), 4) >= 0.35),
+            WHERE round((CASE WHEN a.ve IS NULL OR b.ve IS NULL OR list_dot_product(a.ve, a.ve) = 0 OR list_dot_product(b.ve, b.ve) = 0 THEN NULL ELSE list_cosine_similarity(a.ve, b.ve) END), 4) >= 0.35),
     e AS (SELECT id_a AS ea, id_b AS eb FROM ver
           UNION SELECT id_b, id_a FROM ver),
     reach(n, m) AS (
@@ -2262,7 +2276,7 @@ ORACLE_SQL["q65_linear_classifier"] = f"""
     SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
            round(0.25 + coalesce(s.sw, 0.0), 6) AS score,
            (0.25 + coalesce(s.sw, 0.0)) > 0 AS keep
-    FROM documents d LEFT JOIN s USING (doc_id)"""
+    FROM documents d LEFT JOIN s ON d.doc_id IS NOT DISTINCT FROM s.doc_id"""
 
 # q66: the q49 LM chain verbatim, then per-language rank over the SAME
 # total order the engine uses (empty-last, avg_nll, doc_id) and the
@@ -2294,7 +2308,7 @@ ORACLE_SQL["q66_ccnet_buckets"] = (
 # line dedup as a per-(doc, line) row_number over positions — the SQL
 # form of order-preserving array_distinct
 ORACLE_SQL["q67_line_dedup"] = """
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
     segs AS (SELECT doc_id, i,
                     array_to_string(ws[i*6+1 : i*6+6], ' ') AS seg
              FROM w, unnest(range(CAST(ceil(len(ws) / 6.0) AS BIGINT))) t(i)),
@@ -2401,7 +2415,7 @@ ORACLE_SQL["q71_embedding_decontam"] = f"""
     corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE vec_id % {_Q71_BENCH_MOD} <> 0),
     sc AS (SELECT c.vec_id,
-                  round(max(list_cosine_similarity(c.v, bench.b)), 4)
+                  round(max((CASE WHEN c.v IS NULL OR bench.b IS NULL OR list_dot_product(c.v, c.v) = 0 OR list_dot_product(bench.b, bench.b) = 0 THEN NULL ELSE list_cosine_similarity(c.v, bench.b) END)), 4)
                       AS max_bench_cos
            FROM corpus c CROSS JOIN bench GROUP BY c.vec_id)
     SELECT vec_id, max_bench_cos,
@@ -2421,7 +2435,7 @@ ORACLE_SQL["q72_semdedup_far"] = _SEMDEDUP_LAB + """,
     cent AS (SELECT cluster_id, list(m ORDER BY pos) AS ce
              FROM cells GROUP BY cluster_id),
     sc AS (SELECT mem.vec_id, mem.cluster_id,
-                  round(list_cosine_similarity(mem.v, cent.ce), 4)
+                  round((CASE WHEN mem.v IS NULL OR cent.ce IS NULL OR list_dot_product(mem.v, mem.v) = 0 OR list_dot_product(cent.ce, cent.ce) = 0 THEN NULL ELSE list_cosine_similarity(mem.v, cent.ce) END), 4)
                       AS centroid_cos
            FROM mem JOIN cent USING (cluster_id))
     SELECT vec_id, cluster_id,
@@ -2440,7 +2454,8 @@ ORACLE_SQL["q73_source_prior"] = f"""
     WITH q65 AS ({ORACLE_SQL["q65_linear_classifier"]}),
     per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
                    sum(q65.score) AS s
-            FROM q65 JOIN documents d USING (doc_id)
+            FROM q65 JOIN documents d
+              ON q65.doc_id IS NOT DISTINCT FROM d.doc_id
             GROUP BY d.source),
     tot AS (SELECT sum(s) AS ts, sum(n_docs) AS tn FROM per)
     SELECT source, n_docs,
@@ -2493,19 +2508,19 @@ ORACLE_SQL["q75_knn_labels"] = f"""
     WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                FROM embeddings WHERE vec_id < 8),
     te AS (SELECT e.vec_id, any_value(e.embedding::DOUBLE[]) AS v,
-                  arg_max(c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.ce))
+                  arg_max(c.cid, (CASE WHEN e.embedding::DOUBLE[] IS NULL OR c.ce IS NULL OR list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(c.ce, c.ce) = 0 THEN NULL ELSE list_cosine_similarity(e.embedding::DOUBLE[], c.ce) END))
                       AS bucket
            FROM embeddings e, c WHERE e.vec_id % {_Q75_TRAIN_MOD} <> 0
            GROUP BY e.vec_id),
     tr AS (SELECT t.vec_id AS tid, any_value(t.label) AS label,
                   any_value(t.embedding::DOUBLE[]) AS v,
-                  arg_max(c.cid, list_cosine_similarity(t.embedding::DOUBLE[], c.ce))
+                  arg_max(c.cid, (CASE WHEN t.embedding::DOUBLE[] IS NULL OR c.ce IS NULL OR list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[]) = 0 OR list_dot_product(c.ce, c.ce) = 0 THEN NULL ELSE list_cosine_similarity(t.embedding::DOUBLE[], c.ce) END))
                       AS bucket
            FROM embeddings t, c WHERE t.vec_id % {_Q75_TRAIN_MOD} = 0
            GROUP BY t.vec_id
            QUALIFY count(*) OVER (PARTITION BY bucket) <= {_MAX_BUCKET}),
     top AS (SELECT te.vec_id, tr.tid, tr.label,
-                   round(list_cosine_similarity(te.v, tr.v), 4) AS cos
+                   round((CASE WHEN te.v IS NULL OR tr.v IS NULL OR list_dot_product(te.v, te.v) = 0 OR list_dot_product(tr.v, tr.v) = 0 THEN NULL ELSE list_cosine_similarity(te.v, tr.v) END), 4) AS cos
             FROM te JOIN tr USING (bucket)
             QUALIFY row_number() OVER (PARTITION BY te.vec_id
                                        ORDER BY cos DESC, tr.tid)
@@ -2567,7 +2582,8 @@ ORACLE_SQL["q78_epoch_order"] = f"""
 ORACLE_SQL["q79_source_quota"] = f"""
     WITH q65 AS ({{q65}}),
     s AS (SELECT q65.doc_id, d.source, q65.score
-          FROM q65 JOIN documents d USING (doc_id)),
+          FROM q65 JOIN documents d
+            ON q65.doc_id IS NOT DISTINCT FROM d.doc_id),
     r AS (SELECT doc_id, source, score,
                  CAST(row_number() OVER (PARTITION BY source
                                          ORDER BY score DESC, doc_id) - 1
@@ -2754,7 +2770,7 @@ ORACLE_SQL["q84_shard_manifest"] = f"""
            FROM c),
     cum AS (SELECT *,
                    coalesce(sum(n_words) OVER (
-                       ORDER BY doc_id, chunk_id
+                       ORDER BY doc_id NULLS FIRST, chunk_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS cb
             FROM ch),
@@ -2765,7 +2781,8 @@ ORACLE_SQL["q84_shard_manifest"] = f"""
            CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(sum(n_words) AS BIGINT) AS n_tokens,
            md5(string_agg(chunk_hash, ''
-                          ORDER BY pack_id, doc_id, chunk_id)) AS digest
+                          ORDER BY pack_id, doc_id NULLS FIRST, chunk_id))
+               AS digest
     FROM s GROUP BY shard_id"""
 
 # q85: the identical driver-computed sign matrix, dyadic quantization,
