@@ -23,6 +23,7 @@ accumulation.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from fractions import Fraction
 
@@ -1227,8 +1228,50 @@ def q89_dsir_importance(spark, sf):
 # registry + oracles
 # ---------------------------------------------------------------------------
 
+# Sweep-scoped cache lifecycle: operators attach caller-unpersist
+# handles (``df_ordered_cache`` / ``df_pipeline_caches``) to their
+# results so multi-consumer relations (token explodes, LSH candidates)
+# materialize once. A sequential registry sweep (the driver's oracle
+# run, test_oracle_parity) invokes many queries in ONE session and
+# collects each result before building the next, so the previous
+# query's caches are dead weight by the time the next entry runs.
+# Each registry entry therefore releases the handles recorded by the
+# prior entry on invocation — cached memory during a sweep is bounded
+# by one query's working set instead of growing with the registry.
+# unpersist() only drops the storage hint; if a caller DOES hold the
+# previous DataFrame and acts on it later, it recomputes correctly.
+_LIVE_CACHE_HANDLES: list[DataFrame] = []
+
+
+def _release_live_caches() -> None:
+    while _LIVE_CACHE_HANDLES:
+        h = _LIVE_CACHE_HANDLES.pop()
+        try:
+            h.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _registry_entry(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        _release_live_caches()
+        out = fn(spark, sf)
+        for attr in ("df_ordered_cache", "df_pipeline_caches"):
+            h = getattr(out, attr, None)
+            if h is None:
+                continue
+            hs = h if isinstance(h, (list, tuple)) else [h]
+            _LIVE_CACHE_HANDLES.extend(x for x in hs if x is not None)
+        return out
+
+    return run
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: fn
+    name: _registry_entry(fn)
     for name, fn in sorted(globals().items())
     if name.startswith("q") and name[1:3].isdigit() and callable(fn)
 }

@@ -33,3 +33,28 @@ def con():
 def test_oracle_parity(spark, con, name):
     ok, detail = compare_one(spark, con, name, SF_DIR)
     assert ok, f"{name} disagrees with its oracle: {detail}"
+
+
+def test_registry_sweep_releases_prior_caches(spark):
+    """A sequential registry sweep (driver oracle run, this module) must
+    not accumulate cached relations across queries: each entry releases
+    the caller-unpersist handles recorded by the previous entry, so
+    sweep memory is bounded by ONE query's working set."""
+    from crab_spark import queries as Q
+
+    first = Q.QUERIES["q49_lm_score"](spark, SF_DIR)
+    first.count()
+    assert Q._LIVE_CACHE_HANDLES, "q49 should record its token-count cache"
+    handle = Q._LIVE_CACHE_HANDLES[0]
+    assert handle.storageLevel.useMemory
+
+    second = Q.QUERIES["q21_exact_dedup"](spark, SF_DIR)
+    second.count()
+    assert not handle.storageLevel.useMemory, (
+        "previous registry entry's cache must be unpersisted when the "
+        "next entry runs"
+    )
+    # the handle list now holds at most the CURRENT query's caches
+    assert all(h is not handle for h in Q._LIVE_CACHE_HANDLES)
+    # a released upstream cache must not invalidate a still-held result
+    assert first.count() == second.count() == first.count()
