@@ -1,0 +1,136 @@
+"""Link-graph analytics over the crawl corpus: a fixed-point-integer
+PageRank for host-level crawl prioritization.
+
+Why this operator: web crawlers rank HOSTS (not pages) to decide
+frontier priority and politeness budget — CommonCrawl publishes
+exactly this host-graph centrality, and crab's priority frontier
+(reference crawler.rs dequeue ordering; our frontier.py priority mode)
+is the consumer. The host graph is tiny relative to the page corpus
+(millions of hosts from billions of pages), so the scale shape is:
+one heavy edge-aggregation pass over the docs, then cheap iterations
+over the aggregated (src, dst, weight) table.
+
+Why FIXED-POINT INTEGER arithmetic: a float PageRank's per-host sums
+depend on addition order, which Spark does not guarantee across
+partitionings — the same query could hash-mismatch its own rerun, let
+alone the DuckDB oracle. Ranks here are integer micro-units
+(SCALE = 10^12) and every damping/out-degree step is a staged integer
+floor-division — associative, order-independent, bit-exact in any
+engine. The floor truncation leaks ≤ 1 unit per edge per iteration
+(bounded dust, documented), which is far below any ranking-relevant
+difference.
+
+Overflow bound: contributions compute ``(85·r div 100) · w div W``
+with r ≤ SCALE=10^12, so the intermediate fits int64 while
+w ≤ 9·10^5. Beyond that (host pairs with >900k observed links),
+pre-scale the weights: PageRank only uses w/W ratios, so dividing
+both by a constant preserves the result — the operator does this
+automatically when max(w) exceeds the bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+_W_CAP = 9 * 10**5  # keeps (85·SCALE div 100)·w inside int64
+
+
+def host_edges(
+    docs: DataFrame,
+    n_hosts: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic host-level edge list (src, dst, w) from the
+    corpus: src = md5-route of the doc id, dst = md5-route of the
+    doc's normalized text (a link target proxy — identical content
+    links the same place). In a real crawl these come from the parsed
+    link spans (crawler.py navigate output); the md5 derivation stands
+    in because the sandbox documents table carries no link column, and
+    it gives the oracle the exact same graph. NULLs take the q46
+    convention (coalesce to '') so no NULL vertex group exists."""
+    did = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    txt = F.coalesce(F.lower(F.col(text_col)), F.lit(""))
+    src = (F.conv(F.substring(F.md5(F.concat(F.lit("h|"), did)), 1, 2), 16, 10)
+           .cast("int") % n_hosts)
+    dst = (F.conv(F.substring(F.md5(F.concat(F.lit("d|"), txt)), 1, 2), 16, 10)
+           .cast("int") % n_hosts)
+    return (
+        docs.select(src.alias("src"), dst.alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank_fixed(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_hosts: int = 64,
+    iters: int = 4,
+) -> DataFrame:
+    """``iters`` rounds of damped (0.85) PageRank in integer
+    micro-units: (host, rank_fp), sum(rank_fp) ≈ PR_SCALE minus floor
+    dust. Dangling hosts' mass is redistributed uniformly, matching
+    the standard formulation.
+
+    Plan shape per iteration: edges (cached once — the multi-consumer
+    relation) join rank (n_hosts rows, broadcast) → groupBy(dst) sum.
+    At millions of hosts the same plan holds with AQE choosing
+    shuffle-hash instead of broadcast; the docs-scale work happened
+    once in host_edges. Lineage grows linearly in ``iters`` (4 here);
+    beyond ~20 iterations callers should localCheckpoint the rank
+    frame the way connected_components does (operators/dedup.py).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    w_max = edges.agg(F.max("w")).first()[0]
+    if w_max is not None and w_max > _W_CAP:
+        # ratio-preserving rescale, floor keeps ≥1 so edges never vanish
+        div = -(-w_max // _W_CAP)  # ceil
+        edges = edges.select(
+            "src", "dst", F.greatest(F.expr(f"w div {div}"), F.lit(1)).alias("w")
+        )
+        out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    edges_w = edges.join(out_w, "src").cache()
+
+    hosts = spark.range(n_hosts).select(F.col("id").cast("int").alias("host"))
+    teleport = (15 * PR_SCALE) // 100 // n_hosts
+    rank = hosts.select("host", F.lit(PR_SCALE // n_hosts).alias("r"))
+
+    for _ in range(iters):
+        linked = rank.join(edges_w, rank["host"] == edges_w["src"], "left")
+        # dangling = hosts with no out-edges; their damped mass spreads
+        # uniformly. One tiny agg over n_hosts rows.
+        dang = (
+            linked.where(F.col("src").isNull())
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+            .select(F.expr(f"((85 * d) div 100) div {n_hosts}").alias("dang_share"))
+        )
+        contrib = (
+            linked.where(F.col("src").isNotNull())
+            .select(
+                F.col("dst"),
+                F.expr("((85 * r) div 100) * w div w_out").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c_in"))
+        )
+        rank = (
+            hosts.join(contrib, hosts["host"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                (
+                    F.lit(teleport)
+                    + F.col("dang_share")
+                    + F.coalesce(F.col("c_in"), F.lit(0))
+                ).alias("r"),
+            )
+        )
+
+    out = rank.select("host", F.col("r").alias("rank_fp"))
+    out.df_ordered_cache = edges_w  # caller-unpersist handle (repo convention)
+    return out

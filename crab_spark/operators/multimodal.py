@@ -319,3 +319,89 @@ def media_ref_index(docs: DataFrame, spans_col: str = "spans",
         F.min("_d").alias("first_doc"),
         (F.countDistinct("_d") > 1).alias("is_shared"),
     )
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Per-asset 48-bit perceptual-hash stand-in: (media_id, kind,
+    phash48). With no image codec in the sandbox the "perceptual" hash
+    is the first 6 payload-md5 bytes (big-endian — the FakeDecoder
+    contract: every decoded property derives from the payload md5), so
+    only byte-identical assets are near; swap a real pHash/aHash into
+    the decode stage and the banding/verify machinery downstream is
+    unchanged — that machinery, not the hash, is the Spark-side
+    deliverable (same honesty rule as FakeDecoder itself).
+
+    Duplicate media_ids (the q46 NULL-coalesce convention can fold
+    several NULL-id docs onto 'm:') dedupe here so pair generation
+    never self-pairs."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.conv(F.substring(F.md5(F.col("payload")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("phash48"),
+    ).distinct()
+
+
+def media_phash_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = 200,
+) -> DataFrame:
+    """Near-duplicate asset pairs by banded Hamming join over the
+    48-bit phash: 4 × 12-bit bands guarantee every pair with
+    hamming ≤ 3 shares an exact band (same pigeonhole as
+    simhash_neardup_pairs, operators/dedup.py); over-cap band buckets
+    drop whole and attach as ``.dropped_buckets`` (one tracking-pixel
+    asset referenced everywhere must not become an all-pairs stall).
+    Returns (id_a, id_b, kind, hamming) — pairs are intra-kind only
+    (an image is never a near-dup of an audio clip).
+
+    Scale: one band-key shuffle over ≤4 rows/asset, in-bucket pairing
+    capped, Hamming verify is two codegen bit_counts — the identical
+    cost model as text SimHash, applied to the media table.
+    """
+    from .dedup import cap_buckets
+
+    sigs = media_phash(media)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("phash48"), b * 12)
+                .bitwiseAND(F.lit((1 << 12) - 1))
+                .alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    keyed = sigs.select(
+        "media_id", "kind", "phash48", F.explode(chunks).alias("b")
+    ).select(
+        "media_id",
+        "kind",
+        "phash48",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    dropped = None
+    if max_bucket is not None:
+        keyed, dropped = cap_buckets(
+            keyed, ["kind", "band_idx", "band_key"], max_bucket
+        )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    hamming = F.bit_count(F.col("a.phash48").bitwiseXOR(F.col("b.phash48")))
+    out = (
+        a.join(b, ["kind", "band_idx", "band_key"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("kind"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+    out.dropped_buckets = dropped
+    return out

@@ -1,0 +1,296 @@
+"""Deterministic streaming-sketch operators: HyperLogLog distinct,
+count-min heavy hitters, and a Bloom-filter membership audit.
+
+Why hand-rolled sketches instead of ``approx_count_distinct`` /
+``DataFrameStatFunctions.countMinSketch`` / ``bloomFilter``: Spark's
+built-ins hash with xxhash/Murmur and keep opaque JVM state, so no
+other engine can reproduce their estimates — they are un-oracle-able
+and their per-run values depend on internal seeds. These
+implementations define every hash from md5 (the repo-wide portable
+hash, see operators/dedup.py) and every merge as a map-combinable
+``groupBy().max/sum`` — which is exactly the algebra the classical
+sketches use, so the Spark plan is the same partial-aggregate shape a
+native implementation would produce, while DuckDB can replay the
+identical arithmetic bit-for-bit.
+
+Scale notes (100 TB):
+- HLL state is ``groups × 2^p`` rows (p=6 → 64 registers/group) built
+  by a partial-combinable max — the shuffle carries registers, not
+  tokens.
+- The CMS sketch is ``d × w`` cells (4×256 here) built by a partial-
+  combinable sum; estimation broadcasts the sketch to the candidate
+  words.
+- The Bloom bitset is ≤ m distinct bit rows (m=4096) and is broadcast
+  to the probe side — the same broadcast-membership-join shape the
+  crawler's URL-seen sidecar uses (crab_spark/bloom.py), expressed
+  here as a pure relational query so the membership/false-positive
+  semantics are DuckDB-oracle-able.
+
+Reference parity: crab keeps its URL-seen set as a SQLite unique index
+(reference storage.rs, migrations/V3__url_uniq.sql) — the Bloom audit
+models the scale-out replacement for that index mandated by the north
+rule (bloom/cuckoo URL-seen set).
+
+Float policy: the only floats are the HLL estimate (dyadic 2^-M terms
+whose double sum is exact, one deterministic division, ln over a
+64-value domain verified identical across engines) and the Bloom FP
+rate — both round()ed on BOTH sides per the repo convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 0.7213 / (1 + 1.079/64) evaluated once in IEEE double and pinned as
+# a literal: DuckDB would otherwise evaluate the expression in DECIMAL
+# arithmetic and disagree in the 16th digit.
+_HLL_ALPHA_M64 = "0.7093409548395029"
+_HLL_P = 6  # 2^6 = 64 registers per group
+
+
+def _norm_words(text: Column) -> Column:
+    """The q30/q34 token convention: collapse whitespace runs, lower,
+    split on ' ' (empties filtered at the explode site)."""
+    return F.split(F.regexp_replace(F.lower(text), r"\s+", " "), " ")
+
+
+def _md5_int(col: Column, n_hex: int, prefix: str | None = None) -> Column:
+    """First ``n_hex`` hex chars of md5 as a BIGINT (big-endian, the
+    same number ``conv`` reads) — n_hex ≤ 15 keeps it inside int64.
+    Oracle mirror: the ``_hexbyte`` byte-arithmetic in queries.py."""
+    keyed = F.concat(F.lit(prefix), col) if prefix is not None else col
+    return F.conv(F.substring(F.md5(keyed), 1, n_hex), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group HLL register table: (group, bucket, max_rho).
+
+    h32 = first 4 md5 bytes of the word; bucket = h32 % 64 (low 6
+    bits); the remaining 26-bit value's leading-zero rank rho =
+    27 - bitlength — computed exactly via ``length(bin(v))`` (both
+    engines print minimal binary). max() is the HLL register merge:
+    idempotent + commutative, so Spark's partial aggregation IS the
+    sketch union and duplicate words cost nothing.
+    """
+    h32 = _md5_int(F.col("word"), 8)
+    v = F.expr("h32 div 64")
+    words = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(_norm_words(F.col(text_col))).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .select("grp", h32.alias("h32"))
+        .select(
+            "grp",
+            (F.col("h32") % 64).cast("int").alias("bucket"),
+            v.alias("v"),
+        )
+        .select(
+            "grp",
+            "bucket",
+            F.when(F.col("v") > 0, 27 - F.length(F.bin(F.col("v"))))
+            .otherwise(F.lit(27))
+            .cast("int")
+            .alias("rho"),
+        )
+    )
+    return words.groupBy("grp", "bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_distinct(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group HLL distinct-word estimate: (group_col, est_distinct).
+
+    Harmonic mean over 64 registers; empty registers contribute
+    2^0 = 1. All 2^-M terms are dyadic rationals whose double sum is
+    EXACT (exponents ≤ 27, 64 terms — well inside the 53-bit
+    mantissa), so the only roundings are the final division and the
+    small-range ``ln`` correction, both deterministic and round(4)ed.
+    """
+    regs = hll_registers(docs, text_col, group_col)
+    per_group = regs.groupBy("grp").agg(
+        # 2^-M as an exact dyadic double; shiftleft via expr — the
+        # PySpark wrapper only takes a literal bit count
+        F.sum(F.expr("cast(1.0 as double) / shiftleft(cast(1 as bigint), max_rho)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    z = F.lit(64) - F.col("n_present")
+    s_total = F.col("s_present") + z.cast("double")
+    # float(_HLL_ALPHA_M64), NOT F.expr of the literal: Spark parses
+    # bare decimal literals as DECIMAL and DuckDB as DECIMAL too —
+    # both sides must go through the same string→double conversion
+    raw = F.lit(float(_HLL_ALPHA_M64)) * F.lit(4096.0) / s_total
+    est = F.when(
+        (raw <= F.lit(160.0)) & (z > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / z.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        F.col("grp").alias(group_col),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+def cms_cells(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The d×w count-min sketch as rows (row_id, col_id, cnt): each
+    word OCCURRENCE increments d=4 cells, col_j = first md5 byte of
+    'j|word'. groupBy sum is map-combinable — the shuffle moves at
+    most d·w cells per upstream partition, never the token stream."""
+    words = (
+        docs.select(F.explode(_norm_words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    rows = words.select(
+        "word", F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("row_id")
+    )
+    cell = rows.select(
+        "row_id",
+        _md5_int(
+            F.concat(F.col("row_id").cast("string"), F.lit("|"), F.col("word")), 2
+        ).cast("int").alias("col_id"),
+    )
+    return cell.groupBy("row_id", "col_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    threshold: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Words the 4×256 count-min sketch estimates at ≥ threshold
+    occurrences, with the exact count alongside as the overcount
+    audit: (word, exact_cnt, cms_cnt), cms_cnt ≥ exact_cnt always.
+
+    Estimation joins the candidate vocabulary (distinct words — the
+    only per-word state) against the BROADCAST 1,024-cell sketch and
+    takes min over the d rows. Integer arithmetic end-to-end: the
+    oracle matches bit-for-bit, no float policy needed.
+    """
+    sketch = cms_cells(docs, text_col)
+    words = (
+        docs.select(F.explode(_norm_words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cand = exact.select(
+        "word",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("row_id"),
+    ).select(
+        "word",
+        "exact_cnt",
+        "row_id",
+        _md5_int(
+            F.concat(F.col("row_id").cast("string"), F.lit("|"), F.col("word")), 2
+        ).cast("int").alias("col_id"),
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["row_id", "col_id"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_cnt"))
+    )
+    return est.where(F.col("cms_cnt") >= threshold).select(
+        "word", "exact_cnt", "cms_cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership audit
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def bloom_bits(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """Distinct set bits of the m=4096, k=3 Bloom filter over keys:
+    bit_i = first-2-md5-bytes('i|key') % m. ≤ m rows regardless of
+    input size — the relational form of the crawler's per-partition
+    URL-seen bitset (crab_spark/bloom.py builds the same thing as a
+    packed numpy array; this form is what a membership JOIN sees)."""
+    hashed = keys.select(
+        F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i"),
+        F.col(key_col).alias("key"),
+    ).select(
+        (
+            _md5_int(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("key")), 4)
+            % _BLOOM_M
+        ).cast("int").alias("bit")
+    )
+    return hashed.distinct()
+
+
+def bloom_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """One-row false-positive audit of the Bloom set: build the bitset
+    from ``build`` keys, probe with DISJOINT ``probe`` keys (caller
+    guarantees disjointness, so every positive is a false positive):
+    (n_build, n_probe, n_false_pos, fp_rate).
+
+    A probe is positive iff all k of its bits are set — counted by
+    broadcasting the ≤4096-row bitset to the probes' exploded bits and
+    requiring k hits. This is the exact shape of the frontier's
+    register() prefilter (crab_spark/frontier.py): Bloom-positive URLs
+    continue to the authoritative anti-join, negatives are dropped
+    early; fp_rate is the fraction of that wasted second look.
+    """
+    bits = bloom_bits(build, key_col)
+    probe_bits = probe.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i"),
+    ).select(
+        "key",
+        (
+            _md5_int(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("key")), 4)
+            % _BLOOM_M
+        ).cast("int").alias("bit"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .where(F.col("n_set") == _BLOOM_K)
+    )
+    n_build = build.select(F.count(F.lit(1)).alias("n_build"))
+    n_probe = probe.select(F.count(F.lit(1)).alias("n_probe"))
+    n_fp = hits.select(F.count(F.lit(1)).alias("n_false_pos"))
+    return (
+        n_build.crossJoin(n_probe)
+        .crossJoin(n_fp)
+        .select(
+            "n_build",
+            "n_probe",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos").cast("double") / F.col("n_probe"), 6
+            ).alias("fp_rate"),
+        )
+    )

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from .operators import decontam as DC
 from .operators import dedup as D
+from .operators import graph as G
 from .operators import multimodal as M
 from .operators import packing as P
 from .operators import pipeline as PL
@@ -39,6 +40,7 @@ from .operators import relational as R
 from .operators import sampling as SA
 from .operators import scrub as SC
 from .operators import similarity as S
+from .operators import sketches as SK
 from .operators import text as X
 
 
@@ -1224,6 +1226,103 @@ def q89_dsir_importance(spark, sf):
     return X.dsir_importance(docs, target, n_buckets=_Q89_B, alpha=_Q89_A)
 
 
+def q90_hll_distinct(spark, sf):
+    """Deterministic HyperLogLog (p=6) distinct-word estimate per
+    source, audited against the exact distinct: the sketch path is the
+    100 TB shape (registers shuffle, tokens don't); the exact column
+    exists ONLY as the in-query error audit. md5-hashed registers make
+    the estimate engine-portable — Spark's approx_count_distinct is
+    seed-opaque and un-oracle-able (operators/sketches.py)."""
+    docs = t(spark, sf, "documents")
+    est = SK.hll_distinct(docs)
+    exact = (
+        docs.select(
+            F.col("source"),
+            F.explode(SK._norm_words(F.col("text"))).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("source")
+        .agg(F.countDistinct("word").alias("exact_distinct"))
+    )
+    # null-safe join: a NULL-source group must survive (playbook rule),
+    # and both relations produce exactly one row per source value
+    return est.join(
+        exact, est["source"].eqNullSafe(exact["source"])
+    ).select(
+        est["source"].alias("source"),
+        "exact_distinct",
+        "est_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+_Q91_HOSTS, _Q91_ITERS = 64, 4
+
+
+def q91_pagerank_hosts(spark, sf):
+    """Fixed-point integer PageRank over the deterministic host graph:
+    the crawl-prioritization centrality (CommonCrawl host ranks; feeds
+    the priority frontier, crab_spark/frontier.py). Integer micro-unit
+    ranks are addition-order-independent — bit-exact parity with no
+    float policy (operators/graph.py)."""
+    edges = G.host_edges(t(spark, sf, "documents"), n_hosts=_Q91_HOSTS)
+    return G.pagerank_fixed(spark, edges, n_hosts=_Q91_HOSTS, iters=_Q91_ITERS)
+
+
+def q92_media_phash_pairs(spark, sf):
+    """Near-duplicate media assets via banded Hamming join over the
+    48-bit payload-phash (4×12-bit bands, capped buckets) — image-dedup
+    analogue of SimHash text dedup; the hash is the FakeDecoder md5
+    stub, the banding/verify machinery is the deliverable
+    (operators/multimodal.py media_phash_pairs). The synthetic corpus
+    has no byte-identical payloads, so ~1/16 of assets (md5-coin, the
+    q82 planting convention) get a 'dup:' clone — the oracle plants
+    identically and the pair rows are non-vacuous at every SF."""
+    media = M.media_from_documents(t(spark, sf, "documents"))
+    coin = (
+        F.substring(F.md5(F.concat(F.lit("q92"), F.col("doc_id"))), 1, 1)
+        == "0"
+    )
+    clones = media.where(coin).withColumn(
+        "media_id", F.concat(F.lit("dup:"), F.col("doc_id"))
+    )
+    return M.media_phash_pairs(
+        media.unionByName(clones), max_hamming=3, max_bucket=200
+    )
+
+
+_Q93_T = 60
+
+
+def q93_cms_heavy_hitters(spark, sf):
+    """Count-min-sketch (4×256) heavy hitters at threshold ≥60 with
+    the exact count as overcount audit — integer-exact end to end;
+    the sketch is 1,024 combinable cells broadcast to the candidate
+    vocabulary (operators/sketches.py)."""
+    return SK.cms_heavy_hitters(t(spark, sf, "documents"), _Q93_T)
+
+
+def q94_bloom_audit(spark, sf):
+    """False-positive audit of the md5 Bloom filter (m=4096, k=3) that
+    models the frontier's URL-seen prefilter (north_rule;
+    crab_spark/bloom.py sidecars): build from even doc_ids, probe the
+    disjoint odd ids, count bloom-positives = wasted authoritative
+    lookups. One-row summary, integer counts + round(6) rate."""
+    docs = t(spark, sf, "documents")
+    key = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    build = docs.where(F.col("doc_id") % 2 == 0).select(key.alias("key"))
+    probe = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select(key.alias("key"))
+        .distinct()
+    )
+    return SK.bloom_audit(build, probe)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1277,6 +1376,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+def _hexbytes_be(h: str, n: int) -> str:
+    """DuckDB expression for the big-endian integer of the first ``n``
+    bytes of hex digest ``h`` — the number Spark's
+    ``conv(substr(h, 1, 2n), 16, 10)`` reads. BIGINT-cast per term so
+    byte×2^40 never overflows INTEGER."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST({_hexbyte(h, i)} AS BIGINT) * {256 ** (n - 1 - i)}"
+            if i < n - 1
+            else f"CAST({_hexbyte(h, i)} AS BIGINT)"
+            for i in range(n)
+        )
+        + ")"
+    )
 
 
 def _hexbyte(h: str, i: int) -> str:
@@ -2940,3 +3056,172 @@ ORACLE_SQL["q89_dsir_importance"] = (
     .replace("{a}", repr(_Q89_A))
     .replace("{ab}", repr(_Q89_A * _Q89_B))
 )
+
+
+# q90: the HLL register math replayed byte-for-byte — h32 = first 4
+# md5 bytes big-endian (Spark conv), bucket = low 6 bits, rho via
+# minimal-binary length (both engines' bin()), dyadic 2^-M sums exact
+# in double, alpha pinned as one string→double literal, ln verified
+# identical over its whole 64-value domain
+ORACLE_SQL["q90_hll_distinct"] = f"""
+    WITH w AS (SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+               FROM documents),
+    wf AS (SELECT source, word, md5(word) AS hh FROM w WHERE word <> ''),
+    hv AS (SELECT source, {_hexbytes_be('hh', 4)} AS h32 FROM wf),
+    rb AS (SELECT source, CAST(h32 % 64 AS INT) AS bucket, h32 // 64 AS v
+           FROM hv),
+    rr AS (SELECT source, bucket,
+                  CASE WHEN v > 0 THEN 27 - length(bin(v)) ELSE 27 END AS rho
+           FROM rb),
+    regs AS (SELECT source, bucket, max(rho) AS m FROM rr
+             GROUP BY source, bucket),
+    pg AS (SELECT source,
+                  sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m)) AS sp,
+                  count(*) AS np
+           FROM regs GROUP BY source),
+    est AS (SELECT source,
+                   CAST('0.7093409548395029' AS DOUBLE) * 4096
+                     / (sp + (64 - np)) AS raw,
+                   64 - np AS z
+            FROM pg),
+    fin AS (SELECT source,
+                   round(CASE WHEN raw <= 160.0 AND z > 0
+                              THEN 64 * ln(CAST(64 AS DOUBLE) / z)
+                              ELSE raw END, 4) AS est_distinct
+            FROM est),
+    ex AS (SELECT source, count(DISTINCT word) AS exact_distinct
+           FROM wf GROUP BY source)
+    SELECT ex.source, CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           fin.est_distinct,
+           round(abs(fin.est_distinct - ex.exact_distinct)
+                 / ex.exact_distinct, 4) AS rel_err
+    FROM fin JOIN ex ON fin.source IS NOT DISTINCT FROM ex.source"""
+
+
+# q91: the identical fixed-point integer PageRank, one CTE pair per
+# iteration (DuckDB's recursive CTEs disallow aggregates over the
+# recursive reference, so the fixed iteration count unrolls) — every
+# step is staged integer floor-division, bit-exact, no float policy
+def _pagerank_oracle(n_hosts: int, iters: int, scale: int) -> str:
+    tele = (15 * scale) // 100 // n_hosts
+    init = scale // n_hosts
+    src = f"CAST({_hexbyte('hh', 0)} % {n_hosts} AS INT)"
+    dst = f"CAST({_hexbyte('dd', 0)} % {n_hosts} AS INT)"
+    parts = [
+        """m AS (SELECT md5('h|' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS hh,
+                        md5('d|' || COALESCE(lower(text), '')) AS dd
+                 FROM documents)""",
+        f"edges AS (SELECT {src} AS src, {dst} AS dst, count(*) AS w FROM m GROUP BY 1, 2)",
+        "outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, e.w, o.w_out FROM edges e JOIN outw o USING (src))",
+        f"hosts AS (SELECT CAST(range AS INT) AS host FROM range({n_hosts}))",
+        f"r0 AS (SELECT host, CAST({init} AS BIGINT) AS r FROM hosts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"d{k} AS (SELECT ((85 * COALESCE((SELECT sum(r) FROM r{k} "
+            f"WHERE host NOT IN (SELECT src FROM edges)), 0)) // 100) "
+            f"// {n_hosts} AS dang)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS host, "
+            f"sum(((85 * r.r) // 100) * e.w // e.w_out) AS c "
+            f"FROM r{k} r JOIN ew e ON r.host = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT h.host, CAST({tele} + "
+            f"(SELECT dang FROM d{k}) + COALESCE(c.c, 0) AS BIGINT) AS r "
+            f"FROM hosts h LEFT JOIN c{k} c ON h.host = c.host)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"\n    SELECT host, r AS rank_fp FROM r{iters}"
+    )
+
+
+ORACLE_SQL["q91_pagerank_hosts"] = _pagerank_oracle(
+    _Q91_HOSTS, _Q91_ITERS, G.PR_SCALE
+)
+
+
+# q92: payload md5 = md5 of the utf-8 text (the q41/q42 'ph'
+# convention), 48-bit big-endian phash, the q26 QUALIFY bucket-cap
+# mirror, intra-kind banded pairs
+ORACLE_SQL["q92_media_phash_pairs"] = f"""
+    WITH m0 AS (SELECT md5(COALESCE(CAST(doc_id AS VARCHAR), '')) AS kh,
+                       md5(coalesce(text, '')) AS ph,
+                       COALESCE(CAST(doc_id AS VARCHAR), '') AS did
+                FROM documents),
+    rows0 AS (SELECT 'm:' || did AS media_id,
+                     ['image','audio','video'][({_hexbyte('kh', 0)} % 3) + 1]
+                       AS kind,
+                     {_hexbytes_be('ph', 6)} AS phash,
+                     did
+              FROM m0),
+    clones AS (SELECT 'dup:' || did AS media_id, kind, phash FROM rows0
+               WHERE substr(md5('q92' || did), 1, 1) = '0'),
+    sigs AS (SELECT DISTINCT media_id, kind, phash FROM
+             (SELECT media_id, kind, phash FROM rows0
+              UNION ALL SELECT media_id, kind, phash FROM clones)),
+    bands AS (SELECT media_id, kind, phash, b.range AS band_idx,
+                     (phash >> (b.range * 12)) & 4095 AS band_key
+              FROM sigs, range(4) b
+              QUALIFY count(*) OVER (PARTITION BY kind, b.range,
+                      (phash >> (b.range * 12)) & 4095) <= 200)
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.kind AS kind,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.kind = b.kind AND a.band_idx = b.band_idx
+     AND a.band_key = b.band_key AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+
+
+# q93: the 4x256 count-min sketch replayed — cell = first md5 byte of
+# 'row|word', integer sums/mins end to end
+ORACLE_SQL["q93_cms_heavy_hitters"] = f"""
+    WITH w AS (SELECT unnest(string_split({_NORM}, ' ')) AS word
+               FROM documents),
+    wf AS (SELECT word FROM w WHERE word <> ''),
+    ck AS (SELECT j.range AS row_id, word,
+                  md5(CAST(j.range AS VARCHAR) || '|' || word) AS ch
+           FROM wf CROSS JOIN range(4) j),
+    cells AS (SELECT row_id, {_hexbyte('ch', 0)} AS col_id, count(*) AS cnt
+              FROM ck GROUP BY 1, 2),
+    exact AS (SELECT word, count(*) AS exact_cnt FROM wf GROUP BY word),
+    cand AS (SELECT word, exact_cnt, j.range AS row_id,
+                    md5(CAST(j.range AS VARCHAR) || '|' || word) AS ch
+             FROM exact CROSS JOIN range(4) j),
+    candk AS (SELECT word, exact_cnt, row_id, {_hexbyte('ch', 0)} AS col_id
+              FROM cand),
+    est AS (SELECT word, exact_cnt, min(cnt) AS cms_cnt
+            FROM candk JOIN cells USING (row_id, col_id)
+            GROUP BY word, exact_cnt)
+    SELECT word, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_cnt AS BIGINT) AS cms_cnt
+    FROM est WHERE cms_cnt >= {_Q93_T}"""
+
+
+# q94: the Bloom bitset replayed — bit_i = first-2-md5-bytes of
+# 'i|key' mod 4096, positive = all 3 bits set; probes are disjoint
+# from the build set so every positive is a false positive
+ORACLE_SQL["q94_bloom_audit"] = f"""
+    WITH b AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS key
+               FROM documents WHERE doc_id % 2 = 0),
+    p AS (SELECT DISTINCT 'doc://' || CAST(doc_id AS VARCHAR) AS key
+          FROM documents WHERE doc_id % 2 = 1),
+    bh AS (SELECT md5(CAST(i.range AS VARCHAR) || '|' || key) AS hh
+           FROM b CROSS JOIN range(3) i),
+    bbits AS (SELECT DISTINCT CAST(
+                ({_hexbyte('hh', 0)} * 256 + {_hexbyte('hh', 1)}) % 4096
+              AS INT) AS bit FROM bh),
+    ph AS (SELECT key, md5(CAST(i.range AS VARCHAR) || '|' || key) AS hh
+           FROM p CROSS JOIN range(3) i),
+    pbits AS (SELECT key, CAST(
+                ({_hexbyte('hh', 0)} * 256 + {_hexbyte('hh', 1)}) % 4096
+              AS INT) AS bit FROM ph),
+    pos AS (SELECT key FROM pbits JOIN bbits USING (bit)
+            GROUP BY key HAVING count(*) = 3)
+    SELECT (SELECT count(*) FROM b) AS n_build,
+           (SELECT count(*) FROM p) AS n_probe,
+           (SELECT count(*) FROM pos) AS n_false_pos,
+           round(CAST((SELECT count(*) FROM pos) AS DOUBLE)
+                 / (SELECT count(*) FROM p), 6) AS fp_rate"""

@@ -1,0 +1,235 @@
+"""Value + plan tests for the deterministic-sketch operators
+(operators/sketches.py), fixed-point PageRank (operators/graph.py) and
+media phash near-dup (operators/multimodal.py) — the parity suite
+(test_oracle_parity) covers engine↔DuckDB agreement; this module pins
+the sketch/graph SEMANTICS (accuracy bounds, merge idempotence, no
+false negatives, mass conservation, exact Python mirror) and the scale
+contracts (broadcast sketch, no cartesian)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from crab_spark.operators import graph as G
+from crab_spark.operators import multimodal as M
+from crab_spark.operators import sketches as SK
+from crab_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+
+@pytest.fixture(scope="module")
+def vocab_docs(spark):
+    """40 docs over a known 1,000-word vocabulary, every word used at
+    least once, word 'hot' planted 120 times."""
+    rows = []
+    vocab = [f"w{i:04d}" for i in range(1000)]
+    for d in range(40):
+        words = vocab[d * 25:(d + 1) * 25] + ["hot"] * 3
+        rows.append((d, " ".join(words), "s1" if d % 2 else "s2"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_register_bounds(spark, vocab_docs):
+    regs = SK.hll_registers(vocab_docs).collect()
+    assert regs
+    for r in regs:
+        assert 0 <= r.bucket < 64
+        assert 1 <= r.max_rho <= 27
+
+
+def test_hll_estimate_within_expected_error(spark, vocab_docs):
+    # corpus-wide: 1001 distinct words; HLL(p=6) standard error is
+    # 1.04/sqrt(64) = 13% — assert a generous 3-sigma band
+    est = SK.hll_distinct(
+        vocab_docs.withColumn("source", F.lit("all"))
+    ).collect()[0]
+    assert est.est_distinct == pytest.approx(1001, rel=0.4)
+
+
+def test_hll_duplication_invariant(spark, vocab_docs):
+    """The sketch property that makes it a sketch: feeding every word
+    twice (union the corpus with itself) changes NO register, so the
+    estimate is identical — duplicates are free, which is why the
+    shuffle carries registers instead of a distinct over tokens."""
+    once = SK.hll_distinct(vocab_docs).collect()
+    twice = SK.hll_distinct(vocab_docs.unionByName(vocab_docs)).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts(spark, vocab_docs):
+    """CMS structural guarantee: the estimate is an upper bound on the
+    exact count for EVERY word (threshold 0 returns the whole vocab)."""
+    out = SK.cms_heavy_hitters(vocab_docs, threshold=0).collect()
+    assert len(out) == 1001
+    assert all(r.cms_cnt >= r.exact_cnt for r in out)
+
+
+def test_cms_heavy_hitter_found_and_thresholded(spark, vocab_docs):
+    out = {r.word: r for r in SK.cms_heavy_hitters(vocab_docs, 100).collect()}
+    assert "hot" in out and out["hot"].exact_cnt == 120
+    # singleton words (exact 1) can only appear via collisions INTO a
+    # heavy cell; their exact count must expose the overcount
+    for r in out.values():
+        if r.word != "hot":
+            assert r.cms_cnt >= 100 > r.exact_cnt
+
+
+def test_cms_sketch_is_broadcast(spark, vocab_docs):
+    hh = SK.cms_heavy_hitters(vocab_docs, 100)
+    assert_broadcast_join(hh)
+    assert_no_cartesian(hh)
+
+
+# ---------------------------------------------------------------------------
+# Bloom audit
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    build = spark.createDataFrame(
+        [(f"url://a/{i}",) for i in range(250)], ["key"]
+    )
+    probe = spark.createDataFrame(
+        [(f"url://b/{i}",) for i in range(400)], ["key"]
+    )
+    return build, probe
+
+
+def test_bloom_no_false_negatives(spark, keys):
+    """Probing the build set itself: every key must be positive (the
+    Bloom guarantee the frontier prefilter relies on — a false
+    negative would silently re-register a seen URL)."""
+    build, _ = keys
+    row = SK.bloom_audit(build, build).collect()[0]
+    assert row.n_false_pos == row.n_probe == row.n_build == 250
+
+
+def test_bloom_fp_rate_small_on_disjoint_probes(spark, keys):
+    build, probe = keys
+    row = SK.bloom_audit(build, probe).collect()[0]
+    # theory: (1 - e^(-k·n/m))^k ≈ 0.5% at n=250, m=4096, k=3
+    assert row.n_build == 250 and row.n_probe == 400
+    assert row.fp_rate < 0.05
+    assert row.fp_rate == pytest.approx(row.n_false_pos / 400, abs=1e-6)
+
+
+def test_bloom_bitset_is_broadcast(spark, keys):
+    build, probe = keys
+    assert_broadcast_join(SK.bloom_audit(build, probe))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+
+def _python_pagerank(edges, n_hosts, iters):
+    """Bit-exact mirror of pagerank_fixed: staged integer floor
+    division, same order of operations."""
+    from collections import defaultdict
+
+    w_out = defaultdict(int)
+    for s, _, w in edges:
+        w_out[s] += w
+    r = {h: G.PR_SCALE // n_hosts for h in range(n_hosts)}
+    tele = (15 * G.PR_SCALE) // 100 // n_hosts
+    for _ in range(iters):
+        dang = sum(r[h] for h in range(n_hosts) if h not in w_out)
+        dang_share = ((85 * dang) // 100) // n_hosts
+        c_in = defaultdict(int)
+        for s, d, w in edges:
+            c_in[d] += ((85 * r[s]) // 100) * w // w_out[s]
+        r = {h: tele + dang_share + c_in[h] for h in range(n_hosts)}
+    return r
+
+
+def test_pagerank_matches_python_mirror_exactly(spark, vocab_docs):
+    edges_df = G.host_edges(vocab_docs, n_hosts=16)
+    edges = [(r.src, r.dst, r.w) for r in edges_df.collect()]
+    out = G.pagerank_fixed(spark, edges_df, n_hosts=16, iters=4)
+    got = {r.host: r.rank_fp for r in out.collect()}
+    out.df_ordered_cache.unpersist()
+    want = _python_pagerank(edges, 16, 4)
+    assert got == want
+
+
+def test_pagerank_mass_conserved_and_dangling_handled(spark):
+    # hosts 0..3; host 3 has NO out-edges (dangling) — its mass must
+    # redistribute, not vanish beyond floor dust
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 1), (2, 3, 1), (2, 0, 3)], ["src", "dst", "w"]
+    )
+    out = G.pagerank_fixed(spark, edges, n_hosts=4, iters=4)
+    ranks = {r.host: r.rank_fp for r in out.collect()}
+    out.df_ordered_cache.unpersist()
+    total = sum(ranks.values())
+    assert G.PR_SCALE - 10**6 <= total <= G.PR_SCALE
+    # host 3 only RECEIVES (from 2) — still ranked, and host 0 (fed by
+    # the heaviest edge) outranks the teleport floor
+    tele = (15 * G.PR_SCALE) // 100 // 4
+    assert all(v >= tele for v in ranks.values())
+
+
+def test_pagerank_uniform_on_symmetric_graph(spark):
+    # complete 4-host digraph with equal weights: uniform rank is the
+    # fixed point, so every iteration must preserve equality
+    edges = spark.createDataFrame(
+        [(s, d, 1) for s in range(4) for d in range(4)], ["src", "dst", "w"]
+    )
+    out = G.pagerank_fixed(spark, edges, n_hosts=4, iters=3)
+    ranks = [r.rank_fp for r in out.collect()]
+    out.df_ordered_cache.unpersist()
+    assert len(set(ranks)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Media phash near-dup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("m:1", "1", "image", b"payload-one", "application/octet-stream", 11),
+        ("m:2", "2", "image", b"payload-one", "application/octet-stream", 11),
+        ("m:3", "3", "audio", b"payload-one", "application/octet-stream", 11),
+        ("m:4", "4", "image", b"payload-two", "application/octet-stream", 11),
+    ]
+    return spark.createDataFrame(
+        rows, ["media_id", "doc_id", "kind", "payload", "mime", "n_bytes"]
+    )
+
+
+def test_phash_matches_payload_md5_prefix(spark, media):
+    sig = {r.media_id: r.phash48 for r in M.media_phash(media).collect()}
+    want = int(hashlib.md5(b"payload-one").hexdigest()[:12], 16)
+    assert sig["m:1"] == sig["m:2"] == want
+
+
+def test_phash_pairs_planted_and_intra_kind(spark, media):
+    pairs = M.media_phash_pairs(media).collect()
+    got = {(r.id_a, r.id_b): (r.kind, r.hamming) for r in pairs}
+    # identical payload, same kind → hamming-0 pair
+    assert got == {("m:1", "m:2"): ("image", 0)}
+    # m:3 shares the payload but is audio — never paired across kinds
+
+
+def test_phash_bucket_cap_drops_and_reports(spark, media):
+    out = M.media_phash_pairs(media, max_bucket=1)
+    assert out.count() == 0  # the duplicate bucket (size 2) was dropped
+    dropped = out.dropped_buckets.collect()
+    assert dropped and all(d.n == 2 for d in dropped)
+    assert_no_cartesian(out)
