@@ -73,39 +73,46 @@ def hll_registers(
     text_col: str = "text",
     group_col: str = "source",
 ) -> DataFrame:
-    """Per-group HLL register table: (group, bucket, max_rho).
-
-    h32 = first 4 md5 bytes of the word; bucket = h32 % 64 (low 6
-    bits); the remaining 26-bit value's leading-zero rank rho =
-    27 - bitlength — computed exactly via ``length(bin(v))`` (both
-    engines print minimal binary). max() is the HLL register merge:
-    idempotent + commutative, so Spark's partial aggregation IS the
-    sketch union and duplicate words cost nothing.
-    """
-    h32 = _md5_int(F.col("word"), 8)
-    v = F.expr("h32 div 64")
+    """Per-group HLL register table over WORDS: (grp, bucket,
+    max_rho). max() is the HLL register merge: idempotent +
+    commutative, so Spark's partial aggregation IS the sketch union
+    and duplicate words cost nothing."""
     words = (
         docs.select(
             F.col(group_col).alias("grp"),
             F.explode(_norm_words(F.col(text_col))).alias("word"),
         )
         .where(F.col("word") != "")
-        .select("grp", h32.alias("h32"))
-        .select(
-            "grp",
-            (F.col("h32") % 64).cast("int").alias("bucket"),
-            v.alias("v"),
-        )
-        .select(
-            "grp",
-            "bucket",
-            F.when(F.col("v") > 0, 27 - F.length(F.bin(F.col("v"))))
-            .otherwise(F.lit(27))
-            .cast("int")
-            .alias("rho"),
-        )
     )
-    return words.groupBy("grp", "bucket").agg(F.max("rho").alias("max_rho"))
+    return registers_over(words, F.col("word"), ["grp"])
+
+
+def registers_over(
+    df: DataFrame, key: Column, group_cols: list[str]
+) -> DataFrame:
+    """HLL register table for arbitrary keys: (group_cols..., bucket,
+    max_rho). The register coordinates are pure codegen (md5 → conv →
+    bin-length), and the merge is a map-combinable max — which also
+    makes this directly usable as a STREAMING stateful aggregate (the
+    registers are the state; see streaming/windows.py)."""
+    h32 = _md5_int(key, 8)
+    keyed = df.select(
+        *group_cols, (h32 % 64).cast("int").alias("bucket"), (h32).alias("_h32")
+    ).select(
+        *group_cols,
+        "bucket",
+        F.expr("_h32 div 64").alias("v"),
+    ).select(
+        *group_cols,
+        "bucket",
+        F.when(F.col("v") > 0, 27 - F.length(F.bin(F.col("v"))))
+        .otherwise(F.lit(27))
+        .cast("int")
+        .alias("rho"),
+    )
+    return keyed.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("max_rho")
+    )
 
 
 def hll_distinct(
@@ -113,16 +120,23 @@ def hll_distinct(
     text_col: str = "text",
     group_col: str = "source",
 ) -> DataFrame:
-    """Per-group HLL distinct-word estimate: (group_col, est_distinct).
+    """Per-group HLL distinct-word estimate: (group_col, est_distinct)."""
+    regs = hll_registers(docs, text_col, group_col)
+    return hll_estimate(regs, ["grp"]).withColumnRenamed("grp", group_col)
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finalize a register table into (group_cols..., est_distinct).
 
     Harmonic mean over 64 registers; empty registers contribute
     2^0 = 1. All 2^-M terms are dyadic rationals whose double sum is
     EXACT (exponents ≤ 27, 64 terms — well inside the 53-bit
     mantissa), so the only roundings are the final division and the
     small-range ``ln`` correction, both deterministic and round(4)ed.
+    Stateless given the registers — in a streaming pipeline this is
+    the read-side view over the stateful register store.
     """
-    regs = hll_registers(docs, text_col, group_col)
-    per_group = regs.groupBy("grp").agg(
+    per_group = regs.groupBy(*group_cols).agg(
         # 2^-M as an exact dyadic double; shiftleft via expr — the
         # PySpark wrapper only takes a literal bit count
         F.sum(F.expr("cast(1.0 as double) / shiftleft(cast(1 as bigint), max_rho)")).alias(
@@ -141,8 +155,86 @@ def hll_distinct(
         F.lit(64.0) * F.log(F.lit(64.0) / z.cast("double")),
     ).otherwise(raw)
     return per_group.select(
-        F.col("grp").alias(group_col),
+        *group_cols,
         F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def _hll_est_col(s: Column, z: Column) -> Column:
+    """round(4) HLL estimate from harmonic sum ``s`` (over all 64
+    registers, empty = 2^0) and zero-register count ``z``."""
+    raw = F.lit(float(_HLL_ALPHA_M64)) * F.lit(4096.0) / s
+    return F.round(
+        F.when(
+            (raw <= F.lit(160.0)) & (z > 0),
+            F.lit(64.0) * F.log(F.lit(64.0) / z.cast("double")),
+        ).otherwise(raw),
+        4,
+    )
+
+
+def hll_pair_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise source-overlap estimates from HLL register ALGEBRA —
+    no value-level join anywhere: (src_a, src_b, est_a, est_b,
+    est_union, est_intersect).
+
+    Register max IS sketch union, so |A∪B| comes from zipping two
+    64-register rows with greatest(), and |A∩B| by inclusion-
+    exclusion. After the single corpus pass that builds the sparse
+    registers, the whole |S|×|S| overlap matrix costs O(|S|²·64) rows
+    — this is why sketches, not distincts, answer "how much do my
+    sources overlap?" at 100 TB (a value join would shuffle every
+    distinct word |S| times). est_intersect can go slightly negative
+    — honest sketch noise, reported unclamped. NULL-source docs are
+    excluded (a pair ordering over NULL is meaningless); groups keep
+    the word-token convention of q90.
+    """
+    spark = docs.sparkSession
+    regs = hll_registers(docs, text_col, group_col)
+    srcs = regs.select("grp").where(F.col("grp").isNotNull()).distinct()
+    buckets = spark.range(64).select(F.col("id").cast("int").alias("bucket"))
+    dense = (
+        srcs.crossJoin(buckets)
+        .join(regs, ["grp", "bucket"], "left")
+        .select(
+            "grp", "bucket", F.coalesce("max_rho", F.lit(0)).alias("rho")
+        )
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    two = "cast(1.0 as double) / shiftleft(cast(1 as bigint), {})"
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.grp") < F.col("b.grp")),
+    ).select(
+        F.col("a.grp").alias("src_a"),
+        F.col("b.grp").alias("src_b"),
+        F.col("a.rho").alias("ra"),
+        F.col("b.rho").alias("rb"),
+        F.greatest(F.col("a.rho"), F.col("b.rho")).alias("ru"),
+    )
+    agg = pairs.groupBy("src_a", "src_b").agg(
+        F.sum(F.expr(two.format("ra"))).alias("sa"),
+        F.sum(F.when(F.col("ra") == 0, 1).otherwise(0)).alias("za"),
+        F.sum(F.expr(two.format("rb"))).alias("sb"),
+        F.sum(F.when(F.col("rb") == 0, 1).otherwise(0)).alias("zb"),
+        F.sum(F.expr(two.format("ru"))).alias("su"),
+        F.sum(F.when(F.col("ru") == 0, 1).otherwise(0)).alias("zu"),
+    )
+    est_a = _hll_est_col(F.col("sa"), F.col("za"))
+    est_b = _hll_est_col(F.col("sb"), F.col("zb"))
+    est_u = _hll_est_col(F.col("su"), F.col("zu"))
+    return agg.select(
+        "src_a",
+        "src_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        F.round(est_a + est_b - est_u, 4).alias("est_intersect"),
     )
 
 

@@ -40,6 +40,11 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
             ).astype(str)
         elif np.issubdtype(pdf[c].dtype, np.floating):
             pdf[c] = pdf[c].round(6)
+        elif np.issubdtype(pdf[c].dtype, np.datetime64):
+            # Spark hands back datetime64[ns], DuckDB datetime64[us]:
+            # same instants, unequal dtypes — .equals() would fall to
+            # the weaker per-column str path for every window query
+            pdf[c] = pdf[c].astype("datetime64[us]")
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 

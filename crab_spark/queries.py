@@ -1323,6 +1323,97 @@ def q94_bloom_audit(spark, sf):
     return SK.bloom_audit(build, probe)
 
 
+def q95_hll_windowed(spark, sf):
+    """Windowed distinct-user HLL over events — the batch dual of the
+    streaming register pipeline (streaming/windows.py
+    windowed_hll_registers, where the 64 registers per window are the
+    stateful-agg state and this estimate is the stateless read-side
+    view). Exact countDistinct rides along as the error audit, as in
+    q90."""
+    keyed = t(spark, sf, "events").select(
+        F.window("ts", "1 hour").getField("start").alias("win_start"),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("")).alias("k"),
+    )
+    regs = SK.registers_over(keyed, F.col("k"), ["win_start"])
+    est = SK.hll_estimate(regs, ["win_start"])
+    exact = keyed.groupBy(
+        F.col("win_start").alias("_ws")
+    ).agg(F.countDistinct("k").alias("exact_distinct"))
+    return est.join(
+        exact, est["win_start"].eqNullSafe(exact["_ws"])
+    ).select(
+        "win_start",
+        "exact_distinct",
+        "est_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+_Q96_TOPK = 5
+
+
+def q96_skew_report(spark, sf):
+    """Hot-key diagnostics — the report you run BEFORE a 100 TB job to
+    find the keys that will melt a shuffle: top-5 heaviest values per
+    skew-relevant dimension (source, lang, content hash, host bucket,
+    length bucket) with corpus share. Each dimension is one
+    map-combinable agg + a distributed TakeOrdered LIMIT — never a
+    single-partition window over the distinct-key stream (the content
+    dimension alone has |corpus| keys). NULL keys take the q46
+    coalesce-'' convention."""
+    docs = t(spark, sf, "documents")
+    did = F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+    dims = [
+        ("source", F.coalesce(F.col("source"), F.lit(""))),
+        ("lang", F.coalesce(F.col("lang"), F.lit(""))),
+        ("content_md5", F.md5(F.coalesce(F.col("text"), F.lit("")))),
+        (
+            "host_bucket",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("h|"), did)), 1, 2), 16, 10
+                ).cast("int")
+                % 64
+            ).cast("string"),
+        ),
+        (
+            "len_bucket",
+            F.expr("coalesce(n_chars, 0) div 256").cast("string"),
+        ),
+    ]
+    out = None
+    for name, key in dims:
+        part = (
+            docs.select(key.alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("key"))
+            .limit(_Q96_TOPK)
+            .select(F.lit(name).alias("dimension"), "key", "n")
+        )
+        out = part if out is None else out.unionByName(part)
+    tot = docs.agg(F.count(F.lit(1)).alias("_t"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "dimension",
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 6).alias("pct"),
+    )
+
+
+def q97_hll_overlap(spark, sf):
+    """Pairwise source vocabulary overlap from HLL register algebra —
+    union via register max, intersection by inclusion-exclusion; the
+    whole |S|² matrix costs O(|S|²·64) rows after ONE corpus pass,
+    where a value-level overlap join would reshuffle every distinct
+    word per pair (operators/sketches.py hll_pair_overlap)."""
+    return SK.hll_pair_overlap(t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3058,44 +3149,57 @@ ORACLE_SQL["q89_dsir_importance"] = (
 )
 
 
-# q90: the HLL register math replayed byte-for-byte — h32 = first 4
-# md5 bytes big-endian (Spark conv), bucket = low 6 bits, rho via
+# The HLL register math replayed byte-for-byte — h32 = first 4 md5
+# bytes big-endian (Spark conv), bucket = low 6 bits, rho via
 # minimal-binary length (both engines' bin()), dyadic 2^-M sums exact
 # in double, alpha pinned as one string→double literal, ln verified
-# identical over its whole 64-value domain
-ORACLE_SQL["q90_hll_distinct"] = f"""
-    WITH w AS (SELECT source, unnest(string_split({_NORM}, ' ')) AS word
-               FROM documents),
-    wf AS (SELECT source, word, md5(word) AS hh FROM w WHERE word <> ''),
-    hv AS (SELECT source, {_hexbytes_be('hh', 4)} AS h32 FROM wf),
-    rb AS (SELECT source, CAST(h32 % 64 AS INT) AS bucket, h32 // 64 AS v
+# identical over its whole 64-value domain. ``src`` must expose
+# (g, k): group value and key string.
+def _hll_oracle(src_cte: str, g_alias: str) -> str:
+    return f"""{src_cte},
+    h AS (SELECT g, md5(k) AS hh FROM src),
+    hv AS (SELECT g, {_hexbytes_be('hh', 4)} AS h32 FROM h),
+    rb AS (SELECT g, CAST(h32 % 64 AS INT) AS bucket, h32 // 64 AS v
            FROM hv),
-    rr AS (SELECT source, bucket,
+    rr AS (SELECT g, bucket,
                   CASE WHEN v > 0 THEN 27 - length(bin(v)) ELSE 27 END AS rho
            FROM rb),
-    regs AS (SELECT source, bucket, max(rho) AS m FROM rr
-             GROUP BY source, bucket),
-    pg AS (SELECT source,
+    regs AS (SELECT g, bucket, max(rho) AS m FROM rr GROUP BY g, bucket),
+    pg AS (SELECT g,
                   sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m)) AS sp,
                   count(*) AS np
-           FROM regs GROUP BY source),
-    est AS (SELECT source,
+           FROM regs GROUP BY g),
+    est AS (SELECT g,
                    CAST('0.7093409548395029' AS DOUBLE) * 4096
                      / (sp + (64 - np)) AS raw,
                    64 - np AS z
             FROM pg),
-    fin AS (SELECT source,
+    fin AS (SELECT g,
                    round(CASE WHEN raw <= 160.0 AND z > 0
                               THEN 64 * ln(CAST(64 AS DOUBLE) / z)
                               ELSE raw END, 4) AS est_distinct
             FROM est),
-    ex AS (SELECT source, count(DISTINCT word) AS exact_distinct
-           FROM wf GROUP BY source)
-    SELECT ex.source, CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+    ex AS (SELECT g, count(DISTINCT k) AS exact_distinct FROM src GROUP BY g)
+    SELECT ex.g AS {g_alias}, CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
            fin.est_distinct,
            round(abs(fin.est_distinct - ex.exact_distinct)
                  / ex.exact_distinct, 4) AS rel_err
-    FROM fin JOIN ex ON fin.source IS NOT DISTINCT FROM ex.source"""
+    FROM fin JOIN ex ON fin.g IS NOT DISTINCT FROM ex.g"""
+
+
+ORACLE_SQL["q90_hll_distinct"] = _hll_oracle(
+    f"""WITH w AS (SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+               FROM documents),
+    src AS (SELECT source AS g, word AS k FROM w WHERE word <> '')""",
+    "source",
+)
+
+ORACLE_SQL["q95_hll_windowed"] = _hll_oracle(
+    """WITH src AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS g,
+                           COALESCE(CAST(user_id AS VARCHAR), '') AS k
+                    FROM events)""",
+    "win_start",
+)
 
 
 # q91: the identical fixed-point integer PageRank, one CTE pair per
@@ -3225,3 +3329,82 @@ ORACLE_SQL["q94_bloom_audit"] = f"""
            (SELECT count(*) FROM pos) AS n_false_pos,
            round(CAST((SELECT count(*) FROM pos) AS DOUBLE)
                  / (SELECT count(*) FROM p), 6) AS fp_rate"""
+
+
+# q96: five per-dimension top-5 hot-key subqueries UNION ALLed, share
+# against the 1-row total — (n DESC, key ASC) total order makes the
+# LIMIT cut deterministic on both engines
+def _q96_oracle() -> str:
+    did = "COALESCE(CAST(doc_id AS VARCHAR), '')"
+    host_hash = _hexbyte(f"md5('h|' || {did})", 0)
+    dims = {
+        "source": "COALESCE(source, '')",
+        "lang": "COALESCE(lang, '')",
+        "content_md5": "md5(coalesce(text, ''))",
+        "host_bucket": f"CAST({host_hash} % 64 AS VARCHAR)",
+        "len_bucket": "CAST(COALESCE(n_chars, 0) // 256 AS VARCHAR)",
+    }
+    parts = [
+        f"""d_{name} AS (SELECT '{name}' AS dimension, key, n FROM (
+            SELECT {expr} AS key, count(*) AS n FROM documents
+            GROUP BY 1 ORDER BY n DESC, key ASC LIMIT {_Q96_TOPK}) q)"""
+        for name, expr in dims.items()
+    ]
+    union = " UNION ALL ".join(f"SELECT * FROM d_{n}" for n in dims)
+    return (
+        "WITH tot AS (SELECT count(*) AS t FROM documents),\n    "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT dimension, key, n, round(n / t, 6) AS pct"
+        + f"\n    FROM ({union}) u CROSS JOIN tot"
+    )
+
+
+ORACLE_SQL["q96_skew_report"] = _q96_oracle()
+
+
+# q97: register algebra replayed — dense 64-register rows per source,
+# pair union = greatest(), the same dense-form estimate CASE on both
+# sides (empty registers enter the harmonic sum as 2^0)
+def _q97_est(s: str, z: str) -> str:
+    alpha = "CAST('0.7093409548395029' AS DOUBLE) * 4096"
+    return (
+        f"round(CASE WHEN ({alpha} / {s}) <= 160.0 AND {z} > 0 "
+        f"THEN 64 * ln(CAST(64 AS DOUBLE) / {z}) "
+        f"ELSE {alpha} / {s} END, 4)"
+    )
+
+
+ORACLE_SQL["q97_hll_overlap"] = f"""
+    WITH w AS (SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+               FROM documents),
+    src AS (SELECT source AS g, word AS k FROM w
+            WHERE word <> '' AND source IS NOT NULL),
+    h AS (SELECT g, md5(k) AS hh FROM src),
+    hv AS (SELECT g, {_hexbytes_be('hh', 4)} AS h32 FROM h),
+    rb AS (SELECT g, CAST(h32 % 64 AS INT) AS bucket, h32 // 64 AS v
+           FROM hv),
+    rr AS (SELECT g, bucket,
+                  CASE WHEN v > 0 THEN 27 - length(bin(v)) ELSE 27 END AS rho
+           FROM rb),
+    regs AS (SELECT g, bucket, max(rho) AS m FROM rr GROUP BY g, bucket),
+    dense AS (SELECT s.g, b.range AS bucket, COALESCE(r.m, 0) AS rho
+              FROM (SELECT DISTINCT g FROM regs) s
+              CROSS JOIN range(64) b
+              LEFT JOIN regs r ON r.g = s.g AND r.bucket = b.range),
+    p AS (SELECT a.g AS src_a, b.g AS src_b, a.rho AS ra, b.rho AS rb2,
+                 greatest(a.rho, b.rho) AS ru
+          FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.g < b.g),
+    s AS (SELECT src_a, src_b,
+                 sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << ra)) AS sa,
+                 sum(CASE WHEN ra = 0 THEN 1 ELSE 0 END) AS za,
+                 sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << rb2)) AS sb,
+                 sum(CASE WHEN rb2 = 0 THEN 1 ELSE 0 END) AS zb,
+                 sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << ru)) AS su,
+                 sum(CASE WHEN ru = 0 THEN 1 ELSE 0 END) AS zu
+          FROM p GROUP BY src_a, src_b)
+    SELECT src_a, src_b, {_q97_est('sa', 'za')} AS est_a,
+           {_q97_est('sb', 'zb')} AS est_b,
+           {_q97_est('su', 'zu')} AS est_union,
+           round({_q97_est('sa', 'za')} + {_q97_est('sb', 'zb')}
+                 - {_q97_est('su', 'zu')}, 4) AS est_intersect
+    FROM s"""

@@ -78,6 +78,43 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def windowed_hll_registers(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming distinct-user HLL: (win_start, bucket, max_rho) per
+    1 h tumbling window. The registers ARE the streaming state —
+    max() is the HLL merge, so Spark's windowed stateful aggregation
+    holds exactly 64 integers per window instead of a distinct-user
+    set, and late events within the watermark merge for free. The
+    estimate is the STATELESS read-side view (sketches.hll_estimate
+    over the register sink) — chaining it here would need a second
+    stateful agg; production pipelines materialize registers and let
+    dashboards finalize. Register math is identical to the batch q95
+    (operators/sketches.registers_over), which the dual test pins."""
+    key = F.coalesce(F.col("user_id").cast("string"), F.lit(""))
+    h32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    pre = (
+        events.withWatermark("ts", watermark)
+        .select("ts", (h32 % 64).cast("int").alias("bucket"), h32.alias("_h32"))
+        .select("ts", "bucket", F.expr("_h32 div 64").alias("v"))
+        .select(
+            "ts",
+            "bucket",
+            F.when(F.col("v") > 0, 27 - F.length(F.bin(F.col("v"))))
+            .otherwise(F.lit(27))
+            .cast("int")
+            .alias("rho"),
+        )
+    )
+    return (
+        pre.groupBy(F.window("ts", "1 hour"), "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+        .select(
+            F.col("window.start").alias("win_start"), "bucket", "max_rho"
+        )
+    )
+
+
 SESSION_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -233,3 +233,65 @@ def test_phash_bucket_cap_drops_and_reports(spark, media):
     dropped = out.dropped_buckets.collect()
     assert dropped and all(d.n == 2 for d in dropped)
     assert_no_cartesian(out)
+
+
+# ---------------------------------------------------------------------------
+# HLL overlap algebra + skew report
+# ---------------------------------------------------------------------------
+
+
+def test_hll_overlap_tracks_true_intersection(spark):
+    """Two sources sharing exactly half a 600-word vocabulary: the
+    register-algebra intersection estimate must land near 300 and the
+    union near 900 (13% HLL error, generous 3-sigma bands); a third
+    source with a disjoint vocabulary must show near-zero overlap with
+    both."""
+    va = [f"a{i}" for i in range(300)]
+    sh = [f"s{i}" for i in range(300)]
+    vc = [f"c{i}" for i in range(300)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(va[i * 10:(i + 1) * 10] + sh[i * 10:(i + 1) * 10]), "A"))
+        rows.append((100 + i, " ".join(sh[i * 10:(i + 1) * 10]), "B"))
+        rows.append((200 + i, " ".join(vc[i * 10:(i + 1) * 10]), "C"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.src_a, r.src_b): r for r in SK.hll_pair_overlap(docs).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab.est_a == pytest.approx(600, rel=0.4)
+    assert ab.est_b == pytest.approx(300, rel=0.4)
+    assert ab.est_union == pytest.approx(600, rel=0.4)
+    assert ab.est_intersect == pytest.approx(300, rel=0.6)
+    # disjoint pairs: intersection estimate is noise around zero,
+    # far below the true set sizes
+    for pair in [("A", "C"), ("B", "C")]:
+        assert abs(out[pair].est_intersect) < 150
+        assert out[pair].est_union == pytest.approx(
+            out[pair].est_a + out[pair].est_b, rel=0.3
+        )
+
+
+def test_skew_report_finds_planted_hot_key(spark):
+    """A boilerplate page duplicated 50× must top the content_md5
+    dimension with its exact count and share."""
+    from crab_spark.queries import QUERIES
+
+    rows = [(i, "the same cookie banner text", "de", "web", 27) for i in range(50)]
+    rows += [(100 + i, f"unique text number {i}", "en", "web", 20) for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    import crab_spark.queries as Q
+
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs  # the report only reads documents
+    try:
+        out = QUERIES["q96_skew_report"](spark, "ignored")
+        rep = [r for r in out.collect() if r.dimension == "content_md5"]
+    finally:
+        Q.t = orig_t
+    top = max(rep, key=lambda r: r.n)
+    assert top.n == 50 and top.pct == 0.5
+    # lang dimension: 'de' and 'en' both at 50
+    langs = {r.key: r.n for r in out.collect() if r.dimension == "lang"}
+    assert langs == {"de": 50, "en": 50}

@@ -174,3 +174,29 @@ def test_streaming_holdout_split_and_mixture_equal_batch(spark, sf_dir, tmp_path
     w = {r["doc_id"]: (r["split"], r["keep"]) for r in want.collect()}
     assert g == w and len(g) > 0
     assert {v[0] for v in g.values()} == {"train", "val", "test"}
+
+
+def test_streaming_hll_registers_equal_batch(spark, sf_dir, tmp_path):
+    """Streaming windowed-HLL dual of q95: the stateful streaming agg
+    maintains the same 64-registers-per-window table the batch path
+    computes, so finalizing the streamed registers (the stateless
+    read-side view, sketches.hll_estimate) reproduces q95's estimates
+    exactly. Pins that the register math stays in sync between the
+    batch and streaming code paths."""
+    from crab_spark.operators.sketches import hll_estimate
+    from crab_spark.streaming.windows import windowed_hll_registers
+
+    stream = stream_events(spark, sf_dir)
+    regs = run_available_now(
+        windowed_hll_registers(stream), "hll_regs_test",
+        str(tmp_path / "ck_hll"), output_mode="complete",
+    )
+    got = {
+        str(r["win_start"]): r["est_distinct"]
+        for r in hll_estimate(regs, ["win_start"]).collect()
+    }
+    want = {
+        str(r["win_start"]): r["est_distinct"]
+        for r in QUERIES["q95_hll_windowed"](spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
