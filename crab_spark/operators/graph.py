@@ -76,12 +76,16 @@ def pagerank_fixed(
     the standard formulation.
 
     Plan shape per iteration: edges (cached once — the multi-consumer
-    relation) join rank (n_hosts rows, broadcast) → groupBy(dst) sum.
-    At millions of hosts the same plan holds with AQE choosing
-    shuffle-hash instead of broadcast; the docs-scale work happened
-    once in host_edges. Lineage grows linearly in ``iters`` (4 here);
-    beyond ~20 iterations callers should localCheckpoint the rank
-    frame the way connected_components does (operators/dedup.py).
+    relation) join rank (n_hosts rows) → groupBy(dst) sum. At millions
+    of hosts the same plan holds with AQE choosing shuffle-hash
+    instead of broadcast; the docs-scale work happened once in
+    host_edges. The rank frame is localCheckpoint-ed at each
+    iteration top (the connected_components lineage rule,
+    operators/dedup.py): every iteration consumes rank TWICE
+    (contributions + dangling mass), so without truncation the plan
+    would double per iteration — the same multi-consumer re-execution
+    failure the round-5 explode sweep hunted, in iterative form.
+    Dangling hosts are computed once, statically, from the edge list.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -98,19 +102,24 @@ def pagerank_fixed(
 
     hosts = spark.range(n_hosts).select(F.col("id").cast("int").alias("host"))
     teleport = (15 * PR_SCALE) // 100 // n_hosts
+    # dangling hosts depend only on the edge list — compute once
+    dang_hosts = hosts.join(
+        edges_w.select(F.col("src").alias("host")).distinct(),
+        "host",
+        "left_anti",
+    )
     rank = hosts.select("host", F.lit(PR_SCALE // n_hosts).alias("r"))
 
     for _ in range(iters):
-        linked = rank.join(edges_w, rank["host"] == edges_w["src"], "left")
-        # dangling = hosts with no out-edges; their damped mass spreads
-        # uniformly. One tiny agg over n_hosts rows.
+        # O(1) lineage per iteration; n_hosts rows, trivially cheap
+        rank = rank.localCheckpoint(eager=True)
         dang = (
-            linked.where(F.col("src").isNull())
+            rank.join(F.broadcast(dang_hosts), "host", "leftsemi")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
             .select(F.expr(f"((85 * d) div 100) div {n_hosts}").alias("dang_share"))
         )
         contrib = (
-            linked.where(F.col("src").isNotNull())
+            rank.join(edges_w, rank["host"] == edges_w["src"])
             .select(
                 F.col("dst"),
                 F.expr("((85 * r) div 100) * w div w_out").alias("c"),
