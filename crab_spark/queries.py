@@ -1414,6 +1414,28 @@ def q97_hll_overlap(spark, sf):
     return SK.hll_pair_overlap(t(spark, sf, "documents"))
 
 
+_Q98_WMIN = 2
+
+
+def q98_host_communities(spark, sf):
+    """Host-graph communities: connected components over STRONG edges
+    (weight ≥ 2 — single shared-fingerprint links are noise; pruning
+    weak edges before clustering is standard community practice and
+    keeps the labels non-trivial). Reuses the large-star/small-star
+    O(log n) MapReduce components (operators/dedup.py, q40) on the
+    q91 host graph; isolated hosts come back self-labeled via the
+    vertices frame. Crawl use: a community = a mirror/boilerplate
+    cluster whose hosts share one politeness budget."""
+    edges = G.host_edges(t(spark, sf, "documents"), n_hosts=_Q91_HOSTS)
+    strong = edges.where(F.col("w") >= _Q98_WMIN).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    hosts = spark.range(_Q91_HOSTS).select(
+        F.col("id").cast("int").alias("host")
+    )
+    return D.connected_components(strong, vertices=hosts, id_col="host")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3408,3 +3430,25 @@ ORACLE_SQL["q97_hll_overlap"] = f"""
            round({_q97_est('sa', 'za')} + {_q97_est('sb', 'zb')}
                  - {_q97_est('su', 'zu')}, 4) AS est_intersect
     FROM s"""
+
+
+# q98: the q91 edge derivation + weight threshold, then the q40
+# recursive-CTE transitive closure over the 64-host domain
+ORACLE_SQL["q98_host_communities"] = f"""
+    WITH RECURSIVE m AS (
+        SELECT md5('h|' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS hh,
+               md5('d|' || COALESCE(lower(text), '')) AS dd
+        FROM documents),
+    edges AS (SELECT CAST({_hexbyte('hh', 0)} % {_Q91_HOSTS} AS INT) AS src,
+                     CAST({_hexbyte('dd', 0)} % {_Q91_HOSTS} AS INT) AS dst,
+                     count(*) AS w
+              FROM m GROUP BY 1, 2),
+    strong AS (SELECT src, dst FROM edges
+               WHERE w >= {_Q98_WMIN} AND src <> dst),
+    e AS (SELECT src AS ea, dst AS eb FROM strong
+          UNION SELECT dst, src FROM strong),
+    reach(n, m2) AS (
+        SELECT CAST(range AS INT), CAST(range AS INT) FROM range({_Q91_HOSTS})
+        UNION
+        SELECT r.n, e.eb FROM reach r JOIN e ON r.m2 = e.ea)
+    SELECT n AS host, min(m2) AS cluster_id FROM reach GROUP BY n"""

@@ -295,3 +295,59 @@ def test_skew_report_finds_planted_hot_key(spark):
     # lang dimension: 'de' and 'en' both at 50
     langs = {r.key: r.n for r in out.collect() if r.dimension == "lang"}
     assert langs == {"de": 50, "en": 50}
+
+
+def test_host_communities_respect_weight_threshold(spark):
+    """q98 semantics: a src→dst link observed twice merges the hosts;
+    a single observation is pruned as noise; untouched hosts stay
+    self-labeled."""
+    import crab_spark.queries as Q
+
+    # host_edges keys src on md5('h|'||doc_id) and dst on
+    # md5('d|'||lower(text)) — find doc_ids/texts landing on distinct
+    # hosts, then duplicate one link and leave another single
+    import hashlib
+
+    def src_of(i):
+        return hashlib.md5(f"h|{i}".encode()).digest()[0] % 64
+
+    def dst_of(t):
+        return hashlib.md5(f"d|{t}".encode()).digest()[0] % 64
+
+    # pick ids/texts by their ACTUAL host routes: two ids sharing a
+    # src host (the doubled edge), one id on a different host (the
+    # single edge), dst texts on hosts distinct from all of those
+    by_src = {}
+    for i in range(400):
+        by_src.setdefault(src_of(i), []).append(i)
+    hs, (a1, a2, *_) = next(
+        (h, v) for h, v in sorted(by_src.items()) if len(v) >= 2
+    )
+    hb, (b, *_) = next((h, v) for h, v in sorted(by_src.items()) if h != hs)
+    ta = next(
+        f"t{k}" for k in range(2000) if dst_of(f"t{k}") not in (hs, hb)
+    )
+    hta = dst_of(ta)
+    tb = next(
+        f"u{k}" for k in range(2000)
+        if dst_of(f"u{k}") not in (hs, hb, hta)
+    )
+    htb = dst_of(tb)
+    rows = [(a1, ta), (a2, ta), (b, tb)]  # hs→hta twice, hb→htb once
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = {r.host: r.cluster_id for r in
+               Q.QUERIES["q98_host_communities"](spark, "ignored").collect()}
+    finally:
+        Q.t = orig_t
+    assert len(out) == 64
+    # the doubled link merges its two hosts
+    assert out[hs] == out[hta] == min(hs, hta)
+    # the single link is below the threshold: both self-labeled
+    assert out[hb] == hb and out[htb] == htb
+    # an untouched host is its own community
+    untouched = next(h for h in range(64) if h not in (hs, hta, hb, htb))
+    assert out[untouched] == untouched
