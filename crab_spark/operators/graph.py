@@ -89,16 +89,23 @@ def pagerank_fixed(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    # cache the RAW edges before the overflow probe: the probe's
+    # max(w) action then materializes the cache, so the docs-scale
+    # edge aggregation runs exactly once — probing first would pay an
+    # extra full upstream pass
+    edges = edges.cache()
     w_max = edges.agg(F.max("w")).first()[0]
     if w_max is not None and w_max > _W_CAP:
         # ratio-preserving rescale, floor keeps ≥1 so edges never vanish
         div = -(-w_max // _W_CAP)  # ceil
-        edges = edges.select(
+        scaled = edges.select(
             "src", "dst", F.greatest(F.expr(f"w div {div}"), F.lit(1)).alias("w")
         )
-        out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    edges_w = edges.join(out_w, "src").cache()
+    else:
+        scaled = edges
+    out_w = scaled.groupBy("src").agg(F.sum("w").alias("w_out"))
+    # derived per-iteration from the cached edges — host-pair scale
+    edges_w = scaled.join(out_w, "src")
 
     hosts = spark.range(n_hosts).select(F.col("id").cast("int").alias("host"))
     teleport = (15 * PR_SCALE) // 100 // n_hosts
@@ -141,5 +148,5 @@ def pagerank_fixed(
         )
 
     out = rank.select("host", F.col("r").alias("rank_fp"))
-    out.df_ordered_cache = edges_w  # caller-unpersist handle (repo convention)
+    out.df_ordered_cache = edges  # caller-unpersist handle (repo convention)
     return out
