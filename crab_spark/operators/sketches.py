@@ -194,7 +194,10 @@ def hll_pair_overlap(
     the word-token convention of q90.
     """
     spark = docs.sparkSession
-    regs = hll_registers(docs, text_col, group_col)
+    # regs feeds BOTH the source list and the dense join — cache it
+    # (|S|·64 rows) so the corpus-scale explode behind it runs once;
+    # df_ordered_cache is the caller-unpersist handle
+    regs = hll_registers(docs, text_col, group_col).cache()
     srcs = regs.select("grp").where(F.col("grp").isNotNull()).distinct()
     buckets = spark.range(64).select(F.col("id").cast("int").alias("bucket"))
     dense = (
@@ -228,7 +231,7 @@ def hll_pair_overlap(
     est_a = _hll_est_col(F.col("sa"), F.col("za"))
     est_b = _hll_est_col(F.col("sb"), F.col("zb"))
     est_u = _hll_est_col(F.col("su"), F.col("zu"))
-    return agg.select(
+    out = agg.select(
         "src_a",
         "src_b",
         est_a.alias("est_a"),
@@ -236,6 +239,8 @@ def hll_pair_overlap(
         est_u.alias("est_union"),
         F.round(est_a + est_b - est_u, 4).alias("est_intersect"),
     )
+    out.df_ordered_cache = regs
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -244,29 +249,6 @@ def hll_pair_overlap(
 
 _CMS_D = 4
 _CMS_W = 256
-
-
-def cms_cells(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The d×w count-min sketch as rows (row_id, col_id, cnt): each
-    word OCCURRENCE increments d=4 cells, col_j = first md5 byte of
-    'j|word'. groupBy sum is map-combinable — the shuffle moves at
-    most d·w cells per upstream partition, never the token stream."""
-    words = (
-        docs.select(F.explode(_norm_words(F.col(text_col))).alias("word"))
-        .where(F.col("word") != "")
-    )
-    rows = words.select(
-        "word", F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("row_id")
-    )
-    cell = rows.select(
-        "row_id",
-        _md5_int(
-            F.concat(F.col("row_id").cast("string"), F.lit("|"), F.col("word")), 2
-        ).cast("int").alias("col_id"),
-    )
-    return cell.groupBy("row_id", "col_id").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
 
 
 def cms_heavy_hitters(
@@ -278,18 +260,24 @@ def cms_heavy_hitters(
     occurrences, with the exact count alongside as the overcount
     audit: (word, exact_cnt, cms_cnt), cms_cnt ≥ exact_cnt always.
 
-    Estimation joins the candidate vocabulary (distinct words — the
-    only per-word state) against the BROADCAST 1,024-cell sketch and
+    One token explode total: the sketch cells derive from the CACHED
+    per-word exact counts (sum of counts ≡ sum of occurrences), not
+    from a second pass over the token stream — the r5 multi-consumer
+    explode rule applied at design time. Estimation joins the
+    candidate vocabulary against the BROADCAST 1,024-cell sketch and
     takes min over the d rows. Integer arithmetic end-to-end: the
     oracle matches bit-for-bit, no float policy needed.
+    ``df_ordered_cache`` (the vocabulary counts) is the
+    caller-unpersist handle.
     """
-    sketch = cms_cells(docs, text_col)
     words = (
         docs.select(F.explode(_norm_words(F.col(text_col))).alias("word"))
         .where(F.col("word") != "")
     )
-    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    cand = exact.select(
+    exact = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt")).cache()
+    )
+    keyed = exact.select(
         "word",
         "exact_cnt",
         F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("row_id"),
@@ -301,14 +289,19 @@ def cms_heavy_hitters(
             F.concat(F.col("row_id").cast("string"), F.lit("|"), F.col("word")), 2
         ).cast("int").alias("col_id"),
     )
+    sketch = keyed.groupBy("row_id", "col_id").agg(
+        F.sum("exact_cnt").alias("cnt")
+    )
     est = (
-        cand.join(F.broadcast(sketch), ["row_id", "col_id"])
+        keyed.join(F.broadcast(sketch), ["row_id", "col_id"])
         .groupBy("word", "exact_cnt")
         .agg(F.min("cnt").alias("cms_cnt"))
     )
-    return est.where(F.col("cms_cnt") >= threshold).select(
+    out = est.where(F.col("cms_cnt") >= threshold).select(
         "word", "exact_cnt", "cms_cnt"
     )
+    out.df_ordered_cache = exact
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1234,22 +1234,29 @@ def q90_hll_distinct(spark, sf):
     the estimate engine-portable — Spark's approx_count_distinct is
     seed-opaque and un-oracle-able (operators/sketches.py)."""
     docs = t(spark, sf, "documents")
-    est = SK.hll_distinct(docs)
-    exact = (
+    # the exact audit forces a distinct anyway, so BOTH paths derive
+    # from one cached (source, word) distinct relation — registers are
+    # max-idempotent, so distinct input yields identical registers
+    # (one token explode total; r5 multi-consumer rule)
+    dw = (
         docs.select(
-            F.col("source"),
+            F.col("source").alias("grp"),
             F.explode(SK._norm_words(F.col("text"))).alias("word"),
         )
         .where(F.col("word") != "")
-        .groupBy("source")
-        .agg(F.countDistinct("word").alias("exact_distinct"))
+        .distinct()
+        .cache()
+    )
+    est = SK.hll_estimate(
+        SK.registers_over(dw, F.col("word"), ["grp"]), ["grp"]
+    ).withColumnRenamed("grp", "source")
+    exact = dw.groupBy(F.col("grp").alias("_g")).agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     # null-safe join: a NULL-source group must survive (playbook rule),
     # and both relations produce exactly one row per source value
-    return est.join(
-        exact, est["source"].eqNullSafe(exact["source"])
-    ).select(
-        est["source"].alias("source"),
+    out = est.join(exact, est["source"].eqNullSafe(exact["_g"])).select(
+        "source",
         "exact_distinct",
         "est_distinct",
         F.round(
@@ -1258,6 +1265,8 @@ def q90_hll_distinct(spark, sf):
             4,
         ).alias("rel_err"),
     )
+    out.df_ordered_cache = dw
+    return out
 
 
 _Q91_HOSTS, _Q91_ITERS = 64, 4
@@ -1330,18 +1339,24 @@ def q95_hll_windowed(spark, sf):
     stateful-agg state and this estimate is the stateless read-side
     view). Exact countDistinct rides along as the error audit, as in
     q90."""
-    keyed = t(spark, sf, "events").select(
-        F.window("ts", "1 hour").getField("start").alias("win_start"),
-        F.coalesce(F.col("user_id").cast("string"), F.lit("")).alias("k"),
+    # one cached (window, user) distinct feeds registers AND the exact
+    # audit (the q90 shared-distinct shape)
+    dk = (
+        t(spark, sf, "events")
+        .select(
+            F.window("ts", "1 hour").getField("start").alias("win_start"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")).alias("k"),
+        )
+        .distinct()
+        .cache()
     )
-    regs = SK.registers_over(keyed, F.col("k"), ["win_start"])
-    est = SK.hll_estimate(regs, ["win_start"])
-    exact = keyed.groupBy(
-        F.col("win_start").alias("_ws")
-    ).agg(F.countDistinct("k").alias("exact_distinct"))
-    return est.join(
-        exact, est["win_start"].eqNullSafe(exact["_ws"])
-    ).select(
+    est = SK.hll_estimate(
+        SK.registers_over(dk, F.col("k"), ["win_start"]), ["win_start"]
+    )
+    exact = dk.groupBy(F.col("win_start").alias("_ws")).agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    out = est.join(exact, est["win_start"].eqNullSafe(exact["_ws"])).select(
         "win_start",
         "exact_distinct",
         "est_distinct",
@@ -1351,6 +1366,8 @@ def q95_hll_windowed(spark, sf):
             4,
         ).alias("rel_err"),
     )
+    out.df_ordered_cache = dk
+    return out
 
 
 _Q96_TOPK = 5
