@@ -55,12 +55,11 @@ def _norm_words(text: Column) -> Column:
     return F.split(F.regexp_replace(F.lower(text), r"\s+", " "), " ")
 
 
-def _md5_int(col: Column, n_hex: int, prefix: str | None = None) -> Column:
+def _md5_int(col: Column, n_hex: int) -> Column:
     """First ``n_hex`` hex chars of md5 as a BIGINT (big-endian, the
     same number ``conv`` reads) — n_hex ≤ 15 keeps it inside int64.
     Oracle mirror: the ``_hexbyte`` byte-arithmetic in queries.py."""
-    keyed = F.concat(F.lit(prefix), col) if prefix is not None else col
-    return F.conv(F.substring(F.md5(keyed), 1, n_hex), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -247,8 +246,7 @@ def hll_pair_overlap(
 # Count-min sketch
 # ---------------------------------------------------------------------------
 
-_CMS_D = 4
-_CMS_W = 256
+_CMS_D = 4  # hash rows; columns are fixed at 256 (one md5 byte)
 
 
 def cms_heavy_hitters(
