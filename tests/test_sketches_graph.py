@@ -351,3 +351,32 @@ def test_host_communities_respect_weight_threshold(spark):
     # an untouched host is its own community
     untouched = next(h for h in range(64) if h not in (hs, hta, hb, htb))
     assert out[untouched] == untouched
+
+
+def test_cms_token_stream_explodes_once(spark, vocab_docs):
+    """The sketch cells and the candidate keys both derive from the
+    CACHED per-word counts — the executed plan must read
+    InMemoryTableScan for both consumers instead of re-exploding the
+    token stream (the r5 multi-consumer rule, applied at design time
+    to the sketch family)."""
+    out = SK.cms_heavy_hitters(vocab_docs, 100)
+    out.collect()
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert ep.count("InMemoryTableScan") >= 2, ep
+        assert ep.count("Explode") <= 3, ep  # 1 token + 2 tiny j-explodes
+    finally:
+        out.df_ordered_cache.unpersist()
+
+
+def test_hll_overlap_registers_cached(spark, vocab_docs):
+    """hll_pair_overlap's register table feeds the source list AND the
+    dense join: both must read the cache, not re-run the corpus
+    explode."""
+    out = SK.hll_pair_overlap(vocab_docs)
+    out.collect()
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert ep.count("InMemoryTableScan") >= 2, ep
+    finally:
+        out.df_ordered_cache.unpersist()
