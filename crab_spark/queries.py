@@ -1453,6 +1453,84 @@ def q98_host_communities(spark, sf):
     return D.connected_components(strong, vertices=hosts, id_col="host")
 
 
+def q99_length_histogram(spark, sf):
+    """Per-source token-length distribution in log₂ buckets
+    (floor(log2(n))+1 via the exact ``length(bin(n))`` trick the HLL
+    rho shares — no float log): the length-mix report that complements
+    the q81 dataset card; one map-combinable agg. Bucket 0 = NULL
+    text (both engines route the NULL comparison to the ELSE arm);
+    n_tokens follows the q30 convention exactly."""
+    n = F.size(X.tokens(F.col("text")))
+    bucket = (
+        F.when(n > 0, F.length(F.bin(n.cast("long"))))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return (
+        t(spark, sf, "documents")
+        .select(F.col("source"), bucket.alias("log2_bucket"))
+        .groupBy("source", "log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q100_event_funnel(spark, sf):
+    """Ordered conversion funnel over the events stream: first 'view',
+    then first 'click' within 24 h of it, then first 'purchase'
+    within 24 h of that — the canonical product-analytics operator, expressed
+    as three filtered min-aggs chained by user_id joins (every shuffle
+    on the same key; no per-user window sort over the full event
+    stream). Per-user rows with n_steps ∈ {1,2,3}; users without a
+    'view' are outside the funnel denominator by definition. The
+    user-scale step frames are cached (each feeds the next step AND
+    the final assembly — the r5 multi-consumer rule)."""
+    ev = t(spark, sf, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .cache()
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.expr("t_view + INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+        .cache()
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.expr("t_click + INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("n_steps"),
+        )
+    )
+    out.df_pipeline_caches = [v, c]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3469,3 +3547,39 @@ ORACLE_SQL["q98_host_communities"] = f"""
         UNION
         SELECT r.n, e.eb FROM reach r JOIN e ON r.m2 = e.ea)
     SELECT n AS host, min(m2) AS cluster_id FROM reach GROUP BY n"""
+
+
+# q99: the q30 token count bucketed by minimal-binary length (exact
+# integer log2), NULL text → bucket 0 on both engines
+ORACLE_SQL["q99_length_histogram"] = """
+    WITH n AS (SELECT source,
+                      len(string_split(regexp_replace(text, '\\s+', ' ', 'g'),
+                                       ' ')) AS nt
+               FROM documents)
+    SELECT source,
+           CAST(CASE WHEN nt > 0 THEN length(bin(nt)) ELSE 0 END AS INT)
+             AS log2_bucket,
+           count(*) AS n_docs
+    FROM n GROUP BY 1, 2"""
+
+
+# q100: the identical three-step chain — strict > for step order,
+# <= for the 24 h window (chosen so every reach level 1/2/3 is
+# populated at the graded SFs — 90/35/25 users at sf0.01), LEFT joins assemble per-user reach
+ORACLE_SQL["q100_event_funnel"] = """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL 24 HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL 24 HOUR
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + (c.t_click IS NOT NULL)::INT
+                  + (p.t_purchase IS NOT NULL)::INT AS INT) AS n_steps
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""

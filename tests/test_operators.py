@@ -2247,3 +2247,64 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         else:
             assert got_id == int(row["event_id_r"]), row["event_id"]
             assert got_val == row["value"]
+
+
+def test_event_funnel_order_window_and_denominator(spark):
+    """q100 semantics: steps must be in strict time order, within the
+    24 h window (boundary inclusive), and users without a 'view' are
+    outside the funnel entirely."""
+    import datetime as dt
+
+    import crab_spark.queries as Q
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return base + dt.timedelta(hours=h)
+
+    rows = [
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        (2, ts(1), "view"), (2, ts(0), "click"),      # click BEFORE view
+        (3, ts(0), "view"), (3, ts(25), "click"),     # outside 24 h
+        (4, ts(0), "view"), (4, ts(24), "click"),     # exact boundary kept
+        (4, ts(30), "purchase"),
+        (5, ts(0), "click"), (5, ts(1), "purchase"),  # no view: not in funnel
+    ]
+    ev = spark.createDataFrame(
+        [(i, t_, u, et, 0.0, "{}") for i, (u, t_, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: ev
+    try:
+        out = {r.user_id: r for r in
+               Q.QUERIES["q100_event_funnel"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].n_steps == 3 and out[1].t_purchase == ts(2)
+    assert out[2].n_steps == 1 and out[2].t_click is None
+    assert out[3].n_steps == 1
+    assert out[4].n_steps == 3 and out[4].t_click == ts(24)
+
+
+def test_length_histogram_buckets(spark):
+    """q99: bucket = exact integer floor(log2(n_tokens))+1 via
+    bin-length; NULL text lands in bucket 0."""
+    import crab_spark.queries as Q
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five six seven", "s"),  # 7 → bucket 3
+         (1, "a", "s"),                                  # 1 → bucket 1
+         (2, None, "s")],                                # NULL → 0
+        "doc_id long, text string, source string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = {(r.log2_bucket): r.n_docs for r in
+               Q.QUERIES["q99_length_histogram"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+    assert out == {3: 1, 1: 1, 0: 1}
