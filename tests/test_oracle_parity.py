@@ -58,3 +58,14 @@ def test_registry_sweep_releases_prior_caches(spark):
     assert all(h is not handle for h in Q._LIVE_CACHE_HANDLES)
     # a released upstream cache must not invalidate a still-held result
     assert first.count() == second.count() == first.count()
+
+    # the LIST-valued handle attribute (df_pipeline_caches) is tracked
+    # and released the same way
+    funnel = Q.QUERIES["q100_event_funnel"](spark, SF_DIR)
+    funnel.count()
+    pipeline_handles = [
+        h for h in Q._LIVE_CACHE_HANDLES if h.storageLevel.useMemory
+    ]
+    assert len(pipeline_handles) >= 2, "q100 should record its step caches"
+    Q.QUERIES["q21_exact_dedup"](spark, SF_DIR).count()
+    assert all(not h.storageLevel.useMemory for h in pipeline_handles)
