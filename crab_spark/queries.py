@@ -1380,8 +1380,12 @@ def q96_skew_report(spark, sf):
     length bucket) with corpus share. Each dimension is one
     map-combinable agg + a distributed TakeOrdered LIMIT — never a
     single-partition window over the distinct-key stream (the content
-    dimension alone has |corpus| keys). NULL keys take the q46
-    coalesce-'' convention."""
+    dimension alone has |corpus| keys). Five pruned-column scans by
+    design: a single-pass multi-dimension explode would funnel every
+    dimension's keys through ONE shuffle and bring the partition-wide
+    rank back; parquet column pruning makes the extra scans the cheap
+    side of that trade. NULL keys take the q46 coalesce-''
+    convention."""
     docs = t(spark, sf, "documents")
     did = F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
     dims = [
