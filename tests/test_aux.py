@@ -504,4 +504,10 @@ def test_query_registry_fully_oracled():
     assert set(QUERIES) == set(ORACLE_SQL)
     assert len(QUERIES) >= 54
     for name in QUERIES:
-        assert name[0] == "q" and name[1:3].isdigit() and name[3] == "_", name
+        digits = name[1:].split("_", 1)[0]
+        assert (
+            name[0] == "q"
+            and len(digits) >= 2
+            and digits.isdigit()
+            and "_" in name[1:]
+        ), name
