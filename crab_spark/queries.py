@@ -1535,6 +1535,130 @@ def q100_event_funnel(spark, sf):
     return out
 
 
+_Q101_K = 3
+_Q101_HOSTS = 64
+
+
+def q101_anchor_topk(spark, sf):
+    """Anchor-text index: top-3 anchor words per link-target host —
+    the signal a crawl ranker (and every web search stack since
+    Google's original paper) aggregates from parsed link spans
+    (crawler.py navigate output feeds this in the live engine; here
+    the q56 mod-7 span convention marks word index ≡ 5 (mod 7) as a
+    link whose target host is the md5-route of the word and whose
+    anchor is the PRECEDING word). One array transform per doc — the
+    anchor pairs are built inside the array (never posexplode + carry
+    the whole array per token row, which would be O(len²) bytes), then
+    one combinable count and a row_number over 64 host partitions of
+    PRE-AGGREGATED (host, anchor) counts — bounded by per-host anchor
+    vocabulary, never corpus-scale."""
+    arr = F.split(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+        ),
+        " ",
+    )
+    pairs = F.filter(
+        F.transform(
+            arr,
+            lambda w, i: F.struct(
+                w.alias("tw"),
+                # element_at is 1-based: index i reads arr[i-1], the
+                # preceding word; i ≥ 5 after the filter, but the
+                # transform evaluates every i, so guard i=0 (ANSI
+                # element_at(arr, 0) errors)
+                F.when(i > 0, F.element_at(arr, i))
+                .otherwise(F.lit(""))
+                .alias("anchor"),
+                i.alias("i"),
+            ),
+        ),
+        lambda s: (s["i"] % 7 == 5) & (s["tw"] != ""),
+    )
+    host = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("t|"), F.col("tw"))), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % _Q101_HOSTS
+    )
+    counts = (
+        t(spark, sf, "documents")
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.tw").alias("tw"), F.col("p.anchor").alias("anchor"))
+        .where(F.col("anchor") != "")
+        .select(host.alias("host"), "anchor")
+        .groupBy("host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("host").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _Q101_K)
+        .select("host", "anchor", "n", "rnk")
+    )
+
+
+def q102_hopping_window(spark, sf):
+    """Hopping (sliding) event-time window — 1 h windows every 30 min,
+    the overlapping-window dual of q18's tumbling agg: each event lands
+    in exactly 2 windows, assigned by Spark's ``window(ts, size,
+    slide)`` expression inside codegen (no self-union, no explode in
+    the query plan we author — the WindowGenerate node emits the 2
+    rows). Streaming dual: streaming/windows.py ``hopping_sums`` runs
+    the identical expression under readStream with a watermark, pinned
+    equal by test_streaming."""
+    return (
+        t(spark, sf, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes")
+            .getField("start")
+            .alias("win_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q103_host_degrees(spark, sf):
+    """Host-graph fan-out/fan-in profile over the q91 edge list:
+    (host, out_deg, out_links, in_deg, in_links) for every host,
+    zeros for isolated ones — the report that sizes per-host politeness
+    budgets and flags hub hosts before a crawl (frontier.py's priority
+    scoring consumes exactly these fan-out counts). The docs-scale
+    pass happens once in host_edges; the cached ≤64² edge rows feed
+    BOTH degree aggs (the r5 multi-consumer rule)."""
+    edges = G.host_edges(
+        t(spark, sf, "documents"), n_hosts=_Q101_HOSTS
+    ).cache()
+    outd = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("od"), F.sum("w").alias("ol")
+    )
+    ind = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("idg"), F.sum("w").alias("il")
+    )
+    hosts = spark.range(_Q101_HOSTS).select(
+        F.col("id").cast("int").alias("host")
+    )
+    out = (
+        hosts.join(outd, "host", "left")
+        .join(ind, "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("od"), F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce(F.col("ol"), F.lit(0)).cast("long").alias("out_links"),
+            F.coalesce(F.col("idg"), F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce(F.col("il"), F.lit(0)).cast("long").alias("in_links"),
+        )
+    )
+    out.df_ordered_cache = edges
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3587,3 +3711,68 @@ ORACLE_SQL["q100_event_funnel"] = """
            CAST(1 + (c.t_click IS NOT NULL)::INT
                   + (p.t_purchase IS NOT NULL)::INT AS INT) AS n_steps
     FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+
+
+# q101: the mod-7 link convention replayed with parallel unnests (arr,
+# position range) zipping per DuckDB semantics; anchor = arr[i]
+# (1-based ⇒ the preceding word; i ≥ 5 under the filter), host = first
+# md5 byte of 't|'||word mod 64. row_number is BIGINT in DuckDB —
+# cast to match Spark's INT.
+ORACLE_SQL["q101_anchor_topk"] = f"""
+    WITH a AS (SELECT string_split(
+                   regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'),
+                   ' ') AS arr
+               FROM documents),
+    p AS (SELECT arr, unnest(arr) AS w,
+                 CAST(unnest(range(len(arr))) AS INT) AS i
+          FROM a),
+    l AS (SELECT w AS tw, arr[i] AS anchor FROM p
+          WHERE i % 7 = 5 AND w <> ''),
+    k AS (SELECT tw, anchor, md5('t|' || tw) AS th FROM l
+          WHERE anchor <> ''),
+    c AS (SELECT CAST({_hexbyte('th', 0)} % {_Q101_HOSTS} AS INT) AS host,
+                 anchor, count(*) AS n
+          FROM k GROUP BY 1, 2)
+    SELECT host, anchor, n, rnk FROM (
+        SELECT host, anchor, n,
+               CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY n DESC, anchor ASC
+               ) AS INT) AS rnk
+        FROM c)
+    WHERE rnk <= {_Q101_K}"""
+
+
+# q102: each event belongs to the two 30-min-grid hour windows that
+# cover it — time_bucket's 2000-01-01 origin sits on Spark's epoch-
+# aligned 30-min grid, so the starts coincide (the q18 precedent)
+ORACLE_SQL["q102_hopping_window"] = """
+    WITH s AS (SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                              time_bucket(INTERVAL 30 MINUTE, ts)
+                                - INTERVAL 30 MINUTE]) AS win_start,
+                      value
+               FROM events WHERE ts IS NOT NULL)
+    SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM s GROUP BY 1"""
+
+
+# q103: the q91/q98 edge derivation, then one degree agg per
+# direction, LEFT-joined onto the full 64-host domain
+ORACLE_SQL["q103_host_degrees"] = f"""
+    WITH m AS (
+        SELECT md5('h|' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS hh,
+               md5('d|' || COALESCE(lower(text), '')) AS dd
+        FROM documents),
+    edges AS (SELECT CAST({_hexbyte('hh', 0)} % {_Q101_HOSTS} AS INT) AS src,
+                     CAST({_hexbyte('dd', 0)} % {_Q101_HOSTS} AS INT) AS dst,
+                     count(*) AS w
+              FROM m GROUP BY 1, 2),
+    o AS (SELECT src, count(*) AS od, sum(w) AS ol FROM edges GROUP BY src),
+    i AS (SELECT dst, count(*) AS idg, sum(w) AS il FROM edges GROUP BY dst)
+    SELECT CAST(h.range AS INT) AS host,
+           CAST(COALESCE(o.od, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(o.ol, 0) AS BIGINT) AS out_links,
+           CAST(COALESCE(i.idg, 0) AS BIGINT) AS in_deg,
+           CAST(COALESCE(i.il, 0) AS BIGINT) AS in_links
+    FROM range({_Q101_HOSTS}) h
+    LEFT JOIN o ON o.src = h.range
+    LEFT JOIN i ON i.dst = h.range"""

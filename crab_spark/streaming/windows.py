@@ -78,6 +78,26 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def hopping_sums(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time hopping window (1 h size, 30 min slide) — the
+    streaming dual of q102_hopping_window: the identical
+    ``window(ts, size, slide)`` expression plus a watermark, so each
+    event updates exactly the two covering windows' running state."""
+    return (
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes")
+            .getField("start")
+            .alias("win_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def windowed_hll_registers(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -2308,3 +2308,131 @@ def test_length_histogram_buckets(spark):
     finally:
         Q.t = orig_t
     assert out == {3: 1, 1: 1, 0: 1}
+
+
+def test_anchor_topk_pairs_and_ranking(spark):
+    """q101 semantics: word index ≡ 5 (mod 7) is a link, its anchor is
+    the PRECEDING word, hosts come from the md5 route of the target
+    word, and per-host ranking is (count desc, anchor asc) capped at 3."""
+    import hashlib
+
+    import crab_spark.queries as Q
+
+    # index:   0  1  2   3   4   5(link) 6  ...  12(link)
+    text = "w0 w1 w2 w3 anchorA target w6 w7 w8 w9 w10 anchorB target2"
+    docs = spark.createDataFrame(
+        [(i, text, "s") for i in range(4)]
+        + [(99, None, "s")],  # NULL text must not error or emit pairs
+        "doc_id long, text string, source string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = Q.QUERIES["q101_anchor_topk"](spark, "x").collect()
+    finally:
+        Q.t = orig_t
+
+    def host_of(word):
+        return int(hashlib.md5(f"t|{word}".encode()).hexdigest()[:2], 16) % 64
+
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    ha, hb = host_of("target"), host_of("target2")
+    assert set(by_host) == {ha, hb}
+    ra = {r.anchor: r for r in by_host[ha]}
+    assert ra["anchora"].n == 4 and ra["anchora"].rnk == 1
+    rb = {r.anchor: r for r in by_host[hb]}
+    assert rb["anchorb"].n == 4 and rb["anchorb"].rnk == 1
+    assert all(r.rnk <= 3 for r in out)
+
+
+def test_anchor_topk_tiebreak_and_cap(spark):
+    """Equal counts break ties anchor-asc; a host with >3 distinct
+    anchors keeps exactly 3."""
+    import crab_spark.queries as Q
+
+    # every doc links the SAME target word (one host) with a different
+    # anchor; counts all equal ⇒ rank order is pure anchor asc
+    docs = spark.createDataFrame(
+        [(i, f"w0 w1 w2 w3 anch{i} sametarget", "s") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = sorted(
+            Q.QUERIES["q101_anchor_topk"](spark, "x").collect(),
+            key=lambda r: r.rnk,
+        )
+    finally:
+        Q.t = orig_t
+    assert [r.anchor for r in out] == ["anch0", "anch1", "anch2"]
+    assert [r.rnk for r in out] == [1, 2, 3]
+
+
+def test_hopping_window_double_assignment(spark):
+    """q102: every event lands in EXACTLY two 1h/30min windows, so the
+    window counts sum to 2× the event count; planted events reproduce
+    the 3-window pattern with the shared middle window summed."""
+    import datetime as dt
+
+    import crab_spark.queries as Q
+
+    ev = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1, 10, 15), 1, "view", 1.5, "{}"),
+         (1, dt.datetime(2024, 1, 1, 10, 45), 1, "view", 2.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: ev
+    try:
+        out = {r.win_start: r for r in
+               Q.QUERIES["q102_hopping_window"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+    w = {k: (v.n, v.sum_value) for k, v in out.items()}
+    assert w == {
+        dt.datetime(2024, 1, 1, 9, 30): (1, 1.5),
+        dt.datetime(2024, 1, 1, 10, 0): (2, 3.5),
+        dt.datetime(2024, 1, 1, 10, 30): (1, 2.0),
+    }
+    assert sum(v.n for v in out.values()) == 2 * ev.count()
+
+
+def test_host_degrees_complete_and_consistent(spark):
+    """q103: all 64 hosts present (isolated ⇒ zeros), degree counts
+    match a Python mirror of the edge derivation, and link totals
+    conserve the doc count on both directions."""
+    import hashlib
+
+    import crab_spark.queries as Q
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i % 3}", "s") for i in range(12)],
+        "doc_id long, text string, source string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = {r.host: r for r in
+               Q.QUERIES["q103_host_degrees"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+    assert set(out) == set(range(64))
+
+    def route(prefix, s):
+        return int(hashlib.md5(f"{prefix}{s}".encode()).hexdigest()[:2], 16) % 64
+
+    edges = {}
+    for i in range(12):
+        k = (route("h|", str(i)), route("d|", f"doc body {i % 3}"))
+        edges[k] = edges.get(k, 0) + 1
+    for h in range(64):
+        assert out[h].out_deg == sum(1 for (s, _) in edges if s == h)
+        assert out[h].out_links == sum(w for (s, _), w in edges.items() if s == h)
+        assert out[h].in_deg == sum(1 for (_, d) in edges if d == h)
+        assert out[h].in_links == sum(w for (_, d), w in edges.items() if d == h)
+    assert sum(r.out_links for r in out.values()) == 12
+    assert sum(r.in_links for r in out.values()) == 12

@@ -200,3 +200,20 @@ def test_streaming_hll_registers_equal_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["q95_hll_windowed"](spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_hopping_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming dual of q102: the hopping-window agg over the file
+    stream reproduces the batch query exactly (availableNow drains the
+    whole table, complete mode emits final window states)."""
+    from crab_spark.streaming.windows import hopping_sums
+
+    stream = stream_events(spark, sf_dir)
+    got = run_available_now(
+        hopping_sums(stream), "hopping_test", str(tmp_path / "ck_hop"),
+        output_mode="complete",
+    )
+    want = QUERIES["q102_hopping_window"](spark, sf_dir)
+    g = {str(r["win_start"]): (r["n"], r["sum_value"]) for r in got.collect()}
+    w = {str(r["win_start"]): (r["n"], r["sum_value"]) for r in want.collect()}
+    assert g == w and len(g) > 0
