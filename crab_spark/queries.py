@@ -1659,6 +1659,90 @@ def q103_host_degrees(spark, sf):
     return out
 
 
+def q104_robots_gate(spark, sf):
+    """The robots politeness gate as a PURE RELATIONAL plan — the
+    10^10-URL scale path: prefix-only rules (the overwhelming majority
+    of real robots lines) broadcast to the frontier and resolved by
+    RFC 9309 longest-match-wins entirely in codegen, no Python
+    crossing at all (robots.py's Arrow UDF handles the general
+    ``*``/``$`` patterns; at frontier scale you pre-split rule sets and
+    keep the prefix class on this path). Precedence is one integer:
+    ``len(pattern)·2 + allow`` — max picks the longest match and Allow
+    wins exact-length ties, exactly robots.rules_allow's order. URLs
+    with no matching rule are allowed (RFC default). Deterministic
+    fixture: doc URLs ``/p{id%10}/{id}`` on the q91 host route; per
+    host one Disallow ``/p{h%7}``, one longer Allow carve
+    ``/p{h%7}/1``, and a root Disallow on every 16th host. Output is
+    the per-host gate audit (n_urls, n_allowed, n_blocked). Plan: the
+    ≤192-row rule table broadcasts — the frontier side never shuffles
+    for rule matching; the two aggs share the (host, path) key."""
+    d0 = F.coalesce(F.col("doc_id"), F.lit(0))
+    did = F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+    host = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("h|"), did)), 1, 2), 16, 10)
+        .cast("int")
+        % _Q101_HOSTS
+    )
+    urls = t(spark, sf, "documents").select(
+        host.alias("host"),
+        F.concat(
+            F.lit("/p"),
+            (d0 % 10).cast("string"),
+            F.lit("/"),
+            d0.cast("string"),
+        ).alias("path"),
+    )
+    h = F.col("id").cast("int")
+    pfx = F.concat(F.lit("/p"), (h % 7).cast("string"))
+    hosts = spark.range(_Q101_HOSTS)
+    rules = (
+        hosts.select(
+            h.alias("host"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("allow"), pfx.alias("pattern")),
+                    F.struct(
+                        F.lit(1).alias("allow"),
+                        F.concat(pfx, F.lit("/1")).alias("pattern"),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select("host", F.col("r.allow").alias("allow"),
+                F.col("r.pattern").alias("pattern"))
+        .unionByName(
+            hosts.where(h % 16 == 0).select(
+                h.alias("host"),
+                F.lit(0).alias("allow"),
+                F.lit("/").alias("pattern"),
+            )
+        )
+        .withColumnRenamed("host", "r_host")
+    )
+    score = F.length("pattern") * 2 + F.col("allow")
+    best = (
+        urls.join(
+            F.broadcast(rules),
+            (F.col("host") == F.col("r_host"))
+            & F.col("path").startswith(F.col("pattern")),
+            "left",
+        )
+        .groupBy("host", "path")
+        .agg(F.max(score).alias("best"))
+    )
+    return best.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(
+            F.when(F.col("best").isNull() | (F.col("best") % 2 == 1), 1)
+            .otherwise(0)
+        ).alias("n_allowed"),
+        F.sum(
+            F.when(F.col("best").isNotNull() & (F.col("best") % 2 == 0), 1)
+            .otherwise(0)
+        ).alias("n_blocked"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3776,3 +3860,33 @@ ORACLE_SQL["q103_host_degrees"] = f"""
     FROM range({_Q101_HOSTS}) h
     LEFT JOIN o ON o.src = h.range
     LEFT JOIN i ON i.dst = h.range"""
+
+
+# q104: identical fixture + the same one-integer precedence encoding;
+# LEFT join keeps no-rule URLs (best NULL ⇒ allowed)
+ORACLE_SQL["q104_robots_gate"] = f"""
+    WITH d AS (SELECT coalesce(doc_id, 0) AS d0,
+                      md5('h|' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS hh
+               FROM documents),
+    u AS (SELECT CAST({_hexbyte('hh', 0)} % {_Q101_HOSTS} AS INT) AS host,
+                 '/p' || CAST(d0 % 10 AS VARCHAR) || '/'
+                      || CAST(d0 AS VARCHAR) AS path
+          FROM d),
+    hosts AS (SELECT CAST(range AS INT) AS host FROM range({_Q101_HOSTS})),
+    rules AS (
+        SELECT host, 0 AS allow,
+               '/p' || CAST(host % 7 AS VARCHAR) AS pattern FROM hosts
+        UNION ALL
+        SELECT host, 1, '/p' || CAST(host % 7 AS VARCHAR) || '/1' FROM hosts
+        UNION ALL
+        SELECT host, 0, '/' FROM hosts WHERE host % 16 = 0),
+    m AS (SELECT u.host, u.path, max(len(r.pattern) * 2 + r.allow) AS best
+          FROM u LEFT JOIN rules r
+            ON r.host = u.host AND starts_with(u.path, r.pattern)
+          GROUP BY u.host, u.path)
+    SELECT host, count(*) AS n_urls,
+           CAST(sum(CASE WHEN best IS NULL OR best % 2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           CAST(sum(CASE WHEN best IS NOT NULL AND best % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+    FROM m GROUP BY host"""

@@ -2436,3 +2436,60 @@ def test_host_degrees_complete_and_consistent(spark):
         assert out[h].in_links == sum(w for (_, d), w in edges.items() if d == h)
     assert sum(r.out_links for r in out.values()) == 12
     assert sum(r.in_links for r in out.values()) == 12
+
+
+def test_robots_gate_relational_semantics(spark):
+    """q104: RFC 9309 longest-match-wins resolved relationally — the
+    integer encoding len·2+allow must reproduce robots.rules_allow on
+    the fixture's rule shapes: Disallow /pX blocks, the longer Allow
+    /pX/1 carves back, root-Disallow hosts block everything else, and
+    a no-rule URL passes."""
+    import hashlib
+
+    import crab_spark.queries as Q
+    from crab_spark.robots import _compile_rules, rules_allow
+
+    docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = {r.host: r for r in
+               Q.QUERIES["q104_robots_gate"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+
+    def route(i):
+        return int(hashlib.md5(f"h|{i}".encode()).hexdigest()[:2], 16) % 64
+
+    # python mirror through the ENGINE's rule evaluator
+    expected = {}
+    for i in range(200):
+        h = route(i)
+        rules = [(False, f"/p{h % 7}"), (True, f"/p{h % 7}/1")]
+        if h % 16 == 0:
+            rules.append((False, "/"))
+        ok = rules_allow(f"/p{i % 10}/{i}", _compile_rules(rules))
+        n_urls, n_allowed, n_blocked = expected.get(h, (0, 0, 0))
+        expected[h] = (
+            n_urls + 1, n_allowed + (1 if ok else 0),
+            n_blocked + (0 if ok else 1),
+        )
+    assert {h: (r.n_urls, r.n_allowed, r.n_blocked) for h, r in out.items()} \
+        == expected
+    assert sum(r.n_blocked for r in out.values()) > 0
+    assert sum(r.n_allowed for r in out.values()) > 0
+
+
+def test_robots_gate_rules_broadcast(spark):
+    """q104 scale contract: the rule table broadcasts — the frontier
+    side never shuffles for rule matching (no SortMergeJoin)."""
+    import crab_spark.queries as Q
+    from crab_spark.plans import assert_broadcast_join, formatted_plan
+
+    df = Q.QUERIES["q104_robots_gate"](spark, "/root/testdata/sf0.001")
+    assert_broadcast_join(df)
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
