@@ -2493,3 +2493,20 @@ def test_robots_gate_rules_broadcast(spark):
     assert_broadcast_join(df)
     plan = formatted_plan(df).split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in plan
+
+
+def test_anchor_topk_plan_contracts(spark):
+    """q101 scale contracts, pinned on the executed shape: the scan
+    reads only `text`; the Generate emits the pair struct (the array is
+    consumed inside the transform, never carried per exploded row);
+    and the rank limit pushes below the exchange as a Partial
+    WindowGroupLimit, so at most 3 rows per host per partition cross
+    the shuffle."""
+    import crab_spark.queries as Q
+    from crab_spark.plans import formatted_plan
+
+    df = Q.QUERIES["q101_anchor_topk"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    assert "ReadSchema: struct<text:string>" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
