@@ -1743,6 +1743,56 @@ def q104_robots_gate(spark, sf):
     )
 
 
+_Q105_BUDGET = 10_000
+
+
+def q105_crawl_budget(spark, sf):
+    """Per-host fetch-quota allocation for one crawl epoch: divide a
+    global budget of 10,000 requests across hosts proportionally to
+    their pending-URL counts by the largest-remainder (Hamilton)
+    method — floor shares first, then the leftover units go to the
+    hosts with the largest fractional remainders (host-asc tiebreak).
+    INTEGER-EXACT end to end: share arithmetic is ``B·w div total`` /
+    ``B·w mod total`` (no float apportionment, so both engines agree
+    bit-for-bit and Σquota = B exactly — the invariant a scheduler
+    actually needs; frontier.py's priority dequeue consumes quotas of
+    exactly this shape). One docs-scale combinable count, then
+    O(#hosts) window work on 64 rows."""
+    did = F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+    host = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("h|"), did)), 1, 2), 16, 10)
+        .cast("int")
+        % _Q101_HOSTS
+    )
+    pend = (
+        t(spark, sf, "documents")
+        .select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("pending"))
+    )
+    tot = pend.agg(F.sum("pending").alias("_tot"))
+    b = F.lit(_Q105_BUDGET)
+    shares = pend.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "pending",
+        F.expr(f"({_Q105_BUDGET} * pending) div _tot").alias("fl"),
+        F.expr(f"({_Q105_BUDGET} * pending) % _tot").alias("rem"),
+    )
+    # leftover units = B - Σfloor; the window runs over ≤64 host rows
+    left = shares.agg((b - F.sum("fl")).alias("_left"))
+    w = W.orderBy(F.desc("rem"), F.asc("host"))
+    return (
+        shares.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(left))
+        .select(
+            "host",
+            "pending",
+            (F.col("fl") + (F.col("rnk") <= F.col("_left")).cast("long"))
+            .alias("quota"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3890,3 +3940,28 @@ ORACLE_SQL["q104_robots_gate"] = f"""
            CAST(sum(CASE WHEN best IS NOT NULL AND best % 2 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
     FROM m GROUP BY host"""
+
+
+# q105: the identical integer apportionment — floor shares via // ,
+# remainders ranked (desc, host asc), leftover = B − Σfloor; sums cast
+# from DuckDB's HUGEINT back to BIGINT
+ORACLE_SQL["q105_crawl_budget"] = f"""
+    WITH d AS (SELECT md5('h|' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+                 AS hh
+               FROM documents),
+    p AS (SELECT CAST({_hexbyte('hh', 0)} % {_Q101_HOSTS} AS INT) AS host,
+                 count(*) AS pending
+          FROM d GROUP BY 1),
+    s AS (SELECT host, pending,
+                 ({_Q105_BUDGET} * pending) // t.tot AS fl,
+                 ({_Q105_BUDGET} * pending) % t.tot AS rem
+          FROM p, (SELECT CAST(sum(pending) AS BIGINT) AS tot FROM p) t),
+    r AS (SELECT host, pending, fl,
+                 row_number() OVER (ORDER BY rem DESC, host ASC) AS rnk,
+                 (SELECT CAST({_Q105_BUDGET} - sum(fl) AS BIGINT) FROM s)
+                   AS lft
+          FROM s)
+    SELECT host, pending,
+           CAST(fl + CASE WHEN rnk <= lft THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM r"""

@@ -2510,3 +2510,41 @@ def test_anchor_topk_plan_contracts(spark):
     assert "ReadSchema: struct<text:string>" in plan
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_crawl_budget_sums_exactly_and_apportions(spark):
+    """q105 invariants: Σquota = B exactly (the scheduler contract the
+    largest-remainder method guarantees), every quota is floor or
+    floor+1 of the proportional share, and the +1s go to the largest
+    fractional remainders with the host-asc tiebreak."""
+    from fractions import Fraction
+
+    import crab_spark.queries as Q
+
+    # skewed pending counts: host route spreads 300 docs unevenly
+    docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(300)],
+        "doc_id long, text string, source string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = {r.host: r for r in
+               Q.QUERIES["q105_crawl_budget"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+    B = Q._Q105_BUDGET
+    total = sum(r.pending for r in out.values())
+    assert total == 300
+    assert sum(r.quota for r in out.values()) == B
+    # python mirror of the apportionment
+    fls = {h: (B * r.pending) // total for h, r in out.items()}
+    rems = {h: (B * r.pending) % total for h, r in out.items()}
+    left = B - sum(fls.values())
+    order = sorted(out, key=lambda h: (-rems[h], h))
+    bumped = set(order[:left])
+    for h, r in out.items():
+        assert r.quota == fls[h] + (1 if h in bumped else 0), h
+        share = Fraction(B * r.pending, total)
+        assert fls[h] <= r.quota <= fls[h] + 1
+        assert abs(r.quota - share) < 1
