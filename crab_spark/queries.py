@@ -1793,6 +1793,43 @@ def q105_crawl_budget(spark, sf):
     )
 
 
+def q106_length_percentiles(spark, sf):
+    """Per-source EXACT length percentiles (p50/p90/p99 of n_chars,
+    rank-based — never interpolated, the repo's percentile rule): the
+    distribution report behind corpus length gates, complementing
+    q99's histogram. Scale shape: the cumulative window runs over the
+    per-source VALUE DOMAIN (distinct lengths — bounded by max doc
+    length, not corpus size) after a combinable (source, v) count;
+    thresholds are ceil(q·n) in pure integer arithmetic, so both
+    engines pick the identical element. NULL n_chars → 0 (q46
+    convention); NULL source survives via the null-safe join."""
+    docs = t(spark, sf, "documents").select(
+        "source", F.coalesce(F.col("n_chars"), F.lit(0)).alias("v")
+    )
+    cnts = docs.groupBy("source", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        W.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = cnts.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = cnts.groupBy(F.col("source").alias("_s")).agg(
+        F.sum("cnt").alias("n_docs")
+    )
+    j = cum.join(tot, cum["source"].eqNullSafe(tot["_s"]))
+
+    def pick(knum: int, kden: int, name: str):
+        k = F.expr(f"({knum} * n_docs + {kden - 1}) div {kden}")
+        return F.min(F.when(F.col("cum") >= k, F.col("v"))).alias(name)
+
+    return j.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        pick(1, 2, "p50"),
+        pick(9, 10, "p90"),
+        pick(99, 100, "p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3965,3 +4002,25 @@ ORACLE_SQL["q105_crawl_budget"] = f"""
            CAST(fl + CASE WHEN rnk <= lft THEN 1 ELSE 0 END AS BIGINT)
              AS quota
     FROM r"""
+
+
+# q106: identical rank rule — cumulative counts over the per-source
+# value domain, threshold ceil(q·n) as (q_num·n + q_den−1) // q_den
+ORACLE_SQL["q106_length_percentiles"] = """
+    WITH c AS (SELECT source, coalesce(n_chars, 0) AS v, count(*) AS cnt
+               FROM documents GROUP BY 1, 2),
+    w AS (SELECT source, v, cnt,
+                 sum(cnt) OVER (PARTITION BY source ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c),
+    t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs
+          FROM c GROUP BY 1)
+    SELECT t.source, t.n_docs,
+           CAST(min(CASE WHEN w.cum >= (1 * t.n_docs + 1) // 2
+                         THEN w.v END) AS BIGINT) AS p50,
+           CAST(min(CASE WHEN w.cum >= (9 * t.n_docs + 9) // 10
+                         THEN w.v END) AS BIGINT) AS p90,
+           CAST(min(CASE WHEN w.cum >= (99 * t.n_docs + 99) // 100
+                         THEN w.v END) AS BIGINT) AS p99
+    FROM w JOIN t ON w.source IS NOT DISTINCT FROM t.source
+    GROUP BY 1, 2"""

@@ -2548,3 +2548,30 @@ def test_crawl_budget_sums_exactly_and_apportions(spark):
         share = Fraction(B * r.pending, total)
         assert fls[h] <= r.quota <= fls[h] + 1
         assert abs(r.quota - share) < 1
+
+
+def test_length_percentiles_rank_rule(spark):
+    """q106: exact rank-based percentiles — smallest v with
+    cum ≥ ceil(q·n) — against a hand-checked frame, including a
+    NULL-source group and NULL n_chars → 0."""
+    import crab_spark.queries as Q
+
+    # source a: values 1..10 → p50 = 5 (ceil(10/2)=5th), p90 = 9, p99 = 10
+    rows = [(i, "t", "en", "a", i + 1) for i in range(10)]
+    # source NULL: single doc with NULL n_chars → all percentiles 0
+    rows.append((99, "t", "en", None, None))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = {r.source: r for r in
+               Q.QUERIES["q106_length_percentiles"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+    a = out["a"]
+    assert (a.n_docs, a.p50, a.p90, a.p99) == (10, 5, 9, 10)
+    n = out[None]
+    assert (n.n_docs, n.p50, n.p90, n.p99) == (1, 0, 0, 0)
