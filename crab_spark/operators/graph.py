@@ -150,3 +150,80 @@ def pagerank_fixed(
     out = rank.select("host", F.col("r").alias("rank_fp"))
     out.df_ordered_cache = edges  # caller-unpersist handle (repo convention)
     return out
+
+
+def redirect_map(spark: SparkSession, n_nodes: int = 256) -> DataFrame:
+    """Deterministic redirect table over an integer node domain:
+    (node, nxt, done, hops). Node 0 and every node whose md5 coin
+    ``hexbyte(md5('r|' || node))`` is ≡ 0 (mod 4) answer 200 (terminal:
+    nxt = node, hops = 0); every other node 301-redirects 1–3 ids DOWN
+    (``max(node − (1 + coin % 3), 0)``) — strictly decreasing, so the
+    graph is acyclic by construction and every chain terminates. The
+    md5 derivation is the fixture convention shared with the DuckDB
+    oracle (q104/q105 precedent); in a real crawl this table is the
+    fetched log's (url, location) redirect pairs at URL scale."""
+    u = F.col("id").cast("int")
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("r|"), u.cast("string"))), 1, 2), 16, 10)
+        .cast("int")
+    )
+    term = (u == 0) | (coin % 4 == 0)
+    nxt = F.when(term, u).otherwise(F.greatest(u - (1 + coin % 3), F.lit(0)))
+    return spark.range(n_nodes).select(
+        u.alias("node"),
+        nxt.cast("int").alias("nxt"),
+        term.alias("done"),
+        F.when(term, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("hops"),
+    )
+
+
+def resolve_redirects(
+    spark: SparkSession, n_nodes: int = 256, max_rounds: int = 12
+) -> DataFrame:
+    """Resolve every node's redirect chain to its terminal target by
+    POINTER DOUBLING: after round k each unresolved row has advanced
+    2^k hops, so L-step chains finish in ceil(log2 L) rounds — the
+    O(log n) MapReduce shape (the connected-components discipline,
+    operators/dedup.py), never a per-step walk whose round count is the
+    longest chain. Returns (node, final, hops) with ``final`` terminal
+    and ``hops`` the exact chain length.
+
+    Plan shape per round: the mapping self-joins on (nxt = node) — at
+    sandbox scale (256 rows) a broadcast, at URL scale a shuffle-hash
+    join on the node key, both fine — and is localCheckpoint-ed so
+    lineage stays O(1) per round (each round consumes the previous
+    mapping TWICE: probe side + build side — the multi-consumer
+    re-execution trap in iterative form). The done-check is a 1-row
+    driver action per round, ≤ ceil(log2 n_nodes) + 1 rounds total."""
+    m = redirect_map(spark, n_nodes).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        if m.where(~F.col("done")).isEmpty():
+            break
+        succ = m.select(
+            F.col("node").alias("s_node"),
+            F.col("nxt").alias("s_nxt"),
+            F.col("done").alias("s_done"),
+            F.col("hops").alias("s_hops"),
+        )
+        m = (
+            m.join(succ, m["nxt"] == succ["s_node"])
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("nxt"))
+                .otherwise(F.col("s_nxt"))
+                .alias("nxt"),
+                (F.col("done") | F.col("s_done")).alias("done"),
+                F.when(F.col("done"), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("s_hops"))
+                .alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        n_bad = m.where(~F.col("done")).count()
+        if n_bad:
+            raise RuntimeError(
+                f"redirect resolution did not converge: {n_bad} nodes "
+                f"unresolved after {max_rounds} doubling rounds"
+            )
+    return m.select("node", F.col("nxt").alias("final"), "hops")

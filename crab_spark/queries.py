@@ -1830,6 +1830,141 @@ def q106_length_percentiles(spark, sf):
     )
 
 
+_Q107_NODES = 256
+
+
+def q107_redirect_resolve(spark, sf):
+    """Redirect-chain resolution: every corpus URL's chain is followed
+    to its terminal (200) target and the collapsed mass reported per
+    canonical destination — the crawl-dedup step that keeps a frontier
+    from re-registering every hop of a 301 chain as a distinct page.
+    The redirect table is the deterministic md5 fixture
+    (graph.redirect_map — acyclic by construction, shared with the
+    oracle); resolution is POINTER DOUBLING (graph.resolve_redirects):
+    ceil(log2 L) self-join rounds, never an L-round walk. Docs-scale
+    work is ONE combinable agg after a broadcast join of the resolved
+    ≤256-row map; at URL scale the map is the fetched log's redirect
+    pairs and the same doubling joins shuffle on the node key."""
+    resolved = G.resolve_redirects(spark, n_nodes=_Q107_NODES)
+    did = F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+    start = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("u|"), did)), 1, 2), 16, 10)
+        .cast("int")
+        % _Q107_NODES
+    )
+    starts = t(spark, sf, "documents").select(start.alias("node"))
+    return (
+        starts.join(F.broadcast(resolved), "node")
+        .groupBy("final")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("node").alias("n_starts"),
+            F.max("hops").alias("max_hops"),
+        )
+    )
+
+
+_Q108_TRAP_PCT = 5  # a template holding >5% of the corpus' URLs is a trap
+
+
+def q108_url_templates(spark, sf):
+    """URL-template mining for crawler-trap detection: collapse every
+    URL's digit runs to ``{n}`` and report per-template mass — the
+    pre-crawl report that surfaces calendar/session-id traps (one
+    template, unbounded distinct URLs) before the frontier drowns in
+    them. URL fixture: ``/{source}/c{id%7}/item-{id}`` with an md5-coin
+    20% minority carrying a synthetic session parameter (the trap
+    class). One scan → template inside codegen (regexp_replace) → one
+    combinable agg; the trap verdict is exact integer arithmetic
+    (100·n_urls > pct·total) against a 1-row broadcast total."""
+    d0 = F.coalesce(F.col("doc_id"), F.lit(0))
+    did = F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("t|"), did)), 1, 2), 16, 10)
+        .cast("int")
+    )
+    path = F.concat(
+        F.lit("/"),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.lit("/"),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit("/c"),
+        (d0 % 7).cast("string"),
+        F.lit("/item-"),
+        d0.cast("string"),
+        F.when(
+            coin % 5 == 0,
+            F.concat(F.lit("?sid="), ((d0 * 7919) % 100000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    urls = t(spark, sf, "documents").select(
+        F.regexp_replace(path, "[0-9]+", "{n}").alias("template"),
+        path.alias("path"),
+    )
+    tot = urls.agg(F.count(F.lit(1)).alias("_tot"))
+    agg = urls.groupBy("template").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("path").alias("n_paths"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "template",
+        "n_urls",
+        "n_paths",
+        (F.col("n_urls") * 100 > F.lit(_Q108_TRAP_PCT) * F.col("_tot")).alias(
+            "is_trap"
+        ),
+    )
+
+
+def q109_cluster_reps(spark, sf):
+    """Canonical-document selection per near-dup cluster: q40's
+    connected components joined with q49's LM quality scores; the
+    keeper is each cluster's best document under the q54 total order
+    (empty-last, avg_nll asc, doc_id asc) — real dedup keeps the
+    HIGHEST-QUALITY member, not the arbitrary min-id (q50's keep rule).
+    Selection is one map-combinable min(struct) per cluster — never a
+    per-cluster window over the corpus — so a boilerplate mega-cluster
+    combines map-side like any other agg. Null-safe id join per the
+    NULL-rule convention; the lm_score token cache rides out as the
+    caller-unpersist handle."""
+    docs = t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=8, k=2)
+    pairs = D.lsh_candidate_pairs(
+        sigs, n_hashes=8, band_size=2, max_bucket=_MAX_BUCKET
+    )
+    verified = (
+        D.ngram_jaccard(docs, pairs, k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    clusters = D.connected_components(verified, vertices=docs).select(
+        F.col("doc_id").alias("c_doc_id"), "cluster_id"
+    )
+    scored = X.lm_score(docs)
+    j = clusters.join(
+        scored, F.col("c_doc_id").eqNullSafe(scored["doc_id"])
+    ).select("cluster_id", "doc_id", "n_words", "avg_nll")
+    agg = j.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (F.col("n_words") == 0).alias("empty"),
+                F.col("avg_nll").alias("nll"),
+                F.col("doc_id").alias("d"),
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    out = agg.select(
+        "cluster_id",
+        F.col("best.d").alias("keeper_id"),
+        F.col("best.nll").alias("keeper_nll"),
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )
+    out.df_ordered_cache = getattr(scored, "df_ordered_cache", None)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -4024,3 +4159,91 @@ ORACLE_SQL["q106_length_percentiles"] = """
                          THEN w.v END) AS BIGINT) AS p99
     FROM w JOIN t ON w.source IS NOT DISTINCT FROM t.source
     GROUP BY 1, 2"""
+
+
+# q107: the identical fixture map (coin byte, mod-4 terminals, 1-3
+# step-down redirects) walked by a recursive CTE — each node keeps the
+# row where its cursor lands on a terminal; hops counts the steps. The
+# Spark side resolves the same chains by pointer doubling.
+ORACLE_SQL["q107_redirect_resolve"] = f"""
+    WITH RECURSIVE nodes AS (
+        SELECT CAST(range AS INT) AS u,
+               md5('r|' || CAST(range AS VARCHAR)) AS rh
+        FROM range({_Q107_NODES})),
+    mp AS (SELECT u,
+                  (u = 0 OR {_hexbyte('rh', 0)} % 4 = 0) AS term,
+                  CASE WHEN (u = 0 OR {_hexbyte('rh', 0)} % 4 = 0) THEN u
+                       ELSE greatest(u - (1 + {_hexbyte('rh', 0)} % 3), 0)
+                  END AS nxt
+           FROM nodes),
+    walk AS (
+        SELECT u AS node, u AS cur, 0 AS hops FROM mp
+        UNION ALL
+        SELECT w.node, m.nxt, w.hops + 1
+        FROM walk w JOIN mp m ON m.u = w.cur
+        WHERE NOT m.term),
+    fin AS (SELECT w.node, w.cur AS final, w.hops
+            FROM walk w JOIN mp m ON m.u = w.cur
+            WHERE m.term),
+    st AS (SELECT md5('u|' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+             AS uh
+           FROM documents),
+    sn AS (SELECT CAST({_hexbyte('uh', 0)} % {_Q107_NODES} AS INT) AS node
+           FROM st)
+    SELECT CAST(f.final AS INT) AS final,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT s.node) AS BIGINT) AS n_starts,
+           CAST(max(f.hops) AS INT) AS max_hops
+    FROM sn s JOIN fin f ON f.node = s.node
+    GROUP BY 1"""
+
+
+# q108: identical path fixture + digit-run collapse; DuckDB needs the
+# explicit 'g' flag to match Spark's replace-all default
+ORACLE_SQL["q108_url_templates"] = f"""
+    WITH d AS (SELECT coalesce(doc_id, 0) AS d0, source, lang,
+                      md5('t|' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+                        AS th
+               FROM documents),
+    p AS (SELECT '/' || coalesce(lang, '') || '/' || coalesce(source, '')
+               || '/c' || CAST(d0 % 7 AS VARCHAR)
+               || '/item-' || CAST(d0 AS VARCHAR)
+               || CASE WHEN {_hexbyte('th', 0)} % 5 = 0
+                       THEN '?sid=' || CAST((d0 * 7919) % 100000 AS VARCHAR)
+                       ELSE '' END AS path
+          FROM d),
+    a AS (SELECT regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template,
+                 count(*) AS n_urls, count(DISTINCT path) AS n_paths
+          FROM p GROUP BY 1),
+    t AS (SELECT count(*) AS tot FROM p)
+    SELECT template, CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_paths AS BIGINT) AS n_paths,
+           (n_urls * 100 > {_Q108_TRAP_PCT} * tot) AS is_trap
+    FROM a CROSS JOIN t"""
+
+
+# q109: the q40 components and q49 scores chained verbatim (q50/q54
+# precedent — single source of truth for the shared semantics); keeper
+# by row_number over the q54 total order, which picks the identical
+# tuple min(struct) selects on the Spark side
+ORACLE_SQL["q109_cluster_reps"] = (
+    """
+    WITH cl AS (SELECT * FROM ("""
+    + ORACLE_SQL["q40_dup_clusters"]
+    + """)),
+    sc AS (SELECT * FROM ("""
+    + ORACLE_SQL["q49_lm_score"]
+    + """)),
+    j AS (SELECT cl.cluster_id, sc.doc_id, sc.n_words, sc.avg_nll
+          FROM cl JOIN sc ON cl.doc_id IS NOT DISTINCT FROM sc.doc_id),
+    r AS (SELECT cluster_id, doc_id, avg_nll,
+                 row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY (n_words = 0), avg_nll, doc_id NULLS FIRST)
+                   AS rn,
+                 count(*) OVER (PARTITION BY cluster_id) AS nm
+          FROM j)
+    SELECT cluster_id, doc_id AS keeper_id, avg_nll AS keeper_nll,
+           CAST(nm AS BIGINT) AS n_members,
+           CAST(nm - 1 AS BIGINT) AS n_dropped
+    FROM r WHERE rn = 1"""
+)

@@ -2575,3 +2575,85 @@ def test_length_percentiles_rank_rule(spark):
     assert (a.n_docs, a.p50, a.p90, a.p99) == (10, 5, 9, 10)
     n = out[None]
     assert (n.n_docs, n.p50, n.p90, n.p99) == (1, 0, 0, 0)
+
+
+def test_url_templates_trap_detection(spark):
+    """q108: digit runs collapse to {n}, the sid minority lands in its
+    own template, and the trap verdict is the exact integer rule
+    100·n_urls > 5·total — checked against a Python mirror of the
+    whole fixture."""
+    import hashlib
+
+    import crab_spark.queries as Q
+
+    # skewed langs: 'en' dominates (its templates are traps), the
+    # letter-only minority langs fall under the 5% line
+    langs = ["en"] * 7 + ["qa", "qb", "qc"]
+    docs = spark.createDataFrame(
+        [(i, "t", langs[i % 10], f"src{i % 3}") for i in range(200)],
+        "doc_id long, text string, lang string, source string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = {r.template: r for r in
+               Q.QUERIES["q108_url_templates"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+
+    import re
+
+    mirror = {}
+    for i in range(200):
+        coin = int(hashlib.md5(f"t|{i}".encode()).hexdigest()[:2], 16)
+        path = f"/{langs[i % 10]}/src{i % 3}/c{i % 7}/item-{i}"
+        if coin % 5 == 0:
+            path += f"?sid={(i * 7919) % 100000}"
+        tpl = re.sub(r"[0-9]+", "{n}", path)
+        n, paths = mirror.get(tpl, (0, set()))
+        paths.add(path)
+        mirror[tpl] = (n + 1, paths)
+    assert set(out) == set(mirror)
+    for tpl, (n, paths) in mirror.items():
+        r = out[tpl]
+        assert (r.n_urls, r.n_paths) == (n, len(paths)), tpl
+        assert r.is_trap == (100 * n > 5 * 200), tpl
+    # the fixture exercises BOTH verdicts and no template keeps a digit
+    assert {r.is_trap for r in out.values()} == {True, False}
+    assert not any(re.search(r"[0-9]", t) for t in out)
+
+
+def test_cluster_reps_pick_best_quality_not_min_id(spark):
+    """q109: the keeper is the cluster member with the LOWEST unigram
+    avg_nll (common-word doc), NOT the min doc_id — the planted pair
+    puts the rare-word doc at the smaller id, so q50's min-id rule and
+    q109's quality rule disagree on purpose. Singletons keep
+    themselves with n_dropped = 0."""
+    import crab_spark.queries as Q
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, "the " * 9 + "the", "en", "s") for i in range(6)]
+    rows += [
+        (10, common + " qqrare zzrare", "en", "s"),   # rare tail → high nll
+        (11, common + " the the", "en", "s"),         # common tail → low nll
+        (20, "unique singleton words never repeated anywhere else here",
+         "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = {r.cluster_id: r for r in
+               Q.QUERIES["q109_cluster_reps"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+
+    pair = out[10]  # cluster labeled by its min member id
+    assert pair.n_members == 2 and pair.n_dropped == 1
+    assert pair.keeper_id == 11  # quality wins over min-id
+    single = out[20]
+    assert (single.keeper_id, single.n_members, single.n_dropped) == (20, 1, 0)
+    # every corpus doc lands in exactly one cluster
+    assert sum(r.n_members for r in out.values()) == len(rows)

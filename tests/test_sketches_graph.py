@@ -380,3 +380,81 @@ def test_hll_overlap_registers_cached(spark, vocab_docs):
         assert ep.count("InMemoryTableScan") >= 2, ep
     finally:
         out.df_ordered_cache.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# redirect resolution (q107)
+# ---------------------------------------------------------------------------
+
+
+def _redirect_mirror(n):
+    """Python walk of the deterministic redirect fixture."""
+    def coin(u):
+        return int(hashlib.md5(f"r|{u}".encode()).hexdigest()[:2], 16)
+
+    fin, hp = {}, {}
+    for u in range(n):
+        cur, h = u, 0
+        while not (cur == 0 or coin(cur) % 4 == 0):
+            cur = max(cur - (1 + coin(cur) % 3), 0)
+            h += 1
+        fin[u], hp[u] = cur, h
+    return fin, hp
+
+
+def test_resolve_redirects_matches_python_walk(spark):
+    """Pointer doubling must land every node on the SAME terminal with
+    the SAME exact hop count as a step-by-step walk — doubling is an
+    execution strategy, not a semantics change."""
+    out = {r.node: (r.final, r.hops)
+           for r in G.resolve_redirects(spark, n_nodes=256).collect()}
+    fin, hp = _redirect_mirror(256)
+    assert len(out) == 256
+    assert out == {u: (fin[u], hp[u]) for u in range(256)}
+    # the fixture is non-trivial: multi-hop chains exist, node 0 is the
+    # floor terminal, and every final is itself terminal (self-mapped)
+    assert max(h for _, h in out.values()) >= 2
+    assert out[0] == (0, 0)
+    assert all(out[f] == (f, 0) for f, _ in out.values())
+
+
+def test_q107_collapsed_mass_python_mirror(spark):
+    """q107 aggregates per canonical target exactly: n_urls, distinct
+    start nodes, and the longest chain among the collapsing URLs."""
+    import crab_spark.queries as Q
+
+    docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(150)],
+        "doc_id long, text string, source string",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        rows = Q.QUERIES["q107_redirect_resolve"](spark, "x").collect()
+    finally:
+        Q.t = orig_t
+
+    fin, hp = _redirect_mirror(256)
+    agg = {}
+    for i in range(150):
+        s = int(hashlib.md5(f"u|{i}".encode()).hexdigest()[:2], 16) % 256
+        f = fin[s]
+        a = agg.setdefault(f, [0, set(), 0])
+        a[0] += 1
+        a[1].add(s)
+        a[2] = max(a[2], hp[s])
+    assert {r.final: (r.n_urls, r.n_starts, r.max_hops) for r in rows} == {
+        f: (a[0], len(a[1]), a[2]) for f, a in agg.items()
+    }
+    assert sum(r.n_urls for r in rows) == 150  # mass conservation
+
+
+def test_q107_resolved_map_broadcasts(spark):
+    """Scale contract: the ≤256-row resolved map broadcasts to the
+    docs-scale start nodes — the corpus side never shuffles to meet
+    the redirect table."""
+    import crab_spark.queries as Q
+
+    df = Q.QUERIES["q107_redirect_resolve"](spark, "/root/testdata/sf0.001")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
