@@ -1965,6 +1965,110 @@ def q109_cluster_reps(spark, sf):
     return out
 
 
+_Q110_SIG_MOD = 5  # content-signature buckets
+_Q110_MIN_GAP = 60  # politeness floor on the recrawl interval (seconds)
+
+
+def q110_recrawl_schedule(spark, sf):
+    """Adaptive recrawl scheduling: per URL key, estimate the content
+    change rate from the observation log and derive the next fetch
+    due-time — the freshness policy a production crawler runs so hot
+    pages are revisited often and static ones rarely. The events table
+    is the observation log (user_id = URL key, ts = fetch time, a
+    floor(value·100) mod-5 bucket = the content signature); a change is
+    a signature different from the PREVIOUS observation (per-key lag
+    window, ordered by ts then event_id). All arithmetic is integer
+    (epoch seconds, div): interval = span div max(changes, 1), due =
+    last + max(interval, 60 s floor). Scale shape: ONE key-partitioned
+    window pass (per-key windows scale — the partition is the key) +
+    one combinable agg; no global window, no Python."""
+    # ts is TIMESTAMP_NTZ: hop through timestamp for the epoch cast
+    # (the q19 precedent); floor seconds = DuckDB's epoch_us // 1e6
+    e = F.col("ts").cast("timestamp").cast("long")
+    sig = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast(
+        "long"
+    ) % _Q110_SIG_MOD
+    obs = t(spark, sf, "events").select(
+        F.col("user_id").alias("url_key"),
+        F.coalesce(e, F.lit(0)).alias("ep"),
+        sig.alias("sig"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    lagged = obs.withColumn(
+        "prev_sig", F.lag("sig").over(
+            W.partitionBy("url_key").orderBy("ts", "event_id")
+        )
+    )
+    agg = lagged.groupBy("url_key").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            (
+                F.col("prev_sig").isNotNull()
+                & (F.col("sig") != F.col("prev_sig"))
+            ).cast("long")
+        ).alias("n_changes"),
+        (F.max("ep") - F.min("ep")).alias("span_sec"),
+        F.max("ep").alias("_last"),
+    )
+    interval = F.expr("span_sec div greatest(n_changes, 1)")
+    return agg.select(
+        "url_key",
+        "n_obs",
+        "n_changes",
+        "span_sec",
+        interval.alias("interval_sec"),
+        (
+            F.col("_last")
+            + F.greatest(interval, F.lit(_Q110_MIN_GAP))
+        ).alias("next_due_epoch"),
+    )
+
+
+_Q111_SHARDS = 8
+
+
+def q111_range_planner(spark, sf):
+    """Range-partition planner for balanced SORTED output: equal-height
+    boundaries over the sort key (n_chars) computed exactly — shard of
+    a key value v is ``(cum_before(v) · N) div total`` (all rows of one
+    value land in one shard, the range-partitioning invariant), then
+    the per-shard audit (row count, key range, distinct keys) that a
+    writer uses to size its output files. The q106 discipline: the
+    cumulative window runs over the VALUE DOMAIN (distinct key values,
+    bounded by max doc length — 313 at the graded SFs, never corpus
+    rows), so the single ordered window is over a bounded relation; the
+    docs-scale work is one combinable (v, count) agg. Integer-exact end
+    to end; both engines place every value identically."""
+    v = F.coalesce(F.col("n_chars"), F.lit(0))
+    cnts = (
+        t(spark, sf, "documents")
+        .select(v.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cnts.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = cnts.agg(F.sum("cnt").alias("_tot"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "cnt",
+            F.expr(f"((cum - cnt) * {_Q111_SHARDS}) div _tot").alias(
+                "shard_id"
+            ),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -4247,3 +4351,56 @@ ORACLE_SQL["q109_cluster_reps"] = (
            CAST(nm - 1 AS BIGINT) AS n_dropped
     FROM r WHERE rn = 1"""
 )
+
+
+# q110: identical signature/lag/epoch arithmetic — epoch_us // 1e6 is
+# DuckDB's floor-seconds (matches Spark's timestamp→long cast); the
+# lag window pins NULLS FIRST (Spark's ASC default, q39/q54 precedent)
+ORACLE_SQL["q110_recrawl_schedule"] = f"""
+    WITH o AS (SELECT user_id AS url_key,
+                      coalesce(epoch_us(ts) // 1000000, 0) AS ep,
+                      CAST(floor(coalesce(value, 0.0) * 100) AS BIGINT)
+                        % {_Q110_SIG_MOD} AS sig,
+                      lag(CAST(floor(coalesce(value, 0.0) * 100) AS BIGINT)
+                          % {_Q110_SIG_MOD})
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS FIRST,
+                                       event_id NULLS FIRST) AS prev_sig
+               FROM events),
+    a AS (SELECT url_key,
+                 CAST(count(*) AS BIGINT) AS n_obs,
+                 CAST(sum(CASE WHEN prev_sig IS NOT NULL
+                                AND sig <> prev_sig
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                 max(ep) - min(ep) AS span_sec,
+                 max(ep) AS lst
+          FROM o GROUP BY 1)
+    SELECT url_key, n_obs, n_changes,
+           CAST(span_sec AS BIGINT) AS span_sec,
+           CAST(span_sec // greatest(n_changes, 1) AS BIGINT)
+             AS interval_sec,
+           CAST(lst + greatest(span_sec // greatest(n_changes, 1),
+                               {_Q110_MIN_GAP}) AS BIGINT)
+             AS next_due_epoch
+    FROM a"""
+
+
+# q111: identical equal-height rule — shard(v) = (cum_before·N) div
+# total over the value-domain cumulative window
+ORACLE_SQL["q111_range_planner"] = f"""
+    WITH c AS (SELECT coalesce(n_chars, 0) AS v, count(*) AS cnt
+               FROM documents GROUP BY 1),
+    w AS (SELECT v, cnt,
+                 sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cum
+          FROM c),
+    t AS (SELECT sum(cnt) AS tot FROM c),
+    s AS (SELECT v, cnt,
+                 ((cum - cnt) * {_Q111_SHARDS}) // tot AS shard_id
+          FROM w CROSS JOIN t)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           CAST(min(v) AS BIGINT) AS lo,
+           CAST(max(v) AS BIGINT) AS hi,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM s GROUP BY 1"""

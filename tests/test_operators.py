@@ -2657,3 +2657,99 @@ def test_cluster_reps_pick_best_quality_not_min_id(spark):
     assert (single.keeper_id, single.n_members, single.n_dropped) == (20, 1, 0)
     # every corpus doc lands in exactly one cluster
     assert sum(r.n_members for r in out.values()) == len(rows)
+
+
+def test_recrawl_schedule_change_rate(spark):
+    """q110: change-rate arithmetic against hand-built observation
+    logs — a changing page gets a short interval, a static page's
+    interval is its whole span, and a single-observation page falls
+    back to the 60 s politeness floor."""
+    from datetime import datetime
+
+    import crab_spark.queries as Q
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 0, 0, 0).fromtimestamp(
+            t0.timestamp() + sec
+        )
+
+    rows = [
+        # user 1: sigs 0,1,1,2 over 300 s → 2 changes, interval 150
+        (1, at(0), 1, 0.00), (2, at(100), 1, 0.01),
+        (3, at(200), 1, 0.01), (4, at(300), 1, 0.02),
+        # user 2: static sig over 500 s → 0 changes, interval = span
+        (5, at(0), 2, 0.03), (6, at(500), 2, 0.03),
+        # user 3: one observation → span 0, due = last + 60 floor
+        (7, at(42), 3, 0.04),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: ev
+    try:
+        out = {r.url_key: r for r in
+               Q.QUERIES["q110_recrawl_schedule"](spark, "x").collect()}
+    finally:
+        Q.t = orig_t
+
+    base = int(t0.timestamp())
+    u1 = out[1]
+    assert (u1.n_obs, u1.n_changes, u1.span_sec, u1.interval_sec) == (
+        4, 2, 300, 150)
+    assert u1.next_due_epoch == base + 300 + 150
+    u2 = out[2]
+    assert (u2.n_changes, u2.interval_sec) == (0, 500)
+    assert u2.next_due_epoch == base + 500 + 500
+    u3 = out[3]
+    assert (u3.n_obs, u3.span_sec, u3.interval_sec) == (1, 0, 0)
+    assert u3.next_due_epoch == base + 42 + 60  # politeness floor
+
+
+def test_range_planner_equal_height_and_value_integrity(spark):
+    """q111: every key value lands in exactly one shard (range
+    invariant), shards partition the corpus exactly, boundaries are
+    the integer equal-height rule, and a heavy value is NOT split."""
+    import crab_spark.queries as Q
+
+    # values 1..16 once each, plus value 5 repeated 16× (heavy key)
+    rows = [(i, "t", "en", "s", (i % 16) + 1) for i in range(16)]
+    rows += [(100 + i, "t", "en", "s", 5) for i in range(16)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    )
+    orig_t = Q.t
+    Q.t = lambda sp, sf, name: docs
+    try:
+        out = sorted(
+            Q.QUERIES["q111_range_planner"](spark, "x").collect(),
+            key=lambda r: r.shard_id,
+        )
+    finally:
+        Q.t = orig_t
+
+    # python mirror of the shard rule
+    from collections import Counter
+
+    cnt = Counter((i % 16) + 1 for i in range(16))
+    cnt.update({5: 16})
+    total = sum(cnt.values())
+    cum = 0
+    mirror = {}
+    for v in sorted(cnt):
+        shard = (cum * Q._Q111_SHARDS) // total
+        m = mirror.setdefault(shard, [0, v, v, 0])
+        m[0] += cnt[v]
+        m[2] = v
+        m[3] += 1
+        cum += cnt[v]
+    assert {r.shard_id: (r.n_docs, r.lo, r.hi, r.n_keys) for r in out} == {
+        s: tuple(m) for s, m in mirror.items()
+    }
+    assert sum(r.n_docs for r in out) == total        # exact partition
+    # ranges are disjoint and ordered
+    for a, b in zip(out, out[1:]):
+        assert a.hi < b.lo
