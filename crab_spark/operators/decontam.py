@@ -233,6 +233,8 @@ def neardup_contamination(
         )
     )
     out.dropped_buckets = dropped
+    # the candidate cache must reach the registry lifecycle wrapper
+    out.df_pipeline_caches = [cand]
     return out
 
 

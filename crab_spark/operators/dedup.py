@@ -26,6 +26,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def cache_handles(*frames) -> list[DataFrame]:
+    """Harvest the caller-unpersist cache handles (``df_ordered_cache``
+    / ``df_pipeline_caches``) attached to the given frame OBJECTS.
+    Plain Python attributes do not survive DataFrame transformations
+    (``.filter``/``.select`` return new objects), so a composition site
+    must collect them from the intermediate objects it holds and
+    re-attach the union to its own result — otherwise the registry
+    sweep's lifecycle wrapper never sees (and never unpersists) the
+    inner caches."""
+    out: list[DataFrame] = []
+    for f in frames:
+        h = getattr(f, "df_ordered_cache", None)
+        if h is not None:
+            out.append(h)
+        out.extend(
+            x
+            for x in (getattr(f, "df_pipeline_caches", None) or [])
+            if x is not None
+        )
+    return out
+
+
 def cap_buckets(
     keyed: DataFrame, keys: list[str], max_bucket: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -234,7 +256,9 @@ def ngram_jaccard(
         "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
     )
     out.df_ordered_cache = sh
-    out.df_pairs_cache = p
+    # the pairs cache rides the wrapper-recognized attr so the registry
+    # lifecycle releases it too (df_pairs_cache was invisible to it)
+    out.df_pipeline_caches = [p]
     return out
 
 
@@ -661,6 +685,8 @@ def dedup_incremental_neardup(
         )
     )
     out.dropped_buckets = dropped
+    # the candidate cache must reach the lifecycle wrapper
+    out.df_pipeline_caches = [cand]
     return out
 
 
@@ -724,4 +750,78 @@ def novelty_score(
         )
     )
     out.df_ordered_cache = ds
+    return out
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    min_shared: int = 3,
+    max_bucket: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric CONTAINMENT detection (quote / subset finding): for
+    every doc pair sharing ≥ ``min_shared`` distinct k-word shingles,
+    report ``containment`` = shared / |smaller shingle set| — near 1.0
+    when one document quotes or wholly contains the other. Symmetric
+    Jaccard (ngram_jaccard) scores exactly this relation near 0 when
+    sizes differ wildly (a 12-word quote inside a 10k-word page), so
+    the near-dup suite misses it; containment is the standard measure
+    for quote attribution and subset dedup.
+
+    Scale shape: distinct (doc, md5-shingle) pairs — ONE shuffle —
+    CACHED (feeds the inverted index AND both size join-backs);
+    per-shingle buckets capped at ``max_bucket`` (an over-cap shingle
+    is boilerplate: bucket dropped WHOLE and reported via
+    ``.dropped_buckets``, the cap_buckets convention); the pair agg
+    keys on (id_a, id_b) and the ≥ min_shared filter bounds the
+    output. Never all-pairs: fan-out per shingle ≤ max_bucket²/2.
+    NULL ids drop from pairs (NULL < x is NULL) but keep their size
+    row — mirrored by the oracle."""
+    sh = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), k))
+            ).alias("s"),
+        )
+        .select("_id", F.md5("s").alias("h"))
+        .distinct()
+        .cache()
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    capped, dropped = cap_buckets(sh, ["h"], max_bucket)
+    shared = (
+        capped.select(F.col("_id").alias("id_a"), "h")
+        .join(capped.select(F.col("_id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    out = (
+        shared.join(
+            sizes.withColumnRenamed("_id", "id_a")
+            .withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_id", "id_b")
+            .withColumnRenamed("n", "n_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+    out.df_ordered_cache = sh
+    out.dropped_buckets = dropped
     return out

@@ -339,3 +339,45 @@ def apply_mixture_rates(
             (frac < rate).alias("keep"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    key_col: str = "doc_id",
+    salt: str = "ws|",
+) -> DataFrame:
+    """Efraimidis–Spirakis one-pass weighted sampling WITHOUT
+    replacement: each row draws a deterministic uniform u from its md5
+    (first 6 bytes → (U+1)/(2^48+1) ∈ (0,1)) and races with key
+    −ln(u)/w; the k SMALLEST keys win, which is distributionally
+    identical to k sequential weighted draws. This completes the
+    sampling arc: hash_sample keeps rows uniformly, mixture ops set
+    per-stratum RATES — this draws an exact-size sample proportional
+    to a per-row weight (e.g. token count: "sample tokens, not
+    documents").
+
+    Determinism/parity: u is exact dyadic double arithmetic on both
+    engines; the race key rounds to 9 dp (values are tiny — ln/w — so
+    the repo's 4-6 dp would mass-tie; libm-vs-JVM ln differs at most
+    ~1 ulp ≈ 1e-17 abs here, far below the 9 dp grid) and −ln keeps it
+    ≥ 0 so no −0.0/+0.0 split; ties break on the id. Scale shape: pure
+    codegen per row + ONE distributed top-k (TakeOrdered) — no global
+    sort, no shuffle beyond the k-row collect."""
+    kid = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    big_u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), kid)), 1, 12), 16, 10
+    ).cast("double")
+    u = (big_u + F.lit(1.0)) / F.lit(281474976710657.0)  # 2^48 + 1
+    w = weight.cast("double")
+    race = F.round(-F.log(u) / w, 9)
+    return (
+        df.select(
+            key_col,
+            weight.cast("long").alias("w"),
+            race.alias("race"),
+        )
+        .orderBy(F.asc("race"), F.asc_nulls_first(key_col))
+        .limit(k)
+    )

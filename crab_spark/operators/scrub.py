@@ -390,6 +390,11 @@ def cross_source_neardup(
     # frame lsh_candidate_pairs attached must reach THIS op's caller
     # too — a dropped boilerplate mega-bucket undercounts syndication
     out.dropped_buckets = getattr(pairs, "dropped_buckets", None)
+    # ...and so must the verify stage's cache handles (attrs don't
+    # survive the survivors filter/joins)
+    from .dedup import cache_handles
+
+    out.df_pipeline_caches = cache_handles(ver)
     return out
 
 

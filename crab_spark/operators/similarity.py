@@ -314,9 +314,13 @@ def semantic_dedup(
         id_col=id_col,
         max_iters=max_iters,
     )
+    from .dedup import cache_handles
+
     if keeper == "min_id":
         out = keep_corpus(comps, id_col=id_col)
         out.dropped_buckets = pairs.dropped_buckets
+        # comps' star-set cache is lost to keep_corpus's transforms
+        out.df_pipeline_caches = cache_handles(comps)
         return out
 
     mem = comps.join(assigned.select(id_col, vec_col), id_col)
@@ -358,6 +362,7 @@ def semantic_dedup(
         (F.col(id_col) == F.col("_keep_id")).alias("is_keeper"),
     )
     out.dropped_buckets = pairs.dropped_buckets
+    out.df_pipeline_caches = cache_handles(comps)
     return out
 
 

@@ -448,12 +448,12 @@ def q40_dup_clusters(spark, sf):
     docs = t(spark, sf, "documents")
     sigs = D.minhash_signatures(docs, n_hashes=8, k=2)
     pairs = D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=2, max_bucket=_MAX_BUCKET)
-    verified = (
-        D.ngram_jaccard(docs, pairs, k=3)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
-    )
-    return D.connected_components(verified, vertices=docs)
+    ver = D.ngram_jaccard(docs, pairs, k=3)
+    verified = ver.filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    out = D.connected_components(verified, vertices=docs)
+    # harvest the verify stage's caches (attrs don't survive .filter)
+    out.df_pipeline_caches = D.cache_handles(ver)
+    return out
 
 
 def q39_pack_sequences(spark, sf):
@@ -557,7 +557,10 @@ def q50_dedup_keep_corpus(spark, sf):
     """The dedup decision artifact: q40's cluster labels → per-doc
     keep/drop flag + cluster size (keeper = the component's min doc_id).
     What a corpus build actually consumes: ``filter(is_keeper)``."""
-    return D.keep_corpus(q40_dup_clusters(spark, sf))
+    clusters = q40_dup_clusters(spark, sf)
+    out = D.keep_corpus(clusters)
+    out.df_pipeline_caches = D.cache_handles(clusters)
+    return out
 
 
 def q51_cross_source_overlap(spark, sf):
@@ -1932,14 +1935,10 @@ def q109_cluster_reps(spark, sf):
     pairs = D.lsh_candidate_pairs(
         sigs, n_hashes=8, band_size=2, max_bucket=_MAX_BUCKET
     )
-    verified = (
-        D.ngram_jaccard(docs, pairs, k=3)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
-    )
-    clusters = D.connected_components(verified, vertices=docs).select(
-        F.col("doc_id").alias("c_doc_id"), "cluster_id"
-    )
+    ver = D.ngram_jaccard(docs, pairs, k=3)
+    verified = ver.filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    comps = D.connected_components(verified, vertices=docs)
+    clusters = comps.select(F.col("doc_id").alias("c_doc_id"), "cluster_id")
     scored = X.lm_score(docs)
     j = clusters.join(
         scored, F.col("c_doc_id").eqNullSafe(scored["doc_id"])
@@ -1961,7 +1960,10 @@ def q109_cluster_reps(spark, sf):
         "n_members",
         (F.col("n_members") - 1).alias("n_dropped"),
     )
-    out.df_ordered_cache = getattr(scored, "df_ordered_cache", None)
+    # harvest EVERY stage's caches: the verify caches (lost to
+    # .filter), the components star set (lost to .select), and the
+    # lm_score token cache
+    out.df_pipeline_caches = D.cache_handles(ver, comps, scored)
     return out
 
 
@@ -2066,6 +2068,55 @@ def q111_range_planner(spark, sf):
             F.max("v").alias("hi"),
             F.count(F.lit(1)).alias("n_keys"),
         )
+    )
+
+
+_Q112_K = 100
+
+
+def q112_weighted_sample(spark, sf):
+    """Exact-size weighted sample (Efraimidis–Spirakis exponential
+    race, sampling.weighted_sample): k = 100 documents drawn WITHOUT
+    replacement proportional to length (w = max(n_chars, 1) — "sample
+    tokens, not documents", the budget rule real mixture pipelines
+    use). Deterministic md5 uniforms; one codegen pass + ONE
+    distributed top-k, no global sort."""
+    return SA.weighted_sample(
+        t(spark, sf, "documents"),
+        k=_Q112_K,
+        weight=F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)),
+    )
+
+
+_Q113_QUOTE = "qa qb qc qd qe qf qg qh qi qj qk ql"
+_Q113_SHARED = 3
+
+
+def q113_containment_pairs(spark, sf):
+    """Quote/subset containment report (dedup.containment_pairs): the
+    asymmetric relation the symmetric Jaccard suite misses — a short
+    document wholly contained in a long one. Deterministic quote layer
+    (the q57 syndication precedent, since the synthetic corpus has no
+    real quotes): an md5 coin REPLACES ~1/64 of docs with a canonical
+    12-word quote (fully-contained minima, containment 1.0) and
+    APPENDS it to ~1/16 (the quoting majority) — the same expression
+    in the oracle. max_bucket=512 keeps the planted buckets alive at
+    the graded SFs; over-cap buckets drop whole per the cap_buckets
+    convention."""
+    did = F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ct|"), did)), 1, 2), 16, 10)
+        .cast("int")
+    )
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    injected = (
+        F.when(coin % 64 == 0, F.lit(_Q113_QUOTE))
+        .when(coin % 16 == 1, F.concat(txt, F.lit(" "), F.lit(_Q113_QUOTE)))
+        .otherwise(txt)
+    )
+    docs = t(spark, sf, "documents").select("doc_id", injected.alias("text"))
+    return D.containment_pairs(
+        docs, k=8, min_shared=_Q113_SHARED, max_bucket=512
     )
 
 
@@ -4404,3 +4455,53 @@ ORACLE_SQL["q111_range_planner"] = f"""
            CAST(max(v) AS BIGINT) AS hi,
            CAST(count(*) AS BIGINT) AS n_keys
     FROM s GROUP BY 1"""
+
+
+# q112: identical md5-uniform + exponential-race arithmetic; 9 dp
+# rounding (see sampling.weighted_sample for the parity analysis) and
+# the (race, id) total order make the k-row set engine-identical
+ORACLE_SQL["q112_weighted_sample"] = f"""
+    WITH d AS (SELECT doc_id,
+                      greatest(coalesce(n_chars, 0), 1) AS w,
+                      md5('ws|' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+                        AS h
+               FROM documents),
+    r AS (SELECT doc_id, CAST(w AS BIGINT) AS w,
+                 round(-ln(({_hexbytes_be('h', 6)} + 1.0)
+                           / 281474976710657.0) / w, 9) AS race
+          FROM d)
+    SELECT doc_id, w, race FROM r
+    ORDER BY race ASC, doc_id NULLS FIRST LIMIT {_Q112_K}"""
+
+
+# q113: identical quote injection + k=8 shingle/cap/pair arithmetic;
+# bucket cap mirrored as a bucket-count join (whole-bucket drop)
+ORACLE_SQL["q113_containment_pairs"] = f"""
+    WITH b0 AS (SELECT doc_id, coalesce(text, '') AS t0,
+                       md5('ct|' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+                         AS ch
+                FROM documents),
+    inj AS (SELECT doc_id,
+                   CASE WHEN {_hexbyte('ch', 0)} % 64 = 0
+                        THEN '{_Q113_QUOTE}'
+                        WHEN {_hexbyte('ch', 0)} % 16 = 1
+                        THEN t0 || ' ' || '{_Q113_QUOTE}'
+                        ELSE t0 END AS text
+            FROM b0),
+    w AS (SELECT doc_id, string_split(text, ' ') ws FROM inj),
+    shl AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') s
+            FROM w, unnest(range(1, greatest(len(ws) - 8, 0) + 2)) t(i)),
+    sh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM shl),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    bc AS (SELECT h, count(*) AS bn FROM sh GROUP BY 1),
+    kept AS (SELECT sh.doc_id, sh.h FROM sh JOIN bc USING (h)
+             WHERE bc.bn <= 512),
+    pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*) >= {_Q113_SHARED})
+    SELECT pr.id_a, pr.id_b, CAST(pr.shared AS BIGINT) AS shared,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           round(pr.shared / least(sa.n, sb.n)::DOUBLE, 6) AS containment
+    FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+            JOIN sz sb ON sb.doc_id = pr.id_b"""

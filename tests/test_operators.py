@@ -2753,3 +2753,76 @@ def test_range_planner_equal_height_and_value_integrity(spark):
     # ranges are disjoint and ordered
     for a, b in zip(out, out[1:]):
         assert a.hi < b.lo
+
+
+def test_weighted_sample_race_and_weight_bias(spark):
+    """q112/weighted_sample: the k winners are EXACTLY the k smallest
+    −ln(u)/w race keys (Python mirror of the md5 uniforms), and a
+    massively heavy row always races into the sample."""
+    import hashlib
+    import math
+
+    import crab_spark.queries as Q
+    from crab_spark.operators import sampling as SA2
+
+    # 300 unit-weight docs + one heavy doc (w = 100000)
+    rows = [(i, "t", "en", "s", 1) for i in range(300)]
+    rows.append((999, "t", "en", "s", 100000))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    )
+    from pyspark.sql import functions as F2
+
+    out = SA2.weighted_sample(
+        docs, k=20,
+        weight=F2.greatest(F2.coalesce(F2.col("n_chars"), F2.lit(0)),
+                           F2.lit(1)),
+    ).collect()
+    assert len(out) == 20
+
+    def race(i, w):
+        big = int(hashlib.md5(f"ws|{i}".encode()).hexdigest()[:12], 16)
+        u = (big + 1.0) / 281474976710657.0
+        return round(-math.log(u) / w, 9)
+
+    mirror = sorted(
+        [(race(i, 1), i) for i in range(300)] + [(race(999, 100000), 999)]
+    )[:20]
+    assert {(r.doc_id, r.race) for r in out} == {
+        (i, rc) for rc, i in mirror
+    }
+    # the heavy doc's race is ~1e5 smaller than any unit draw — it wins
+    assert any(r.doc_id == 999 for r in out)
+    assert all(r.w in (1, 100000) for r in out)
+
+
+def test_containment_pairs_quote_detection(spark):
+    """containment_pairs finds the short-in-long relation symmetric
+    Jaccard misses: a 12-word quote doc scores containment 1.0 against
+    the 312-word page embedding it (their Jaccard is ~5/305), and
+    over-cap boilerplate buckets drop whole."""
+    quote = "qa qb qc qd qe qf qg qh qi qj qk ql"
+    filler = " ".join(f"w{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote),
+         (3, " ".join(f"z{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r
+           for r in D.containment_pairs(docs, k=8, min_shared=3).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # quote = 12 words → 5 distinct 8-shingles, all inside doc 2
+    assert (r.shared, r.n_a) == (5, 5)
+    assert r.n_b == 305
+    assert r.containment == 1.0
+
+    # cap: 70 identical quote docs blow a max_bucket=64 bucket — the
+    # bucket drops WHOLE (no pairs) and is reported, never silent
+    many = spark.createDataFrame(
+        [(i, quote) for i in range(70)], "doc_id long, text string"
+    )
+    capped = D.containment_pairs(many, k=8, min_shared=3, max_bucket=64)
+    assert capped.count() == 0
+    assert capped.dropped_buckets.count() == 5  # the 5 quote shingles

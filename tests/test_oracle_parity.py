@@ -69,3 +69,24 @@ def test_registry_sweep_releases_prior_caches(spark):
     assert len(pipeline_handles) >= 2, "q100 should record its step caches"
     Q.QUERIES["q21_exact_dedup"](spark, SF_DIR).count()
     assert all(not h.storageLevel.useMemory for h in pipeline_handles)
+
+
+def test_composed_queries_harvest_inner_cache_handles(spark):
+    """Composition sites must HARVEST intermediate cache handles
+    (dedup.cache_handles): attributes don't survive .filter/.select,
+    so q40's verify-stage caches (shingle sets + candidate pairs) and
+    its components star set must all reach the lifecycle wrapper —
+    otherwise a sequential sweep leaks them until JVM LRU eviction."""
+    from crab_spark import queries as Q
+
+    Q.QUERIES["q40_dup_clusters"](spark, SF_DIR).count()
+    live = [h for h in Q._LIVE_CACHE_HANDLES if h.storageLevel.useMemory]
+    # sh + pairs (ngram_jaccard) ≥ 2 — the components star set is also
+    # harvested but is localCheckpoint-backed (no cache storage level),
+    # so it doesn't show in the live-cache filter
+    assert len(live) >= 2, (
+        f"q40 must surface the verify-stage caches, got "
+        f"{len(live)} live handles"
+    )
+    Q.QUERIES["q21_exact_dedup"](spark, SF_DIR).count()
+    assert all(not h.storageLevel.useMemory for h in live)
