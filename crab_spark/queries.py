@@ -2043,16 +2043,20 @@ def q111_range_planner(spark, sf):
     docs-scale work is one combinable (v, count) agg. Integer-exact end
     to end; both engines place every value identically."""
     v = F.coalesce(F.col("n_chars"), F.lit(0))
+    # cached: the value-domain counts feed BOTH the cumulative window
+    # and the grand total — uncached, the corpus scan+agg ran twice
+    # (plan-audited; the r5 multi-consumer rule)
     cnts = (
         t(spark, sf, "documents")
         .select(v.alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
     )
     wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = cnts.withColumn("cum", F.sum("cnt").over(wcum))
     tot = cnts.agg(F.sum("cnt").alias("_tot"))
-    return (
+    out = (
         cum.crossJoin(F.broadcast(tot))
         .select(
             "v",
@@ -2069,6 +2073,8 @@ def q111_range_planner(spark, sf):
             F.count(F.lit(1)).alias("n_keys"),
         )
     )
+    out.df_ordered_cache = cnts
+    return out
 
 
 _Q112_K = 100

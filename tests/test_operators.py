@@ -2826,3 +2826,36 @@ def test_containment_pairs_quote_detection(spark):
     capped = D.containment_pairs(many, k=8, min_shared=3, max_bucket=64)
     assert capped.count() == 0
     assert capped.dropped_buckets.count() == 5  # the 5 quote shingles
+
+
+def test_new_crawl_analytics_plan_contracts(spark):
+    """Scale-shape contracts for q108/q110/q111/q112 (plan-audited and
+    pinned): q108 never reads the text column (template mining is
+    metadata-only); q110 runs ONE key exchange and its final agg reuses
+    the window partitioning; q111 caches the value-domain counts so
+    the corpus aggregates once; q112 is zero-exchange TakeOrdered."""
+    import crab_spark.queries as Q
+    from crab_spark.plans import (
+        assert_no_cartesian,
+        assert_read_schema_excludes,
+        formatted_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tmpl = Q.QUERIES["q108_url_templates"](spark, sf)
+    assert_read_schema_excludes(tmpl, "text")
+
+    p110 = formatted_plan(Q.QUERIES["q110_recrawl_schedule"](spark, sf))
+    # exactly one shuffle: the user-key partition shared by the lag
+    # window AND the aggregation (Exchange appears once in the tree
+    # and once in the numbered detail section)
+    assert p110.count("Exchange") == 2, p110
+    assert "SortMergeJoin" not in p110
+
+    p111 = formatted_plan(Q.QUERIES["q111_range_planner"](spark, sf))
+    assert "InMemoryTableScan" in p111  # cnts cached, corpus aggs once
+
+    p112 = formatted_plan(Q.QUERIES["q112_weighted_sample"](spark, sf))
+    assert "TakeOrderedAndProject" in p112
+    assert "Exchange" not in p112
+    assert_no_cartesian(Q.QUERIES["q112_weighted_sample"](spark, sf))
