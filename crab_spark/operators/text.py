@@ -1157,3 +1157,71 @@ def dsir_importance(
     )
     out.df_ordered_cache = dc
     return out
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: top-k adjacent word pairs by pointwise
+    mutual information, PMI = ln(n12·N / (c1·c2)) over position-
+    specific marginals (c1 = pair-left count, c2 = pair-right count),
+    with a ``min_count`` frequency floor so hapax noise (PMI is
+    maximal for pairs seen once) never tops the list. The standard
+    phrase-mining signal (Church & Hanks 1990) a tokenizer-training or
+    ngram-merge step consumes.
+
+    Scale shape: the bigram relation is row-local (arrays_zip of two
+    slices — the bigram_lm_score extraction, never a token self-join);
+    pair counts are ONE map-combinable agg, CACHED because both
+    marginals and the grand total derive from it (the r5
+    multi-consumer rule; df_ordered_cache is the caller-unpersist
+    handle); the final top-k is a distributed TakeOrdered over the
+    min_count-floored pairs. Floats: PMI rounds to 6 dp with (w1, w2)
+    tie-breaks, the weighted_sample parity discipline."""
+    txt = normalized(F.coalesce(F.col(text_col), F.lit("")))
+    ws = tokens(txt)
+    n = F.size(ws)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    pairs = (
+        docs.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ws, 1, pair_len).alias("w1"),
+                    F.slice(ws, 2, pair_len).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12")).cache()
+    c1 = bg.groupBy("w1").agg(F.sum("n12").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.sum("n12").alias("c2"))
+    nt = bg.agg(F.sum("n12").cast("double").alias("_n"))
+    out = (
+        bg.filter(F.col("n12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("n12").cast("double") * F.col("_n"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+    out.df_ordered_cache = bg
+    return out

@@ -2126,6 +2126,19 @@ def q113_containment_pairs(spark, sf):
     )
 
 
+_Q114_MIN_COUNT, _Q114_K = 5, 50
+
+
+def q114_pmi_collocations(spark, sf):
+    """Top-50 collocations by PMI over adjacent word pairs (text.
+    pmi_collocations) — the phrase-mining signal tokenizer training
+    and n-gram merging consume. min_count=5 floors hapax noise; one
+    cached pair-count relation feeds both marginals and the total."""
+    return X.pmi_collocations(
+        t(spark, sf, "documents"), min_count=_Q114_MIN_COUNT, k=_Q114_K
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -4511,3 +4524,27 @@ ORACLE_SQL["q113_containment_pairs"] = f"""
            round(pr.shared / least(sa.n, sb.n)::DOUBLE, 6) AS containment
     FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
             JOIN sz sb ON sb.doc_id = pr.id_b"""
+
+
+# q114: identical tokenization (q80's list_filter CTE), counts,
+# marginals, and the same double-division + 6 dp PMI rounding with
+# (pmi DESC, w1, w2) total order
+ORACLE_SQL["q114_pmi_collocations"] = f"""
+    WITH w AS (SELECT list_filter(string_split(regexp_replace(
+                          lower(coalesce(text, '')), '\\s+', ' ', 'g'), ' '),
+                          x -> x <> '') AS ws
+               FROM documents),
+    p AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+          FROM w, unnest(range(1, len(ws))) t(i)),
+    bg AS (SELECT w1, w2, count(*) AS n12 FROM p GROUP BY ALL),
+    m1 AS (SELECT w1, sum(n12) AS c1 FROM bg GROUP BY 1),
+    m2 AS (SELECT w2, sum(n12) AS c2 FROM bg GROUP BY 1),
+    nt AS (SELECT CAST(sum(n12) AS DOUBLE) AS nn FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.n12 AS BIGINT) AS n12,
+           CAST(m1.c1 AS BIGINT) AS c1, CAST(m2.c2 AS BIGINT) AS c2,
+           round(ln((bg.n12::DOUBLE * nt.nn)
+                    / (m1.c1::DOUBLE * m2.c2::DOUBLE)), 6) AS pmi
+    FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nt
+    WHERE bg.n12 >= {_Q114_MIN_COUNT}
+    ORDER BY pmi DESC, bg.w1 ASC, bg.w2 ASC
+    LIMIT {_Q114_K}"""

@@ -2859,3 +2859,28 @@ def test_new_crawl_analytics_plan_contracts(spark):
     assert "TakeOrderedAndProject" in p112
     assert "Exchange" not in p112
     assert_no_cartesian(Q.QUERIES["q112_weighted_sample"](spark, sf))
+
+
+def test_pmi_collocations_planted_phrase(spark):
+    """pmi_collocations ranks a planted always-together pair ('hong
+    kong': every occurrence adjacent) above a frequent-but-independent
+    pair, with the exact PMI arithmetic mirrored in Python."""
+    import math
+
+    # 10 docs "hong kong" (perfect collocation), 30 docs of independent
+    # combinations "the cat" / "the dog" / "a cat" / "a dog"
+    rows = [(i, "hong kong") for i in range(10)]
+    combos = ["the cat", "the dog", "a cat", "a dog"]
+    rows += [(100 + i, combos[i % 4]) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.pmi_collocations(docs, min_count=5, k=10).collect()
+    by_pair = {(r.w1, r.w2): r for r in out}
+    hk = by_pair[("hong", "kong")]
+    n_total = 10 + 30  # every doc contributes exactly one bigram
+    assert (hk.n12, hk.c1, hk.c2) == (10, 10, 10)
+    assert hk.pmi == round(math.log(10 * n_total / (10 * 10)), 6)
+    # the planted collocation outranks every independent pair
+    top = max(out, key=lambda r: (r.pmi, r.w1))
+    assert (top.w1, top.w2) == ("hong", "kong")
+    # min_count floor: pairs seen <5 times never appear
+    assert all(r.n12 >= 5 for r in out)
