@@ -215,3 +215,91 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything lands in the lake."""
     src = _symlink_stream_dir(f"{sf_dir}/documents.parquet", "documents")
     return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
+
+
+RECRAWL_OUT = T.StructType(
+    [
+        T.StructField("url_key", T.LongType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("span_sec", T.LongType()),
+        T.StructField("interval_sec", T.LongType()),
+        T.StructField("next_due_epoch", T.LongType()),
+    ]
+)
+RECRAWL_STATE = T.StructType(
+    [
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("prev_sig", T.LongType()),
+        T.StructField("first_ep", T.LongType()),
+        T.StructField("last_ep", T.LongType()),
+    ]
+)
+
+_RECRAWL_SIG_MOD = 5
+_RECRAWL_MIN_GAP = 60
+
+
+def _recrawl_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-URL recrawl state (the q110 arithmetic, incrementally): the
+    state carries (n_obs, n_changes, prev_sig, first_ep, last_ep) —
+    O(5 ints) per key forever — and each micro-batch folds its
+    observations in event order, emitting the key's refreshed
+    schedule row. The content signature (floor(value·100) mod 5,
+    truncated mod — Spark's % semantics) and the integer due-time rule
+    are identical to the batch operator, pinned by the dual test."""
+    import math
+
+    if state.exists:
+        n_obs, n_changes, prev_sig, first_ep, last_ep = state.get
+    else:
+        n_obs, n_changes, prev_sig, first_ep, last_ep = 0, 0, None, None, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t, v in zip(pdf["ts"], pdf["value"]):
+            ep = 0 if pd.isna(t) else int(t.timestamp() // 1)
+            val = 0.0 if pd.isna(v) else float(v)
+            s = int(math.floor(val * 100))
+            sig = s - int(s / _RECRAWL_SIG_MOD) * _RECRAWL_SIG_MOD
+            if prev_sig is not None and sig != prev_sig:
+                n_changes += 1
+            prev_sig = sig
+            n_obs += 1
+            first_ep = ep if first_ep is None else min(first_ep, ep)
+            last_ep = ep if last_ep is None else max(last_ep, ep)
+    state.update(
+        (int(n_obs), int(n_changes), int(prev_sig or 0),
+         int(first_ep or 0), int(last_ep or 0))
+    )
+    span = (last_ep or 0) - (first_ep or 0)
+    interval = span // max(n_changes, 1)
+    yield pd.DataFrame(
+        {
+            "url_key": [key[0]],
+            "n_obs": [n_obs],
+            "n_changes": [n_changes],
+            "span_sec": [span],
+            "interval_sec": [interval],
+            "next_due_epoch": [(last_ep or 0) + max(interval, _RECRAWL_MIN_GAP)],
+        }
+    )
+
+
+def recrawl_stream(events: DataFrame) -> DataFrame:
+    """Streaming dual of q110_recrawl_schedule: the change-rate state
+    lives PER URL KEY in the stateful operator (applyInPandasWithState,
+    the sessionize pattern) so a live fetch log keeps every page's
+    next-due time current without rescanning history — exactly the
+    state a production freshness scheduler holds."""
+    return events.withColumnRenamed(
+        "user_id", "url_key"
+    ).groupBy("url_key").applyInPandasWithState(
+        _recrawl_fn,
+        outputStructType=RECRAWL_OUT,
+        stateStructType=RECRAWL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

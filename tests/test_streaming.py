@@ -217,3 +217,22 @@ def test_streaming_hopping_equals_batch(spark, sf_dir, tmp_path):
     g = {str(r["win_start"]): (r["n"], r["sum_value"]) for r in got.collect()}
     w = {str(r["win_start"]): (r["n"], r["sum_value"]) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_streaming_recrawl_equals_batch(spark, sf_dir, tmp_path):
+    """The recrawl scheduler's streaming dual: per-key change-rate
+    state folded incrementally must reproduce q110's batch schedule
+    exactly (same signature, span, interval, and due-time rule)."""
+    from crab_spark.streaming.windows import recrawl_stream
+
+    stream = stream_events(spark, sf_dir)
+    got = run_available_now(
+        recrawl_stream(stream), "recrawl_test", str(tmp_path / "ck_rc"),
+        output_mode="update",
+    )
+    want = QUERIES["q110_recrawl_schedule"](spark, sf_dir)
+    cols = ("n_obs", "n_changes", "span_sec", "interval_sec",
+            "next_due_epoch")
+    g = {r["url_key"]: tuple(r[c] for c in cols) for r in got.collect()}
+    w = {r["url_key"]: tuple(r[c] for c in cols) for r in want.collect()}
+    assert g == w and len(g) > 0
