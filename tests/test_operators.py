@@ -2884,3 +2884,37 @@ def test_pmi_collocations_planted_phrase(spark):
     assert (top.w1, top.w2) == ("hong", "kong")
     # min_count floor: pairs seen <5 times never appear
     assert all(r.n12 >= 5 for r in out)
+
+
+def test_weighted_sample_k_exceeds_population(spark):
+    """k larger than the corpus returns every row exactly once —
+    sampling without replacement can't invent rows."""
+    from pyspark.sql import functions as F2
+
+    from crab_spark.operators import sampling as SA2
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", i + 1) for i in range(7)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    out = SA2.weighted_sample(
+        docs, k=50,
+        weight=F2.greatest(F2.coalesce(F2.col("n_chars"), F2.lit(0)),
+                           F2.lit(1)),
+    ).collect()
+    assert sorted(r.doc_id for r in out) == list(range(7))
+
+
+def test_containment_min_shared_boundary(spark):
+    """Pairs sharing exactly min_shared-1 shingles are excluded, exactly
+    min_shared are kept — the boundary is ≥, not >."""
+    # docs share exactly 3 distinct 2-word shingles: 'a b', 'b c', 'c d'
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d x y z q")],
+        "doc_id long, text string",
+    )
+    kept = D.containment_pairs(docs, k=2, min_shared=3).collect()
+    assert len(kept) == 1 and kept[0].shared == 3
+    none = D.containment_pairs(docs, k=2, min_shared=4).collect()
+    assert none == []

@@ -458,3 +458,13 @@ def test_q107_resolved_map_broadcasts(spark):
     df = Q.QUERIES["q107_redirect_resolve"](spark, "/root/testdata/sf0.001")
     assert_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_resolve_redirects_other_domain_size(spark):
+    """The resolver is size-generic: a 64-node domain resolves to the
+    same fixpoints as the Python walk (the 256 test pins the default;
+    this pins that nothing hard-codes the domain size)."""
+    out = {r.node: (r.final, r.hops)
+           for r in G.resolve_redirects(spark, n_nodes=64).collect()}
+    fin, hp = _redirect_mirror(64)
+    assert out == {u: (fin[u], hp[u]) for u in range(64)}
