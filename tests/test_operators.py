@@ -2918,3 +2918,90 @@ def test_containment_min_shared_boundary(spark):
     assert len(kept) == 1 and kept[0].shared == 3
     none = D.containment_pairs(docs, k=2, min_shared=4).collect()
     assert none == []
+
+
+def test_containment_pairs_random_crossvalidation(spark):
+    """Seeded-random cross-validation (the connected-components /
+    asof_join precedent): containment_pairs on random small corpora
+    must equal an exact Python brute force — shingle sets, the bucket
+    cap (dropped WHOLE), the min_shared floor, and the rounded
+    containment value."""
+    import random
+
+    rng = random.Random(411)
+    for trial in range(3):
+        n_docs = rng.randint(6, 12)
+        rows = []
+        for i in range(n_docs):
+            words = [rng.choice("abcdef") for _ in range(rng.randint(1, 9))]
+            rows.append((i, " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cap = rng.choice([3, 5, 100])
+        got = {
+            (r.id_a, r.id_b): (r.shared, r.n_a, r.n_b, r.containment)
+            for r in D.containment_pairs(
+                docs, k=2, min_shared=2, max_bucket=cap
+            ).collect()
+        }
+
+        # brute force: k=2 shingles exactly as word_shingles builds them
+        def shingles(text):
+            ws = text.split(" ")
+            n = max(len(ws) - 2, 0)
+            return {" ".join(ws[i:i + 2]) for i in range(n + 1)}
+
+        sets = {i: shingles(t) for i, t in rows}
+        # whole-bucket drop: shingles held by more than `cap` docs
+        from collections import Counter
+
+        freq = Counter(s for ss in sets.values() for s in ss)
+        live = {s for s, c in freq.items() if c <= cap}
+        want = {}
+        for a in range(n_docs):
+            for b in range(a + 1, n_docs):
+                shared = len((sets[a] & sets[b]) & live)
+                if shared >= 2:
+                    want[(a, b)] = (
+                        shared, len(sets[a]), len(sets[b]),
+                        round(shared / min(len(sets[a]), len(sets[b])), 6),
+                    )
+        assert got == want, f"trial {trial} cap {cap}"
+
+
+def test_range_planner_random_crossvalidation(spark):
+    """q111 against an integer-exact Python mirror on seeded-random
+    length multisets: identical shard ids, counts, ranges, key counts;
+    Σn_docs == corpus; ranges strictly ordered."""
+    import random
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(1131)
+    for trial in range(3):
+        vals = [rng.randint(0, 40) for _ in range(rng.randint(5, 120))]
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "s", v) for i, v in enumerate(vals)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: docs
+        try:
+            got = {r.shard_id: (r.n_docs, r.lo, r.hi, r.n_keys)
+                   for r in Q.QUERIES["q111_range_planner"](spark, "x")
+                   .collect()}
+        finally:
+            Q.t = orig_t
+        from collections import Counter
+
+        cnt = Counter(vals)
+        total, cum, want = len(vals), 0, {}
+        for v in sorted(cnt):
+            s = (cum * Q._Q111_SHARDS) // total
+            m = want.setdefault(s, [0, v, v, 0])
+            m[0] += cnt[v]
+            m[2] = v
+            m[3] += 1
+            cum += cnt[v]
+        assert got == {s: tuple(m) for s, m in want.items()}, f"trial {trial}"
+        assert sum(r[0] for r in got.values()) == total
