@@ -173,7 +173,10 @@ def redirect_map(spark: SparkSession, n_nodes: int = 256) -> DataFrame:
         u.alias("node"),
         nxt.cast("int").alias("nxt"),
         term.alias("done"),
-        F.when(term, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("hops"),
+        # hops is LONG: unresolved (cyclic) rows DOUBLE their hop count
+        # every doubling round, so int32 would overflow at round 31 —
+        # long gives 63 rounds of headroom, beyond any max_rounds here
+        F.when(term, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("hops"),
     )
 
 
@@ -195,10 +198,39 @@ def resolve_redirects(
     mapping TWICE: probe side + build side — the multi-consumer
     re-execution trap in iterative form). The done-check is a 1-row
     driver action per round, ≤ ceil(log2 n_nodes) + 1 rounds total."""
-    m = redirect_map(spark, n_nodes).localCheckpoint(eager=True)
+    m = _pointer_double(redirect_map(spark, n_nodes), max_rounds)
+    n_bad = m.where(~F.col("done")).count()
+    if n_bad:
+        raise RuntimeError(
+            f"redirect resolution did not converge: {n_bad} nodes "
+            f"unresolved after {max_rounds} doubling rounds"
+        )
+    return m.select("node", F.col("nxt").alias("final"), "hops")
+
+
+def _pointer_double(m: DataFrame, max_rounds: int) -> DataFrame:
+    """The shared doubling core: advance every unresolved row 2^k hops
+    per round until all are done or rounds run out. Input/output
+    contract: (node, nxt, done, hops) with a COMPLETE universe (every
+    nxt value has its own node row — resolve_mapping constructs one,
+    redirect_map is one by construction), so the self-join stays inner.
+    Rows still not-done at exit sit on a cycle (or a chain longer than
+    2^max_rounds); callers decide whether to raise or flag.
+
+    Early exit: with a complete universe every chain occupies
+    CONSECUTIVE distances-to-terminal (each hop node is its own row),
+    so while any eventually-done row remains, every round resolves at
+    least the closest one — an UNCHANGED unresolved count means the
+    survivors all sit on (or drain into) cycles and no further round
+    can help. That turns the all-cycles case from max_rounds self-joins
+    into ~2, at the cost of count() instead of isEmpty() per round."""
+    m = m.localCheckpoint(eager=True)
+    prev_pending = None
     for _ in range(max_rounds):
-        if m.where(~F.col("done")).isEmpty():
+        pending = m.where(~F.col("done")).count()
+        if pending == 0 or pending == prev_pending:
             break
+        prev_pending = pending
         succ = m.select(
             F.col("node").alias("s_node"),
             F.col("nxt").alias("s_nxt"),
@@ -219,11 +251,63 @@ def resolve_redirects(
             )
             .localCheckpoint(eager=True)
         )
-    else:
-        n_bad = m.where(~F.col("done")).count()
-        if n_bad:
-            raise RuntimeError(
-                f"redirect resolution did not converge: {n_bad} nodes "
-                f"unresolved after {max_rounds} doubling rounds"
-            )
-    return m.select("node", F.col("nxt").alias("final"), "hops")
+    return m
+
+
+def resolve_mapping(
+    redirects: DataFrame,
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    next_col: str = "nxt",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """PRODUCTION-shaped resolver: takes a raw redirect log — (url,
+    location) pairs, exactly what the fetched log's 301 rows carry —
+    and resolves every node to (node, final, hops, resolved) by the
+    same pointer-doubling core q107 uses. Nodes absent from the
+    redirect side are terminals (a 200 is a URL with no location row).
+    Real redirect graphs have CYCLES (A→B→A misconfigurations, and
+    self-redirects); anything on or draining into a cycle comes back
+    ``resolved = False`` with NULL final/hops — flagged, never
+    silently wrong or non-terminating (the no-silent-caps discipline).
+    max_rounds=40 bounds work at 2^40 hops, beyond any real chain.
+
+    Duplicate redirect rows for one node resolve first-wins by min
+    location (deterministic); pass ``nodes`` to widen the universe to
+    URLs seen nowhere in the log."""
+    r = (
+        redirects.select(
+            F.col(node_col).alias("node"), F.col(next_col).alias("nxt")
+        )
+        .groupBy("node")
+        .agg(F.min("nxt").alias("nxt"))
+    )
+    universe = r.select("node").unionByName(
+        r.select(F.col("nxt").alias("node"))
+    )
+    if nodes is not None:
+        universe = universe.unionByName(
+            nodes.select(F.col(node_col).alias("node"))
+        )
+    m0 = (
+        universe.distinct()
+        .join(r, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("nxt"), F.col("node")).alias("nxt"),
+            F.col("nxt").isNull().alias("done"),
+            # long, not int: cycle rows double hops per round (see
+            # redirect_map) and 40 rounds would overflow int32
+            F.when(F.col("nxt").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("hops"),
+        )
+    )
+    m = _pointer_double(m0, max_rounds)
+    return m.select(
+        "node",
+        F.when(F.col("done"), F.col("nxt")).alias("final"),
+        F.when(F.col("done"), F.col("hops")).alias("hops"),
+        F.col("done").alias("resolved"),
+    )

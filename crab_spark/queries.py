@@ -1862,7 +1862,9 @@ def q107_redirect_resolve(spark, sf):
         .agg(
             F.count(F.lit(1)).alias("n_urls"),
             F.countDistinct("node").alias("n_starts"),
-            F.max("hops").alias("max_hops"),
+            # int in the output contract; the resolver carries hops as
+            # long only for cycle-row doubling headroom
+            F.max("hops").cast("int").alias("max_hops"),
         )
     )
 

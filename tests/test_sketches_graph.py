@@ -468,3 +468,41 @@ def test_resolve_redirects_other_domain_size(spark):
            for r in G.resolve_redirects(spark, n_nodes=64).collect()}
     fin, hp = _redirect_mirror(64)
     assert out == {u: (fin[u], hp[u]) for u in range(64)}
+
+
+def test_resolve_mapping_chains_cycles_and_terminals(spark):
+    """The production-shaped resolver: raw (url, location) pairs —
+    chains resolve with exact hop counts, terminals are URLs with no
+    location row, and anything ON or DRAINING INTO a redirect cycle
+    (incl. self-redirects) comes back resolved=False with NULL
+    final/hops instead of wrong answers or a hang."""
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"),          # chain a→b→c, c terminal
+            ("x", "y"), ("y", "x"),          # 2-cycle
+            ("t", "x"),                      # tail draining into it
+            ("s", "s"),                      # self-redirect
+        ],
+        "node string, nxt string",
+    )
+    out = {r.node: (r.final, r.hops, r.resolved)
+           for r in G.resolve_mapping(pairs).collect()}
+    assert out["a"] == ("c", 2, True)
+    assert out["b"] == ("c", 1, True)
+    assert out["c"] == ("c", 0, True)
+    for cyc in ("x", "y", "t", "s"):
+        assert out[cyc] == (None, None, False), cyc
+
+
+def test_resolve_mapping_matches_fixture_resolver(spark):
+    """Feeding redirect_map's edge pairs through the general resolver
+    reproduces resolve_redirects exactly (all resolved — the fixture
+    is acyclic by construction)."""
+    mfix = G.redirect_map(spark, 64)
+    pairs = mfix.where(~F.col("done")).select("node", "nxt")
+    nodes = mfix.select("node")
+    got = {r.node: (r.final, r.hops)
+           for r in G.resolve_mapping(pairs, nodes=nodes).collect()}
+    want = {r.node: (r.final, r.hops)
+            for r in G.resolve_redirects(spark, n_nodes=64).collect()}
+    assert got == want
