@@ -506,3 +506,49 @@ def test_resolve_mapping_matches_fixture_resolver(spark):
     want = {r.node: (r.final, r.hops)
             for r in G.resolve_redirects(spark, n_nodes=64).collect()}
     assert got == want
+
+
+def test_resolve_mapping_random_crossvalidation(spark):
+    """Seeded-random cross-validation (the containment_pairs
+    precedent): resolve_mapping on random functional graphs — cycles,
+    self-loops, long chains, duplicate redirect rows — must equal an
+    exact Python walk with cycle detection. This also exercises the
+    early-exit soundness: trials where cycles and live chains coexist
+    must still resolve every chain fully before the loop stops."""
+    import random
+
+    rng = random.Random(907)
+    for trial in range(4):
+        n = rng.randint(8, 20)
+        names = [f"u{i}" for i in range(n)]
+        pairs = []
+        for u in names:
+            if rng.random() < 0.75:  # 25% terminals
+                pairs.append((u, rng.choice(names)))
+                if rng.random() < 0.3:  # duplicate row, maybe different
+                    pairs.append((u, rng.choice(names)))
+        if not pairs:
+            continue
+        df = spark.createDataFrame(pairs, "node string, nxt string")
+        got = {r.node: (r.final, r.hops, r.resolved)
+               for r in G.resolve_mapping(df).collect()}
+
+        # Python mirror: first-wins min-dedup, then walk with a
+        # visited set; revisiting any node means cycle-involved.
+        nxt = {}
+        for u, v in pairs:
+            nxt[u] = min(nxt[u], v) if u in nxt else v
+        universe = set(nxt) | set(nxt.values())
+        want = {}
+        for u in universe:
+            cur, hops, seen = u, 0, {u}
+            while cur in nxt:
+                cur = nxt[cur]
+                hops += 1
+                if cur in seen:
+                    want[u] = (None, None, False)
+                    break
+                seen.add(cur)
+            else:
+                want[u] = (cur, hops, True)
+        assert got == want, f"trial {trial}"
