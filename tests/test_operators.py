@@ -3005,3 +3005,315 @@ def test_range_planner_random_crossvalidation(spark):
             cum += cnt[v]
         assert got == {s: tuple(m) for s, m in want.items()}, f"trial {trial}"
         assert sum(r[0] for r in got.values()) == total
+
+
+def test_weighted_sample_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q112/weighted_sample (the
+    containment/range-planner precedent): on random weight vectors the
+    k winners must be EXACTLY the k smallest (race, id) under the md5
+    exponential-race mirror — including the race values the engine
+    reports."""
+    import hashlib
+    import math
+    import random
+
+    from pyspark.sql import functions as F2
+    from crab_spark.operators import sampling as SA2
+
+    rng = random.Random(1121)
+    for trial in range(3):
+        n = rng.randint(20, 120)
+        ids = rng.sample(range(1_000_000), n)
+        weights = {i: rng.choice([1, 2, 7, 50, 400, 9000]) for i in ids}
+        docs = spark.createDataFrame(
+            [(i, weights[i]) for i in ids], "doc_id long, w_in long"
+        )
+        k = rng.randint(1, n)
+        got = sorted(
+            (r.race, r.doc_id, r.w)
+            for r in SA2.weighted_sample(
+                docs, k=k, weight=F2.col("w_in")
+            ).collect()
+        )
+
+        def race(i, w):
+            big = int(hashlib.md5(f"ws|{i}".encode()).hexdigest()[:12], 16)
+            u = (big + 1.0) / 281474976710657.0
+            return round(-math.log(u) / w, 9)
+
+        want = sorted((race(i, weights[i]), i) for i in ids)[:k]
+        assert got == [(rc, i, weights[i]) for rc, i in want], (
+            f"trial {trial} k {k}"
+        )
+
+
+def test_recrawl_schedule_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q110: random observation
+    logs (duplicate timestamps included, so the event_id tiebreak is
+    exercised) against an integer-exact Python mirror of the
+    lag/change/interval/due arithmetic."""
+    import math
+    import random
+    from datetime import datetime
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(1101)
+    base = int(datetime(2024, 3, 1, 0, 0, 0).timestamp())
+    for trial in range(3):
+        rows, eid = [], 0
+        logs = {}
+        for user in range(1, rng.randint(3, 9)):
+            n_obs = rng.randint(1, 12)
+            secs = [rng.randrange(0, 5000, 100) for _ in range(n_obs)]
+            obs = []
+            for s in secs:
+                eid += 1
+                val = rng.choice([0.0, 0.01, 0.02, 0.04, 0.05, 1.37, 2.5])
+                rows.append(
+                    (eid, datetime.fromtimestamp(base + s), user, val)
+                )
+                obs.append((base + s, eid, val))
+            logs[user] = sorted(obs)
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: ev
+        try:
+            got = {
+                r.url_key: (r.n_obs, r.n_changes, r.span_sec,
+                            r.interval_sec, r.next_due_epoch)
+                for r in Q.QUERIES["q110_recrawl_schedule"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        want = {}
+        for user, obs in logs.items():
+            sigs = [int(math.floor(v * 100)) % 5 for _, _, v in obs]
+            changes = sum(
+                1 for a, b in zip(sigs, sigs[1:]) if a != b
+            )
+            eps = [e for e, _, _ in obs]
+            span = max(eps) - min(eps)
+            interval = span // max(changes, 1)
+            due = max(eps) + max(interval, 60)
+            want[user] = (len(obs), changes, span, interval, due)
+        assert got == want, f"trial {trial}"
+
+
+def test_crawl_budget_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q105: random (skewed) corpus
+    sizes against a Python mirror of the md5 host routing and the
+    largest-remainder apportionment; Σquota == budget exactly and every
+    quota is its floor share or floor+1."""
+    import hashlib
+    import random
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(1051)
+    for trial in range(3):
+        ids = rng.sample(range(10_000_000), rng.randint(40, 300))
+        # skew: repeat-route a block of ids through a hot host by
+        # duplicating rows is impossible (doc_id is the key), so skew
+        # comes naturally from small host counts at small n
+        docs = spark.createDataFrame(
+            [(i, "t") for i in ids], "doc_id long, text string"
+        )
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: docs
+        try:
+            got = {
+                r.host: (r.pending, r.quota)
+                for r in Q.QUERIES["q105_crawl_budget"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        pend = {}
+        for i in ids:
+            h = int(
+                hashlib.md5(f"h|{i}".encode()).hexdigest()[:2], 16
+            ) % 64
+            pend[h] = pend.get(h, 0) + 1
+        tot, B = sum(pend.values()), 10_000
+        shares = {
+            h: ((B * w) // tot, (B * w) % tot) for h, w in pend.items()
+        }
+        left = B - sum(fl for fl, _ in shares.values())
+        order = sorted(shares, key=lambda h: (-shares[h][1], h))
+        bumped = set(order[:left])
+        want = {
+            h: (pend[h], shares[h][0] + (1 if h in bumped else 0))
+            for h in pend
+        }
+        assert got == want, f"trial {trial}"
+        assert sum(q for _, q in got.values()) == B
+
+
+def test_length_percentiles_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q106: random per-source
+    length multisets (NULL sources and NULL lengths included) against
+    the exact rank rule — smallest v with cum ≥ ceil(q·n)."""
+    import random
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(1061)
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(10, 200)):
+            src = rng.choice(["a", "b", "c", None])
+            v = rng.choice([None] + list(range(0, 500, 7)))
+            rows.append((i, src, v))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        )
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: docs
+        try:
+            got = {
+                r.source: (r.n_docs, r.p50, r.p90, r.p99)
+                for r in Q.QUERIES["q106_length_percentiles"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        by_src = {}
+        for _, src, v in rows:
+            by_src.setdefault(src, []).append(0 if v is None else v)
+        want = {}
+        for src, vals in by_src.items():
+            vals.sort()
+            n = len(vals)
+
+            def pick(num, den):
+                kth = (num * n + den - 1) // den
+                return vals[kth - 1]
+
+            want[src] = (n, pick(1, 2), pick(9, 10), pick(99, 100))
+        assert got == want, f"trial {trial}"
+
+
+def test_pmi_collocations_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q114/pmi_collocations:
+    random small-vocab corpora with messy whitespace and NULL texts
+    against a full Python mirror (tokenization, position-specific
+    marginals, min_count floor, 6 dp PMI)."""
+    import math
+    import random
+    import re
+
+    rng = random.Random(1141)
+    for trial in range(3):
+        vocab = ["alpha", "beta", "GAMMA", "delta", "eps"]
+        seps = [" ", "  ", "\n", "\t "]
+        rows = []
+        for i in range(rng.randint(8, 40)):
+            if rng.random() < 0.1:
+                rows.append((i, None))
+                continue
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+            txt = ""
+            for w in words:
+                txt += w + rng.choice(seps)
+            rows.append((i, txt))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.w1, r.w2): (r.n12, r.c1, r.c2, r.pmi)
+            for r in X.pmi_collocations(
+                docs, min_count=2, k=100_000
+            ).collect()
+        }
+
+        pair_counts = {}
+        for _, txt in rows:
+            t = re.sub(r"\s+", " ", (txt or "").lower())
+            ws = t.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                if a and b:
+                    pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+        c1, c2 = {}, {}
+        for (a, b), n12 in pair_counts.items():
+            c1[a] = c1.get(a, 0) + n12
+            c2[b] = c2.get(b, 0) + n12
+        nt = float(sum(pair_counts.values()))
+        want = {
+            (a, b): (
+                n12,
+                c1[a],
+                c2[b],
+                round(
+                    math.log((n12 * nt) / (float(c1[a]) * float(c2[b]))), 6
+                ),
+            )
+            for (a, b), n12 in pair_counts.items()
+            if n12 >= 2
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_event_funnel_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q100: random event logs
+    (steps straddling the 24 h windows, users missing steps, purchases
+    before clicks) against a Python mirror of the chained
+    first-qualifying-event rule."""
+    import random
+    from datetime import datetime, timedelta
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(1001)
+    base = datetime(2024, 5, 1, 0, 0, 0)
+    H24 = timedelta(hours=24)
+    for trial in range(3):
+        rows, by_user = [], {}
+        for user in range(1, rng.randint(4, 10)):
+            for _ in range(rng.randint(0, 15)):
+                et = rng.choice(["view", "click", "purchase", "other"])
+                ts = base + timedelta(seconds=rng.randrange(0, 200_000, 50))
+                rows.append((user, et, ts))
+                by_user.setdefault(user, []).append((ts, et))
+        if not rows:
+            continue
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: ev
+        try:
+            got = {
+                r.user_id: (r.t_view, r.t_click, r.t_purchase, r.n_steps)
+                for r in Q.QUERIES["q100_event_funnel"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        want = {}
+        for user, evs in by_user.items():
+            views = [ts for ts, et in evs if et == "view"]
+            if not views:
+                continue
+            tv = min(views)
+            clicks = [
+                ts for ts, et in evs
+                if et == "click" and tv < ts <= tv + H24
+            ]
+            tc = min(clicks) if clicks else None
+            tp = None
+            if tc is not None:
+                purchases = [
+                    ts for ts, et in evs
+                    if et == "purchase" and tc < ts <= tc + H24
+                ]
+                tp = min(purchases) if purchases else None
+            want[user] = (
+                tv, tc, tp, 1 + (tc is not None) + (tp is not None)
+            )
+        assert got == want, f"trial {trial}"
