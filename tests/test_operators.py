@@ -3317,3 +3317,112 @@ def test_event_funnel_random_crossvalidation(spark):
                 tv, tc, tp, 1 + (tc is not None) + (tp is not None)
             )
         assert got == want, f"trial {trial}"
+
+
+def test_anchor_topk_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q101: random messy-whitespace
+    corpora against a Python mirror of the mod-7 link convention, the
+    md5 host route, and the per-host (n desc, anchor asc) top-3."""
+    import hashlib
+    import random
+    import re
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(1011)
+    vocab = ["red", "blue", "green", "tan", "jet", "sky", "oak"]
+    seps = [" ", "  ", "\n", "\t"]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(10, 60)):
+            if rng.random() < 0.08:
+                rows.append((i, None))
+                continue
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+            rows.append(
+                (i, "".join(w + rng.choice(seps) for w in words))
+            )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: docs
+        try:
+            got = {
+                (r.host, r.rnk): (r.anchor, r.n)
+                for r in Q.QUERIES["q101_anchor_topk"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        counts = {}
+        for _, txt in rows:
+            arr = re.sub(r"\s+", " ", (txt or "").lower()).split(" ")
+            for i, w in enumerate(arr):
+                if i % 7 == 5 and w != "" and arr[i - 1] != "":
+                    h = int(
+                        hashlib.md5(f"t|{w}".encode()).hexdigest()[:2], 16
+                    ) % 64
+                    key = (h, arr[i - 1])
+                    counts[key] = counts.get(key, 0) + 1
+        want = {}
+        by_host = {}
+        for (h, anchor), n in counts.items():
+            by_host.setdefault(h, []).append((-n, anchor))
+        for h, lst in by_host.items():
+            for rnk, (neg_n, anchor) in enumerate(sorted(lst)[:3], 1):
+                want[(h, rnk)] = (anchor, -neg_n)
+        assert got == want, f"trial {trial}"
+
+
+def test_host_degrees_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q103: random corpora (NULL
+    ids and texts included) against a Python mirror of the host_edges
+    md5 routing and both degree aggregations over the full 64-host
+    domain."""
+    import hashlib
+    import random
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(1031)
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(15, 120)):
+            did = None if rng.random() < 0.05 else rng.randrange(10**6)
+            txt = (
+                None if rng.random() < 0.05
+                else "Doc " + str(rng.randrange(20))
+            )
+            rows.append((did, txt))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: docs
+        try:
+            got = {
+                r.host: (r.out_deg, r.out_links, r.in_deg, r.in_links)
+                for r in Q.QUERIES["q103_host_degrees"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        def route(salt, s):
+            return int(
+                hashlib.md5((salt + s).encode()).hexdigest()[:2], 16
+            ) % 64
+
+        edges = {}
+        for did, txt in rows:
+            src = route("h|", "" if did is None else str(did))
+            dst = route("d|", "" if txt is None else txt.lower())
+            edges[(src, dst)] = edges.get((src, dst), 0) + 1
+        want = {h: [0, 0, 0, 0] for h in range(64)}
+        for (src, dst), w in edges.items():
+            want[src][0] += 1
+            want[src][1] += w
+            want[dst][2] += 1
+            want[dst][3] += w
+        assert got == {h: tuple(m) for h, m in want.items()}, (
+            f"trial {trial}"
+        )
+        assert len(got) == 64
