@@ -3426,3 +3426,100 @@ def test_host_degrees_random_crossvalidation(spark):
             f"trial {trial}"
         )
         assert len(got) == 64
+
+
+def test_length_histogram_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q99: random corpora (NULL
+    texts, whitespace-only texts, NULL sources) against a Python
+    mirror of the q30 token count and the bit-length log2 bucket."""
+    import random
+    import re
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(991)
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(10, 150)):
+            src = rng.choice(["a", "b", None])
+            r = rng.random()
+            if r < 0.08:
+                txt = None
+            elif r < 0.16:
+                txt = rng.choice(["", " ", "  \n\t "])
+            else:
+                txt = " ".join("w" for _ in range(rng.randint(1, 600)))
+            rows.append((i, src, txt))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: docs
+        try:
+            got = {
+                (r.source, r.log2_bucket): r.n_docs
+                for r in Q.QUERIES["q99_length_histogram"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        want = {}
+        for _, src, txt in rows:
+            if txt is None:
+                b = 0
+            else:
+                n = len(re.sub(r"\s+", " ", txt).split(" "))
+                b = n.bit_length()
+            want[(src, b)] = want.get((src, b), 0) + 1
+        assert got == want, f"trial {trial}"
+
+
+def test_hopping_window_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q102: random odd-second
+    event times against a Python mirror of the 1h/30min covering-window
+    assignment (UTC epoch grid). Values are dyadic multiples of 0.25 so
+    both engines' sums are exact regardless of addition order."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(1021)
+    for trial in range(3):
+        rows = []
+        for eid in range(rng.randint(5, 80)):
+            sec = rng.randrange(0, 20_000)  # odd seconds, ~5.5 h span
+            ts = datetime(2024, 6, 1, 0, 0, 0) + timedelta(seconds=sec)
+            val = rng.choice([0.25, 0.5, 1.75, 2.0, -0.75])
+            rows.append((eid, ts, 1, "view", val, "{}"))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: ev
+        try:
+            got = {
+                r.win_start: (r.n, r.sum_value)
+                for r in Q.QUERIES["q102_hopping_window"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        agg = {}
+        for _, ts, _, _, val, _ in rows:
+            e = int(ts.replace(tzinfo=timezone.utc).timestamp())
+            w0 = (e // 1800) * 1800
+            for s in (w0, w0 - 1800):
+                n, sv = agg.get(s, (0, 0.0))
+                agg[s] = (n + 1, sv + val)
+        want = {
+            datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None):
+            (n, round(sv, 4))
+            for s, (n, sv) in agg.items()
+        }
+        assert got == want, f"trial {trial}"
+        assert sum(n for n, _ in got.values()) == 2 * len(rows)
