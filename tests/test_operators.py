@@ -3523,3 +3523,67 @@ def test_hopping_window_random_crossvalidation(spark):
         }
         assert got == want, f"trial {trial}"
         assert sum(n for n, _ in got.values()) == 2 * len(rows)
+
+
+def test_skew_report_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q96: random corpora with a
+    planted hot key per dimension against a Python mirror of all five
+    dimension derivations and the (n desc, key asc) top-5 cut."""
+    import hashlib
+    import random
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(961)
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(30, 150)):
+            did = None if rng.random() < 0.04 else rng.randrange(10**5)
+            rows.append((
+                did,
+                rng.choice(["cc", "wiki", "code", None]),
+                rng.choice(["en", "de", None]),
+                rng.choice([None, "", "hot text", f"t{rng.randrange(9)}"]),
+                rng.choice([None, 0, 100, 300, 4000]),
+            ))
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, source string, lang string, text string, "
+            "n_chars long",
+        )
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: docs
+        try:
+            got = {
+                (r.dimension, r.key): (r.n, r.pct)
+                for r in Q.QUERIES["q96_skew_report"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        def md5hex(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        tot = len(rows)
+        want = {}
+        for dim in ("source", "lang", "content_md5", "host_bucket",
+                    "len_bucket"):
+            counts = {}
+            for did, src, lang, txt, nc in rows:
+                if dim == "source":
+                    k = src or ""
+                elif dim == "lang":
+                    k = lang or ""
+                elif dim == "content_md5":
+                    k = md5hex(txt or "")
+                elif dim == "host_bucket":
+                    s = "" if did is None else str(did)
+                    k = str(int(md5hex("h|" + s)[:2], 16) % 64)
+                else:
+                    k = str((nc or 0) // 256)
+                counts[k] = counts.get(k, 0) + 1
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+            for k, n in top:
+                want[(dim, k)] = (n, round(n / tot, 6))
+        assert got == want, f"trial {trial}"
