@@ -3587,3 +3587,60 @@ def test_skew_report_random_crossvalidation(spark):
             for k, n in top:
                 want[(dim, k)] = (n, round(n / tot, 6))
         assert got == want, f"trial {trial}"
+
+
+def test_cms_heavy_hitters_random_crossvalidation(spark):
+    """Seeded-random cross-validation for the count-min sketch: on
+    random corpora the reported (word, exact_cnt, cms_cnt) triples —
+    including every collision overcount — must equal a full Python
+    replay of the 4×256 md5 sketch."""
+    import hashlib
+    import random
+
+    from crab_spark.operators import sketches as SK2
+
+    rng = random.Random(931)
+    vocab = [f"w{i}" for i in range(60)] + ["heavy"]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(20, 80)):
+            words = ["heavy"] * rng.randint(0, 4) + [
+                rng.choice(vocab) for _ in range(rng.randint(0, 10))
+            ]
+            rng.shuffle(words)
+            txt = None if rng.random() < 0.05 else " ".join(words)
+            rows.append((i, txt))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        thr = rng.choice([2, 5, 20])
+        got = {
+            r.word: (r.exact_cnt, r.cms_cnt)
+            for r in SK2.cms_heavy_hitters(docs, threshold=thr).collect()
+        }
+
+        exact = {}
+        for _, txt in rows:
+            if txt is None:
+                continue
+            import re
+            for w in re.sub(r"\s+", " ", txt.lower()).split(" "):
+                if w:
+                    exact[w] = exact.get(w, 0) + 1
+        sketch = {}
+        for w, n in exact.items():
+            for j in range(4):
+                c = int(
+                    hashlib.md5(f"{j}|{w}".encode()).hexdigest()[:2], 16
+                )
+                sketch[(j, c)] = sketch.get((j, c), 0) + n
+        want = {}
+        for w, n in exact.items():
+            est = min(
+                sketch[(j, int(
+                    hashlib.md5(f"{j}|{w}".encode()).hexdigest()[:2], 16
+                ))]
+                for j in range(4)
+            )
+            if est >= thr:
+                want[w] = (n, est)
+        assert got == want, f"trial {trial} thr {thr}"
+        assert all(c >= n for n, c in got.values())
