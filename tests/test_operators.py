@@ -3644,3 +3644,64 @@ def test_cms_heavy_hitters_random_crossvalidation(spark):
                 want[w] = (n, est)
         assert got == want, f"trial {trial} thr {thr}"
         assert all(c >= n for n, c in got.values())
+
+
+def test_hll_distinct_random_crossvalidation(spark):
+    """Seeded-random cross-validation for the HLL sketch: per-group
+    estimates on random corpora (NULL sources and texts included) must
+    equal a full Python replay of the md5 register math — buckets,
+    rho, harmonic sum, small-range correction, 4 dp round."""
+    import hashlib
+    import math
+    import random
+    import re
+
+    from crab_spark.operators import sketches as SK2
+
+    rng = random.Random(901)
+    vocab = [f"tok{i}" for i in range(400)]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(20, 90)):
+            src = rng.choice(["a", "b", None])
+            txt = (
+                None if rng.random() < 0.05
+                else " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(0, 40))
+                )
+            )
+            rows.append((i, src, txt))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        got = {
+            r.source: r.est_distinct
+            for r in SK2.hll_distinct(docs).collect()
+        }
+
+        regs = {}
+        for _, src, txt in rows:
+            if txt is None:
+                continue
+            for w in re.sub(r"\s+", " ", txt.lower()).split(" "):
+                if not w:
+                    continue
+                h32 = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                b, v = h32 % 64, h32 // 64
+                rho = 27 - v.bit_length() if v > 0 else 27
+                key = (src, b)
+                regs[key] = max(regs.get(key, -1), rho)
+        want = {}
+        groups = {src for src, _ in regs}
+        for src in groups:
+            mx = {b: r for (s, b), r in regs.items() if s == src}
+            s = sum(2.0 ** -r for r in mx.values()) + (64 - len(mx))
+            z = 64 - len(mx)
+            raw = float("0.7093409548395029") * 4096.0 / s
+            est = (
+                64.0 * math.log(64.0 / z) if (raw <= 160.0 and z > 0)
+                else raw
+            )
+            want[src] = round(est, 4)
+        assert got == want, f"trial {trial}"
