@@ -3705,3 +3705,42 @@ def test_hll_distinct_random_crossvalidation(spark):
             )
             want[src] = round(est, 4)
         assert got == want, f"trial {trial}"
+
+
+def test_bloom_audit_random_crossvalidation(spark):
+    """Seeded-random cross-validation for the Bloom membership audit:
+    on random disjoint build/probe sets the false-positive count must
+    equal a full Python replay of the m=4096/k=3 md5 bitset."""
+    import hashlib
+    import random
+
+    from crab_spark.operators import sketches as SK2
+
+    rng = random.Random(941)
+    for trial in range(3):
+        n_build = rng.randint(50, 600)
+        n_probe = rng.randint(50, 400)
+        build_keys = [f"b{u}" for u in rng.sample(range(10**6), n_build)]
+        probe_keys = [f"p{u}" for u in rng.sample(range(10**6), n_probe)]
+        build = spark.createDataFrame(
+            [(k,) for k in build_keys], "key string"
+        )
+        probe = spark.createDataFrame(
+            [(k,) for k in probe_keys], "key string"
+        )
+        row = SK2.bloom_audit(build, probe).collect()[0]
+
+        def bits(k):
+            return [
+                int(
+                    hashlib.md5(f"{i}|{k}".encode()).hexdigest()[:4], 16
+                ) % 4096
+                for i in range(3)
+            ]
+
+        bitset = {b for k in build_keys for b in bits(k)}
+        fp = sum(1 for k in probe_keys if all(b in bitset for b in bits(k)))
+        assert (row.n_build, row.n_probe, row.n_false_pos) == (
+            n_build, n_probe, fp
+        ), f"trial {trial}"
+        assert row.fp_rate == round(fp / n_probe, 6)
