@@ -3744,3 +3744,133 @@ def test_bloom_audit_random_crossvalidation(spark):
             n_build, n_probe, fp
         ), f"trial {trial}"
         assert row.fp_rate == round(fp / n_probe, 6)
+
+
+def test_hll_overlap_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q97: pairwise overlap
+    estimates on random corpora must equal a Python replay of the
+    register algebra — dense rho, union-by-max, inclusion-exclusion on
+    the 4 dp-rounded estimates."""
+    import hashlib
+    import math
+    import random
+
+    from crab_spark.operators import sketches as SK2
+
+    rng = random.Random(971)
+    vocab = [f"v{i}" for i in range(300)]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(30, 90)):
+            src = rng.choice(["a", "b", "c", None])
+            txt = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 30))
+            )
+            rows.append((i, src, txt))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        got = {
+            (r.src_a, r.src_b): (
+                r.est_a, r.est_b, r.est_union, r.est_intersect
+            )
+            for r in SK2.hll_pair_overlap(docs).collect()
+        }
+
+        regs = {}
+        for _, src, txt in rows:
+            if src is None:
+                continue
+            for w in txt.split(" "):
+                h32 = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                b, v = h32 % 64, h32 // 64
+                rho = 27 - v.bit_length() if v > 0 else 27
+                key = (src, b)
+                regs[key] = max(regs.get(key, 0), rho)
+
+        def est(rhos):
+            s = sum(2.0 ** -rhos.get(b, 0) for b in range(64))
+            z = sum(1 for b in range(64) if rhos.get(b, 0) == 0)
+            raw = float("0.7093409548395029") * 4096.0 / s
+            e = (
+                64.0 * math.log(64.0 / z) if (raw <= 160.0 and z > 0)
+                else raw
+            )
+            return round(e, 4)
+
+        srcs = sorted({s for s, _ in regs})
+        want = {}
+        for i, sa in enumerate(srcs):
+            for sb in srcs[i + 1:]:
+                ra = {b: r for (s, b), r in regs.items() if s == sa}
+                rb = {b: r for (s, b), r in regs.items() if s == sb}
+                ru = {
+                    b: max(ra.get(b, 0), rb.get(b, 0)) for b in range(64)
+                }
+                ea, eb, eu = est(ra), est(rb), est(ru)
+                want[(sa, sb)] = (ea, eb, eu, round(ea + eb - eu, 4))
+        assert got == want, f"trial {trial}"
+
+
+def test_host_communities_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q98: random corpora (small
+    id/text pools so repeated (src, dst) edges cross the weight-2
+    threshold) against a Python union-find over the mirrored strong
+    edges; all 64 hosts labeled, min-id labels."""
+    import hashlib
+    import random
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(981)
+    for trial in range(3):
+        ids = rng.sample(range(10**5), 12)
+        texts = [f"page {i}" for i in range(8)]
+        rows = [
+            (rng.choice(ids), rng.choice(texts))
+            for _ in range(rng.randint(20, 120))
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: docs
+        try:
+            got = {
+                r.host: r.cluster_id
+                for r in Q.QUERIES["q98_host_communities"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        def route(salt, s):
+            return int(
+                hashlib.md5((salt + s).encode()).hexdigest()[:2], 16
+            ) % 64
+
+        edges = {}
+        for did, txt in rows:
+            e = (route("h|", str(did)), route("d|", txt.lower()))
+            edges[e] = edges.get(e, 0) + 1
+        parent = list(range(64))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for (a, b), w in edges.items():
+            if w >= 2:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for h in range(64):
+            comp.setdefault(find(h), []).append(h)
+        want = {}
+        for members in comp.values():
+            lab = min(members)
+            for h in members:
+                want[h] = lab
+        assert got == want, f"trial {trial}"
+        assert len(got) == 64
