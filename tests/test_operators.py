@@ -3874,3 +3874,74 @@ def test_host_communities_random_crossvalidation(spark):
                 want[h] = lab
         assert got == want, f"trial {trial}"
         assert len(got) == 64
+
+
+def test_hll_windowed_random_crossvalidation(spark):
+    """Seeded-random cross-validation for q95: per-window distinct-user
+    HLL estimates on random event logs (NULL timestamps and users
+    included) against the Python register replay over the 1 h tumbling
+    grid."""
+    import hashlib
+    import math
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    import crab_spark.queries as Q
+
+    rng = random.Random(951)
+    base = datetime(2024, 7, 1, 0, 0, 0)
+    for trial in range(3):
+        rows = []
+        for eid in range(rng.randint(20, 120)):
+            ts = (
+                None if rng.random() < 0.05
+                else base + timedelta(seconds=rng.randrange(0, 10_000))
+            )
+            uid = None if rng.random() < 0.05 else rng.randrange(30)
+            rows.append((eid, ts, uid, "view", 0.0, "{}"))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        orig_t = Q.t
+        Q.t = lambda sp, sf, name: ev
+        try:
+            got = {
+                r.win_start: (r.exact_distinct, r.est_distinct, r.rel_err)
+                for r in Q.QUERIES["q95_hll_windowed"](spark, "x")
+                .collect()
+            }
+        finally:
+            Q.t = orig_t
+
+        keys = set()
+        for _, ts, uid, _, _, _ in rows:
+            if ts is None:
+                continue  # window(NULL ts) emits no row
+            e = int(ts.replace(tzinfo=timezone.utc).timestamp())
+            win = datetime.fromtimestamp(
+                (e // 3600) * 3600, tz=timezone.utc
+            ).replace(tzinfo=None)
+            keys.add((win, "" if uid is None else str(uid)))
+        want = {}
+        wins = {w for w, _ in keys}
+        for win in wins:
+            regs = {}
+            ks = [k for w, k in keys if w == win]
+            for k in ks:
+                h32 = int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+                b, v = h32 % 64, h32 // 64
+                rho = 27 - v.bit_length() if v > 0 else 27
+                regs[b] = max(regs.get(b, -1), rho)
+            s = sum(2.0 ** -r for r in regs.values()) + (64 - len(regs))
+            z = 64 - len(regs)
+            raw = float("0.7093409548395029") * 4096.0 / s
+            est = round(
+                64.0 * math.log(64.0 / z) if (raw <= 160.0 and z > 0)
+                else raw,
+                4,
+            )
+            exact = len(ks)
+            want[win] = (exact, est, round(abs(est - exact) / exact, 4))
+        assert got == want, f"trial {trial}"
