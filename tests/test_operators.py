@@ -3945,3 +3945,62 @@ def test_hll_windowed_random_crossvalidation(spark):
             exact = len(ks)
             want[win] = (exact, est, round(abs(est - exact) / exact, 4))
         assert got == want, f"trial {trial}"
+
+
+def test_phash_pairs_random_crossvalidation(spark):
+    """Seeded-random cross-validation for the media phash banding:
+    random payload pools (clones planted by reuse) against a Python
+    replay of the 48-bit md5 phash, 4×12-bit banding, whole-bucket cap
+    drop, and the hamming≤3 verify."""
+    import hashlib
+    import random
+
+    from crab_spark.operators import multimodal as M2
+
+    rng = random.Random(921)
+    for trial in range(3):
+        payloads = [
+            bytes(rng.randrange(256) for _ in range(8)) for _ in range(10)
+        ]
+        rows = []
+        for i in range(rng.randint(15, 60)):
+            rows.append((
+                f"m:{i}",
+                str(i),
+                rng.choice(["image", "audio"]),
+                rng.choice(payloads),
+                "application/octet-stream",
+                8,
+            ))
+        media = spark.createDataFrame(
+            rows,
+            ["media_id", "doc_id", "kind", "payload", "mime", "n_bytes"],
+        )
+        cap = rng.choice([2, 5, 200])
+        out = M2.media_phash_pairs(media, max_bucket=cap)
+        got = {
+            (r.id_a, r.id_b, r.kind): r.hamming for r in out.collect()
+        }
+
+        sigs = {
+            (mid, kind, int(hashlib.md5(p).hexdigest()[:12], 16))
+            for mid, _, kind, p, _, _ in rows
+        }
+        keyed = []
+        buckets = {}
+        for mid, kind, ph in sigs:
+            for b in range(4):
+                bk = (kind, b, (ph >> (b * 12)) & 0xFFF)
+                keyed.append((mid, kind, ph, bk))
+                buckets[bk] = buckets.get(bk, 0) + 1
+        live = [k for k in keyed if buckets[k[3]] <= cap]
+        want = {}
+        for i, (ma, ka, pa, bka) in enumerate(live):
+            for mb, kb, pb, bkb in live[i + 1:]:
+                if bka != bkb or ma == mb:
+                    continue
+                lo, hi = min(ma, mb), max(ma, mb)
+                h = bin(pa ^ pb).count("1")
+                if h <= 3:
+                    want[(lo, hi, ka)] = h
+        assert got == want, f"trial {trial} cap {cap}"
