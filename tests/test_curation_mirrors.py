@@ -270,3 +270,264 @@ def test_with_pack_ids_random_crossvalidation(spark):
         assert got == want, f"trial {trial} budget {budget}"
         # pack ids are monotone in doc order and start at 0
         assert min(p for _, p in got.values()) == 0
+
+
+# ── batch 2: scrub / decontamination ────────────────────────────────
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}"
+
+
+def _pii_text(rng: random.Random) -> str | None:
+    """Random word soup with planted PII and deliberate near-misses
+    (1-char TLDs, 4-digit octet runs, phones missing a group)."""
+    roll = rng.random()
+    if roll < 0.05:
+        return None
+    if roll < 0.10:
+        return ""
+    parts = []
+    for _ in range(rng.randint(1, 10)):
+        parts.append(rng.choice([
+            "plain", "words", "Fox9", "a.b", "x@y",
+            "bob@mail.example.com", "a.b@c.de", "no@tld.x",
+            "10.0.0.1", "1234.5.6.7", "1.2.3", "255.255.255.255",
+            "+1 555 123 4567", "+49 123 456 7890", "+1 555 123",
+            "1.2.3.4@host.org",
+        ]))
+    return " ".join(parts)
+
+
+def test_pii_scrub_random_crossvalidation(spark):
+    """pii_scrub on random PII-salted text == the sequential
+    email→ip→phone redaction replayed with Python's re on the SAME
+    RE2-safe patterns: every count, the redacted-text hash, and the
+    any_pii verdict (NULL text scored as '')."""
+    rng = random.Random(2106)
+    for trial in range(3):
+        rows = [(i, _pii_text(rng)) for i in range(rng.randint(8, 40))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_emails, r.n_ipv4, r.n_phones,
+                       r.redacted_hash, r.any_pii)
+            for r in SC.pii_scrub(docs).collect()
+        }
+        want = {}
+        for i, t in rows:
+            s = t or ""
+            n_e = len(re.findall(EMAIL_RE, s))
+            s = re.sub(EMAIL_RE, "<EMAIL>", s)
+            n_i = len(re.findall(IPV4_RE, s))
+            s = re.sub(IPV4_RE, "<IP>", s)
+            n_p = len(re.findall(PHONE_RE, s))
+            s = re.sub(PHONE_RE, "<PHONE>", s)
+            want[i] = (n_e, n_i, n_p, _md5(s), (n_e + n_i + n_p) > 0)
+        assert got == want, f"trial {trial}"
+
+
+def _windows(text: str | None, ww: int) -> list[str]:
+    """scrub.word_windows replay: fixed ww-word segments over the
+    normalized text, last segment ragged, empty text → one '' segment."""
+    ws = _norm(text).split(" ")
+    n_seg = max(math.ceil(len(ws) / ww), 1)
+    return [" ".join(ws[i * ww:(i + 1) * ww]) for i in range(n_seg)]
+
+
+_PHRASES = ["nav bar home", "hot take one", "cold raw data",
+            "the end now", "buy this now", "read me twice"]
+
+
+def _phrase_doc(rng: random.Random) -> str | None:
+    roll = rng.random()
+    if roll < 0.06:
+        return None
+    if roll < 0.12:
+        return "   "
+    # concatenated 3-word phrases keep window boundaries aligned so
+    # cross-document duplicate segments actually occur at ww=3
+    return rng.choice(["", " "]) + "  ".join(
+        rng.choice(_PHRASES) for _ in range(rng.randint(1, 5))
+    )
+
+
+def test_paragraph_dedup_random_crossvalidation(spark):
+    """paragraph_dedup + paragraph_retained on random phrase-pool
+    corpora == the corpus-wide first-wins replay: identical per-doc
+    segment counts, duplicate counts, and the retained text (and
+    md5(retained text) == retained_hash across the two ops)."""
+    rng = random.Random(2107)
+    ww = 3
+    for trial in range(3):
+        rows = [(i, _phrase_doc(rng)) for i in range(rng.randint(5, 25))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_segs, r.n_dup_segs, r.retained_hash)
+            for r in SC.paragraph_dedup(docs, window_words=ww).collect()
+        }
+        got_text = {
+            r.doc_id: r.text
+            for r in SC.paragraph_retained(docs, window_words=ww).collect()
+        }
+
+        first: dict[str, tuple[int, int]] = {}
+        segs: dict[int, list[tuple[int, str]]] = {}
+        for i, t in sorted(rows):
+            ss = [(p, s) for p, s in enumerate(_windows(t, ww)) if s != ""]
+            segs[i] = ss
+            for p, s in ss:
+                h = _md5(s)
+                if (i, p) < first.get(h, (1 << 60, 0)):
+                    first[h] = (i, p)
+        want, want_text = {}, {}
+        for i, _ in rows:
+            kept = [s for p, s in segs[i] if first[_md5(s)] == (i, p)]
+            n_dup = len(segs[i]) - len(kept)
+            want[i] = (len(segs[i]), n_dup, _md5(" ".join(kept)))
+            want_text[i] = " ".join(kept)
+        assert got == want, f"trial {trial}"
+        assert got_text == want_text, f"trial {trial} retained text"
+        for i in want:
+            assert _md5(want_text[i]) == want[i][2]
+
+
+def test_repetition_stats_random_crossvalidation(spark):
+    """repetition_stats on random messy docs == the normalized-shingle
+    total/distinct/ratio replay (NULL text → one '' shingle, ratio 0)."""
+    from crab_spark.operators import decontam as DC
+
+    rng = random.Random(2108)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(5, 40))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        k = rng.choice([2, 3])
+        got = {
+            r.doc_id: (r.n_ngrams, r.n_distinct, r.rep_ratio)
+            for r in DC.repetition_stats(docs, k=k).collect()
+        }
+        want = {}
+        for i, t in rows:
+            sh = _shingles(_norm(t), k)
+            n, d = len(sh), len(set(sh))
+            want[i] = (n, d, round(1.0 - d / max(n, 1), 4))
+        assert got == want, f"trial {trial} k {k}"
+
+
+def test_ngram_contamination_random_crossvalidation(spark):
+    """Thresholded ngram_contamination on random corpus×benchmark
+    pairs == the distinct-shingle intersection replay with the exact
+    Fraction cutoff rule, across max_frac settings including the
+    strict any-hit default."""
+    from fractions import Fraction
+
+    from crab_spark.operators import decontam as DC
+
+    rng = random.Random(2109)
+    k = 2
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(6, 30))]
+        bench_rows = [(i, _rand_text(rng)) for i in range(rng.randint(2, 6))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        max_frac = rng.choice([0.0, 0.25, 0.5])
+
+        got = {
+            r.doc_id: (r.n_contaminated, r.n_shingles, r.contam_frac,
+                       r.contaminated)
+            for r in DC.ngram_contamination(
+                docs, bench, k=k, max_frac=max_frac
+            ).collect()
+        }
+        bench_sh = {
+            s for _, t in bench_rows for s in _shingles(_norm(t), k) if s != ""
+        }
+        frac = Fraction(str(max_frac))
+        want = {}
+        for i, t in rows:
+            doc_sh = set(_shingles(_norm(t), k))
+            n_c = len(doc_sh & bench_sh)
+            n_s = len({s for s in doc_sh if s != ""})
+            want[i] = (
+                n_c, n_s, round(n_c / max(n_s, 1), 4),
+                n_c * frac.denominator > frac.numerator * n_s,
+            )
+        assert got == want, f"trial {trial} max_frac {max_frac}"
+
+
+def test_cross_source_overlap_random_crossvalidation(spark):
+    """cross_source_overlap on random phrase-pool corpora == the
+    per-source distinct segment-set intersection counts (NULL sources
+    never pair; zero-overlap pairs absent)."""
+    rng = random.Random(2110)
+    ww = 3
+    for trial in range(3):
+        rows = [
+            (i, _phrase_doc(rng), rng.choice(["s0", "s1", "s2", None]))
+            for i in range(rng.randint(6, 30))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        ov = SC.cross_source_overlap(docs, window_words=ww)
+        got = {
+            (r.source_a, r.source_b): r.n_shared for r in ov.collect()
+        }
+        ov.df_ordered_cache.unpersist()
+        per_src: dict[str, set] = {}
+        for _, t, src in rows:
+            if src is None:
+                continue
+            for s in _windows(t, ww):
+                if s != "":
+                    per_src.setdefault(src, set()).add(_md5(s))
+        srcs = sorted(per_src)
+        want = {}
+        for x in range(len(srcs)):
+            for y in range(x + 1, len(srcs)):
+                n = len(per_src[srcs[x]] & per_src[srcs[y]])
+                if n:
+                    want[(srcs[x], srcs[y])] = n
+        assert got == want, f"trial {trial}"
+
+
+def test_source_mix_report_random_crossvalidation(spark):
+    """source_mix_report on random corpora == the per-source rollup
+    replay: doc counts, char sums/means (2 dp), language spread, and
+    the exact-duplicate rate over md5(normalized) hashes — including
+    NULL sources (their own group), NULL langs and NULL texts."""
+    from crab_spark.operators import decontam as DC
+
+    rng = random.Random(2111)
+    for trial in range(3):
+        rows = [
+            (i, _rand_text(rng), rng.choice(["s0", "s1", None]),
+             rng.choice(["en", "de", None]))
+            for i in range(rng.randint(6, 50))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string"
+        )
+        got = {
+            r.source: (r.n_docs, r.total_chars, r.mean_chars, r.n_langs,
+                       r.dup_rate)
+            for r in DC.source_mix_report(docs).collect()
+        }
+        groups: dict[str | None, list] = {}
+        for i, t, src, lang in rows:
+            groups.setdefault(src, []).append((t, lang))
+        want = {}
+        for src, ms in groups.items():
+            chars = [len(t) for t, _ in ms if t is not None]
+            n = len(ms)
+            # sum/avg skip NULL chars (NULL text → NULL length)
+            total = sum(chars) if chars else None
+            mean = round(sum(chars) / len(chars), 2) if chars else None
+            langs = len({lg for _, lg in ms if lg is not None})
+            # countDistinct skips NULLs: a NULL-text doc contributes no
+            # content hash, so it always reads as "duplicate mass"
+            hashes = len({
+                _md5(_norm(t)) for t, _ in ms if t is not None
+            })
+            want[src] = (n, total, mean, langs, round(1.0 - hashes / n, 4))
+        assert got == want, f"trial {trial}"
