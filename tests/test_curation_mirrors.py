@@ -33,6 +33,23 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
 
+def _rnd(x: float, nd: int) -> float:
+    """Spark-compatible round: HALF_UP on the double's EXACT decimal
+    value (BigDecimal(double) semantics). Python's built-in round is
+    half-EVEN, so the two disagree precisely on dyadic midpoints —
+    1/32 at 4 dp is 0.03125, which Spark rounds to 0.0313 and round()
+    to 0.0312. Ratios of small integers hit those midpoints whenever
+    the denominator is a power of two, so mirrors must round the
+    Spark way."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _norm(text: str | None) -> str:
     # dedup.normalized: lower + collapse \s+ to one space
     return re.sub(r"\s+", " ", (text or "").lower())
@@ -154,7 +171,7 @@ def test_minhash_lsh_jaccard_random_crossvalidation(spark):
                 h.unpersist()
             sets = {i: set(_shingles(t, k)) for i, t in rows}
             want_j = {
-                (a, b): round(
+                (a, b): _rnd(
                     len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6
                 )
                 for a, b in want_pairs
@@ -410,7 +427,7 @@ def test_repetition_stats_random_crossvalidation(spark):
         for i, t in rows:
             sh = _shingles(_norm(t), k)
             n, d = len(sh), len(set(sh))
-            want[i] = (n, d, round(1.0 - d / max(n, 1), 4))
+            want[i] = (n, d, _rnd(1.0 - d / max(n, 1), 4))
         assert got == want, f"trial {trial} k {k}"
 
 
@@ -449,7 +466,7 @@ def test_ngram_contamination_random_crossvalidation(spark):
             n_c = len(doc_sh & bench_sh)
             n_s = len({s for s in doc_sh if s != ""})
             want[i] = (
-                n_c, n_s, round(n_c / max(n_s, 1), 4),
+                n_c, n_s, _rnd(n_c / max(n_s, 1), 4),
                 n_c * frac.denominator > frac.numerator * n_s,
             )
         assert got == want, f"trial {trial} max_frac {max_frac}"
@@ -522,12 +539,269 @@ def test_source_mix_report_random_crossvalidation(spark):
             n = len(ms)
             # sum/avg skip NULL chars (NULL text → NULL length)
             total = sum(chars) if chars else None
-            mean = round(sum(chars) / len(chars), 2) if chars else None
+            mean = _rnd(sum(chars) / len(chars), 2) if chars else None
             langs = len({lg for _, lg in ms if lg is not None})
             # countDistinct skips NULLs: a NULL-text doc contributes no
             # content hash, so it always reads as "duplicate mass"
             hashes = len({
                 _md5(_norm(t)) for t, _ in ms if t is not None
             })
-            want[src] = (n, total, mean, langs, round(1.0 - hashes / n, 4))
+            want[src] = (n, total, mean, langs, _rnd(1.0 - hashes / n, 4))
         assert got == want, f"trial {trial}"
+
+
+# ── batch 3: text scoring ───────────────────────────────────────────
+
+
+def test_lang_id_random_crossvalidation(spark):
+    """lang_id on random mixed-language soup == the distinct-token ∩
+    stopword-profile argmax replay (ties → language-code order), on
+    BOTH the expression path and the Arrow StopwordModel path; NULL
+    text predicts NULL on both."""
+    from crab_spark.operators.text import LANG_STOPWORDS, StopwordModel
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2112)
+    vocab = (
+        LANG_STOPWORDS["en"][:6] + LANG_STOPWORDS["de"][:6]
+        + LANG_STOPWORDS["fr"][:6] + ["zork", "blip", "Qux"]
+    )
+    langs = sorted(LANG_STOPWORDS)
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(6, 30)):
+            if rng.random() < 0.08:
+                rows.append((i, None))
+            else:
+                rows.append((i, "  ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 10)))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got_expr = {
+            r.doc_id: (r.pred_lang, r.hits)
+            for r in X.lang_id(docs).collect()
+        }
+        got_model = {
+            r.doc_id: (r.pred_lang, r.hits)
+            for r in X.lang_id(docs, model=StopwordModel()).collect()
+        }
+        want = {}
+        for i, t in rows:
+            if t is None:
+                want[i] = (None, None)
+                continue
+            toks = set(_norm(t).split(" "))
+            scores = {
+                lang: len(toks & set(LANG_STOPWORDS[lang])) for lang in langs
+            }
+            best = max(scores.values())
+            pred = next(lang for lang in langs if scores[lang] == best)
+            want[i] = (pred, best)
+        assert got_expr == want, f"trial {trial} expr"
+        assert got_model == want, f"trial {trial} model"
+
+
+def test_fingerprint_random_crossvalidation(spark):
+    """fingerprint on random messy docs == md5(normalized) identity +
+    the min-shingle-hash structural print replay (NULL text → NULL
+    content hash but a real structural hash over the '' shingle)."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2113)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(5, 40))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        k = rng.choice([2, 3])
+        got = {
+            r.doc_id: (r.content_hash, r.structural_hash)
+            for r in X.fingerprint(docs, k=k).collect()
+        }
+        want = {}
+        for i, t in rows:
+            ch = _md5(_norm(t)) if t is not None else None
+            norm = _norm(t) if t is not None else ""
+            sh = min(_md5(s) for s in _shingles(norm, k))
+            want[i] = (ch, sh)
+        assert got == want, f"trial {trial} k {k}"
+
+
+def _lm_mirror(rows: list[tuple[int, str | None]]) -> dict[int, tuple]:
+    """lm_score replay: corpus unigram LM over normalized tokens,
+    per-doc mean negative log likelihood (4 dp), token-free docs → 0."""
+    per_doc = {
+        i: Counter(w for w in _norm(t).split(" ") if w != "")
+        for i, t in rows
+    }
+    freqs = Counter()
+    for c in per_doc.values():
+        freqs.update(c)
+    tot = sum(freqs.values())
+    out = {}
+    for i, _ in rows:
+        c = per_doc[i]
+        n = sum(c.values())
+        if n == 0:
+            out[i] = (0, 0.0)
+        else:
+            nll = sum(cnt * -math.log(freqs[w] / tot) for w, cnt in c.items())
+            out[i] = (n, _rnd(nll / n, 4))
+    return out
+
+
+def test_lm_score_random_crossvalidation(spark):
+    """lm_score on random corpora == the corpus-fit unigram-NLL replay
+    (token counts from the SAME corpus, no smoothing; empty/NULL docs
+    carried with n_words=0, avg_nll=0)."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2114)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(6, 40))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        scored = X.lm_score(docs)
+        got = {r.doc_id: (r.n_words, r.avg_nll) for r in scored.collect()}
+        for h in D.cache_handles(scored):
+            h.unpersist()
+        assert got == _lm_mirror(rows), f"trial {trial}"
+
+
+def test_quality_percentile_gate_random_crossvalidation(spark):
+    """quality_percentile_gate on random corpora == the rank replay
+    over the total order (empty-last, avg_nll, doc_id) with the exact
+    Fraction keep boundary — keep counts, percentiles, and every
+    verdict."""
+    from fractions import Fraction
+
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2115)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(6, 40))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cut = rng.choice([0.5, 0.75, 0.9])
+        gated = X.quality_percentile_gate(docs, cut=cut)
+        got = {
+            r.doc_id: (r.n_words, r.avg_nll, r.quality_pct, r.keep)
+            for r in gated.collect()
+        }
+        for h in D.cache_handles(gated):
+            h.unpersist()
+        lm = _lm_mirror(rows)
+        order = sorted(lm, key=lambda i: (lm[i][0] == 0, lm[i][1], i))
+        n = len(order)
+        boundary = math.ceil(Fraction(str(cut)) * n)
+        want = {
+            i: (
+                lm[i][0], lm[i][1],
+                _rnd(rk / max(n - 1, 1), 6), rk < boundary,
+            )
+            for rk, i in enumerate(order)
+        }
+        assert got == want, f"trial {trial} cut {cut}"
+        assert sum(1 for v in got.values() if v[3]) == min(boundary, n)
+
+
+def test_tfidf_topk_random_crossvalidation(spark):
+    """tfidf_topk on random corpora == the tf·ln(N/df) replay with the
+    (score desc, word asc) per-doc total order and the 4 dp round."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2116)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(6, 30))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        k = rng.choice([2, 3])
+        out = X.tfidf_topk(docs, k=k)
+        got = {
+            (r.doc_id, r.rank): (r.word, r.tf, r.df, r.score)
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+        per_doc = {
+            i: Counter(w for w in _norm(t).split(" ") if w != "")
+            for i, t in rows
+        }
+        df_ = Counter()
+        for c in per_doc.values():
+            df_.update(set(c))
+        n_docs = len(rows)
+        want = {}
+        for i, c in per_doc.items():
+            scored = sorted(
+                (
+                    (-_rnd(tf * math.log(n_docs / df_[w]), 4), w, tf)
+                    for w, tf in c.items()
+                ),
+            )
+            for rk, (neg, w, tf) in enumerate(scored[:k], start=1):
+                want[(i, rk)] = (w, tf, df_[w], -neg)
+        assert got == want, f"trial {trial} k {k}"
+
+
+def test_quality_features_random_crossvalidation(spark):
+    """quality_features on random punctuation-salted text == the
+    length/ratio replay (4 dp, HALF_UP); NULL text yields NULL
+    features."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2117)
+    vocab = ["Hi!", "a.b", "X,Y", "low", "UP", "??", "x;y:z",
+             "Mixed.Case", "plain", "A"]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(6, 40)):
+            roll = rng.random()
+            if roll < 0.06:
+                rows.append((i, None))
+            elif roll < 0.12:
+                rows.append((i, ""))
+            else:
+                sep = rng.choice([" ", "  ", "\n"])
+                rows.append((i, sep.join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 10)))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_chars, r.mean_word_len, r.punct_ratio,
+                       r.upper_ratio, r.space_ratio)
+            for r in X.quality_features(docs).collect()
+        }
+        want = {}
+        for i, t in rows:
+            if t is None:
+                want[i] = (None, None, None, None, None)
+                continue
+            n = len(t)
+            n_words = len(re.sub(r"[ \t\n\x0b\f\r]+", " ", t).split(" "))
+            punct = sum(1 for ch in t if ch in ".,;:!?")
+            upper = sum(1 for ch in t if "A" <= ch <= "Z")
+            space = t.count(" ")
+            want[i] = (
+                n,
+                _rnd(n / max(n_words, 1.0), 4),
+                _rnd(punct / max(n, 1.0), 4),
+                _rnd(upper / max(n, 1.0), 4),
+                _rnd(space / max(n, 1.0), 4),
+            )
+        assert got == want, f"trial {trial}"
+
+
+def test_word_freq_random_crossvalidation(spark):
+    """word_freq on random corpora == the normalized-token Counter
+    with the min_count floor."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2118)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(6, 50))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        mc = rng.choice([1, 2, 4])
+        got = {
+            r.word: r.n for r in X.word_freq(docs, min_count=mc).collect()
+        }
+        cnt = Counter(
+            w for _, t in rows for w in _norm(t).split(" ") if w != ""
+        )
+        want = {w: c for w, c in cnt.items() if c >= mc}
+        assert got == want, f"trial {trial} mc {mc}"
