@@ -805,3 +805,232 @@ def test_word_freq_random_crossvalidation(spark):
         )
         want = {w: c for w, c in cnt.items() if c >= mc}
         assert got == want, f"trial {trial} mc {mc}"
+
+
+# ── batch 4: simhash + vector similarity ────────────────────────────
+
+
+def _dotf(a, b):
+    # similarity._dot replay: left fold in index order, init 0.0 —
+    # the EXACT same IEEE operation sequence as F.aggregate(zip_with)
+    acc = 0.0
+    for x, y in zip(a, b, strict=True):
+        acc = acc + x * y
+    return acc
+
+
+def _cosf(a, b):
+    if a is None or b is None:
+        return None
+    den = math.sqrt(_dotf(a, a)) * math.sqrt(_dotf(b, b))
+    if den == 0.0:
+        return None
+    return _dotf(a, b) / den
+
+
+def _dyadic_vec(rng: random.Random, dim: int = 4):
+    """Multiples of 0.25: every product/sum in the cosine fold is an
+    exactly-representable dyadic, so the mirror's doubles are
+    bit-identical to Spark's regardless of aggregation order."""
+    roll = rng.random()
+    if roll < 0.08:
+        return None
+    if roll < 0.16:
+        return [0.0] * dim
+    return [rng.randint(-8, 8) * 0.25 for _ in range(dim)]
+
+
+def test_simhash_random_crossvalidation(spark):
+    """simhash + simhash_neardup_pairs on random small-vocab corpora ==
+    the Charikar bit-vote replay (md5[:8] little-endian token hashes,
+    signed votes, two's-complement int64) and the 8×8-bit banding with
+    the hamming cap and whole-bucket drop."""
+    rng = random.Random(2119)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(6, 20)):
+            roll = rng.random()
+            if roll < 0.08:
+                rows.append((i, None))
+            elif roll < 0.16:
+                rows.append((i, ""))
+            else:
+                rows.append((i, " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 10)))))
+        # planted exact dup → hamming 0 pair
+        rows.append((900, rows[-1][1]))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs_df = D.simhash(docs)
+        got_sigs = {r.doc_id: r.simhash for r in sigs_df.collect()}
+
+        def sig_of(text):
+            if not text:
+                return 0
+            toks = text.lower().split()
+            if not toks:
+                return 0
+            votes = [0] * 64
+            for t in toks:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "little"
+                )
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            sig = sum(1 << b for b in range(64) if votes[b] > 0)
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        want_sigs = {i: sig_of(t) for i, t in rows}
+        assert got_sigs == want_sigs, f"trial {trial} sigs"
+
+        cap = rng.choice([3, None])
+        mh = rng.choice([7, 64])
+        pairs_df = D.simhash_neardup_pairs(
+            sigs_df, max_hamming=mh, max_bucket=cap
+        )
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs_df.collect()}
+        u = {i: s & ((1 << 64) - 1) for i, s in want_sigs.items()}
+        buckets: dict[tuple, set] = {}
+        for i, s in u.items():
+            for b in range(8):
+                buckets.setdefault((b, (s >> (b * 8)) & 0xFF), set()).add(i)
+        live = [m for m in buckets.values() if cap is None or len(m) <= cap]
+        want = {}
+        for mem in live:
+            for x in mem:
+                for y in mem:
+                    if x < y:
+                        h = bin(u[x] ^ u[y]).count("1")
+                        if h <= mh:
+                            want[(x, y)] = h
+        assert got == want, f"trial {trial} cap {cap} mh {mh}"
+        if cap is not None:
+            got_drop = {
+                (r.band_idx, r.band_key, r.n)
+                for r in pairs_df.dropped_buckets.collect()
+            }
+            want_drop = {
+                (b, key, len(m))
+                for (b, key), m in buckets.items() if len(m) > cap
+            }
+            assert got_drop == want_drop, f"trial {trial} dropped"
+
+
+def test_cosine_topk_random_crossvalidation(spark):
+    """cosine_topk on random dyadic vectors == the exact fold replay
+    with (score desc NULLS LAST, id asc) ordering — zero-norm and NULL
+    embeddings score NULL and sort last, never crash the scan."""
+    from crab_spark.operators import similarity as SI
+
+    rng = random.Random(2120)
+    for trial in range(3):
+        rows = [(i, _dyadic_vec(rng)) for i in range(rng.randint(6, 30))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = [rng.randint(-8, 8) * 0.25 for _ in range(4)]
+        if all(x == 0.0 for x in q):
+            q[0] = 1.0
+        k = rng.choice([3, 5, 100])
+        got = [
+            (r.vec_id, r.score)
+            for r in SI.cosine_topk(emb, q, k=k).collect()
+        ]
+        scored = [
+            (i, None if _cosf(v, q) is None else _rnd(_cosf(v, q), 4))
+            for i, v in rows
+        ]
+        scored.sort(key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]))
+        assert got == scored[:k], f"trial {trial} k {k}"
+
+
+def test_ivf_neardup_random_crossvalidation(spark):
+    """ivf_assign + embedding_neardup_pairs on random dyadic vectors ==
+    the argmax-bucket + in-bucket cosine-verify replay, with the bucket
+    cap and dropped-bucket report; zero-norm/NULL vectors take a NULL
+    bucket and never pair."""
+    from crab_spark.operators import similarity as SI
+
+    rng = random.Random(2121)
+    for trial in range(3):
+        rows = [(i, _dyadic_vec(rng)) for i in range(rng.randint(8, 30))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = []
+        for _ in range(3):
+            c = [rng.randint(-8, 8) * 0.25 for _ in range(4)]
+            if all(x == 0.0 for x in c):
+                c[0] = 1.0
+            cents.append(c)
+        assigned = SI.ivf_assign(emb, cents)
+        got_b = {r.vec_id: r.bucket for r in assigned.collect()}
+        want_b = {}
+        for i, v in rows:
+            scores = [_cosf(v, c) for c in cents]
+            if all(s is None for s in scores):
+                want_b[i] = None
+            else:
+                m = max(s for s in scores if s is not None)
+                want_b[i] = scores.index(m)
+        assert got_b == want_b, f"trial {trial} buckets"
+
+        thr, cap = 0.5, rng.choice([3, None])
+        pairs_df = SI.embedding_neardup_pairs(
+            assigned, threshold=thr, max_bucket=cap
+        )
+        got_p = {(r.id_a, r.id_b): r.score for r in pairs_df.collect()}
+        vecs = dict(rows)
+        members: dict[int, list] = {}
+        for i, b in want_b.items():
+            if b is not None:
+                members.setdefault(b, []).append(i)
+        want_p = {}
+        for b, mem in members.items():
+            if cap is not None and len(mem) > cap:
+                continue
+            for x in mem:
+                for y in mem:
+                    if x < y:
+                        s = _cosf(vecs[x], vecs[y])
+                        if s is not None and _rnd(s, 4) >= thr:
+                            want_p[(x, y)] = _rnd(s, 4)
+        assert got_p == want_p, f"trial {trial} cap {cap} pairs"
+
+
+def test_label_centroid_random_crossvalidation(spark):
+    """label_centroid_cosine on random dyadic labeled vectors == the
+    per-label mean-centroid replay (exact dyadic cell sums, so
+    aggregation order can't split the engines) with NULL labels
+    dropped and NULL/zero-norm rows scoring NULL."""
+    from crab_spark.operators import similarity as SI
+
+    rng = random.Random(2122)
+    for trial in range(3):
+        rows = [
+            (i, _dyadic_vec(rng), rng.choice(["x", "y", "z", None]))
+            for i in range(rng.randint(8, 30))
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        got = {
+            r.vec_id: (r.label, r.centroid_cos)
+            for r in SI.label_centroid_cosine(emb).collect()
+        }
+        cells: dict[tuple, list] = {}
+        for _, v, lab in rows:
+            if v is None:
+                continue
+            for pos, x in enumerate(v):
+                cells.setdefault((lab, pos), []).append(x)
+        cents = {}
+        for (lab, pos), xs in cells.items():
+            cents.setdefault(lab, {})[pos] = math.fsum(xs) / len(xs)
+        want = {}
+        for i, v, lab in rows:
+            if lab is None:
+                continue
+            c = [cents[lab][p] for p in sorted(cents.get(lab, {}))]
+            if not c:
+                continue  # no non-null vec ever carried this label
+            s = _cosf(v, c)
+            want[i] = (lab, None if s is None else _rnd(s, 4))
+        assert got == want, f"trial {trial}"
