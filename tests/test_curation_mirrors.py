@@ -22,6 +22,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from crab_spark.operators import dedup as D
 from crab_spark.operators import packing as P
@@ -1034,3 +1035,148 @@ def test_label_centroid_random_crossvalidation(spark):
             s = _cosf(v, c)
             want[i] = (lab, None if s is None else _rnd(s, 4))
         assert got == want, f"trial {trial}"
+
+
+# ── batch 5: mixture / split / order sampling family ────────────────
+
+
+def _nonempty_tokens(t: str | None) -> list[str]:
+    # text.tokens over coalesced raw text, empties filtered
+    return [
+        w for w in re.sub(r"[ \t\n\x0b\f\r]+", " ", t or "").split(" ") if w
+    ]
+
+
+def test_temperature_mixture_random_crossvalidation(spark):
+    """temperature_mixture_rates on random corpora == the p^α
+    renormalization replay (6 dp): token shares, temp shares, boosts —
+    including NULL sources (their own group) and 0-token sources
+    (boost pinned 0)."""
+    from crab_spark.operators import sampling as SAM
+
+    rng = random.Random(2123)
+    for trial in range(3):
+        rows = [
+            (i, _rand_text(rng), rng.choice(["s0", "s1", "s2", None]))
+            for i in range(rng.randint(8, 50))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        alpha = rng.choice([0.5, 0.7, 1.0])
+        got = {
+            r.source: (r.n_docs, r.n_tokens, r.token_share, r.temp_share,
+                       r.boost)
+            for r in SAM.temperature_mixture_rates(docs, alpha=alpha).collect()
+        }
+        per: dict[str | None, list] = {}
+        for _, t, src in rows:
+            m = per.setdefault(src, [0, 0])
+            m[0] += 1
+            m[1] += len(_nonempty_tokens(t))
+        tot = sum(m[1] for m in per.values())
+        pa = {s: math.pow(m[1] / tot, alpha) for s, m in per.items()}
+        z = sum(pa.values())
+        want = {}
+        for s, (nd, nt) in per.items():
+            p = nt / tot
+            boost = _rnd(pa[s] / z / p, 6) if p > 0 else 0.0
+            want[s] = (nd, nt, _rnd(p, 6), _rnd(pa[s] / z, 6), boost)
+        assert got == want, f"trial {trial} alpha {alpha}"
+
+
+def test_holdout_split_random_crossvalidation(spark):
+    """holdout_split on random keys == the cumulative hash-interval
+    replay — disjoint, exhaustive, and stable across salt choices;
+    NULL keys hash as ''."""
+    from crab_spark.operators import sampling as SAM
+
+    rng = random.Random(2124)
+    for trial in range(3):
+        n = rng.randint(10, 120)
+        rows = [(i if rng.random() > 0.05 else None, i) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, row long")
+        fracs = rng.choice([(0.9, 0.05, 0.05), (0.5, 0.5), (1.0,)])
+        names = ("a", "b", "c")[: len(fracs)]
+        salt = rng.choice(["", "e1"])
+        got = {
+            r.row: r.split
+            for r in SAM.holdout_split(
+                df, fractions=fracs, names=names, salt=salt
+            ).collect()
+        }
+        want = {}
+        for key, rowid in rows:
+            h = _md5(f"{salt}{key if key is not None else ''}")
+            cum, pick = 0.0, names[-1]
+            for frac, name in zip(fracs[:-1], names[:-1]):
+                cum += float(frac)
+                if h < _hex_threshold(cum):
+                    pick = name
+                    break
+            want[rowid] = pick
+        assert got == want, f"trial {trial} fracs {fracs}"
+
+
+def test_epoch_order_random_crossvalidation(spark):
+    """epoch_order on random keys == the dense (md5(seed‖key), key)
+    rank replay; a different seed is a different permutation of the
+    same rows."""
+    from crab_spark.operators import dedup as DD
+    from crab_spark.operators import sampling as SAM
+
+    rng = random.Random(2125)
+    for trial in range(3):
+        ids = rng.sample(range(10_000), rng.randint(8, 80))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        seed = rng.choice(["", "ep1", "ep2"])
+        out = SAM.epoch_order(df, seed=seed)
+        got = {r.doc_id: (r.shuffle_key, r.epoch_pos) for r in out.collect()}
+        for h in DD.cache_handles(out):
+            h.unpersist()
+        order = sorted(ids, key=lambda i: (_md5(f"{seed}{i}"), i))
+        want = {
+            i: (_md5(f"{seed}{i}"), pos) for pos, i in enumerate(order)
+        }
+        assert got == want, f"trial {trial} seed {seed!r}"
+
+
+def test_apply_mixture_rates_random_crossvalidation(spark):
+    """temperature_mixture_rates ∘ apply_mixture_rates composed on
+    random corpora == the replay: rate = min(base·boost, 1), keep =
+    first-48-bit hash fraction < rate; sources filtered out of the
+    rates frame (and NULL-source rows when absent) rate 0."""
+    from crab_spark.operators import sampling as SAM
+
+    rng = random.Random(2126)
+    for trial in range(3):
+        rows = [
+            (i, _rand_text(rng), rng.choice(["s0", "s1", "s2", None]))
+            for i in range(rng.randint(8, 60))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        rates = SAM.temperature_mixture_rates(docs, alpha=0.5)
+        # drop one source from the rates frame → absent ⇒ rate 0.0
+        rates = rates.filter(
+            (F.col("source").isNull()) | (F.col("source") != "s2")
+        )
+        base = rng.choice([0.3, 0.8])
+        salt = rng.choice(["", "mx"])
+        got = {
+            r.doc_id: (r.source, r.rate, r.keep)
+            for r in SAM.apply_mixture_rates(
+                docs, rates, base_rate=base, salt=salt
+            ).collect()
+        }
+        boosts = {
+            r.source: r.boost for r in rates.collect()
+        }
+        want = {}
+        for i, _, src in rows:
+            boost = boosts.get(src, 0.0)
+            rate = min(base * boost, 1.0)
+            frac = int(_md5(f"{salt}{i}")[:12], 16) / float(1 << 48)
+            want[i] = (src, rate, frac < rate)
+        assert got == want, f"trial {trial} base {base}"
