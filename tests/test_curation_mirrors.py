@@ -1180,3 +1180,131 @@ def test_apply_mixture_rates_random_crossvalidation(spark):
             frac = int(_md5(f"{salt}{i}")[:12], 16) / float(1 << 48)
             want[i] = (src, rate, frac < rate)
         assert got == want, f"trial {trial} base {base}"
+
+
+# ── batch 6: incremental dedup / novelty / line dedup ───────────────
+
+
+def test_dedup_incremental_random_crossvalidation(spark):
+    """dedup_incremental on random batch×corpus pairs == the
+    hash-membership + in-batch first-wins replay, identical on BOTH
+    the broadcast-batch and shuffle paths; NULL text hashes as ''."""
+    rng = random.Random(2127)
+    for trial in range(3):
+        pool = [_rand_text(rng) for _ in range(10)]
+        corpus_rows = [
+            (1000 + j, rng.choice(pool)) for j in range(rng.randint(3, 20))
+        ]
+        batch_rows = [
+            (i, rng.choice(pool) if rng.random() < 0.7 else _rand_text(rng))
+            for i in range(rng.randint(5, 30))
+        ]
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+        def h(t):
+            return _md5(_norm(t)) if t is not None else _md5("")
+
+        corpus_hashes = {h(t) for _, t in corpus_rows}
+        keeper = {}
+        for i, t in sorted(batch_rows):
+            keeper.setdefault(h(t), i)
+        want = {}
+        for i, t in batch_rows:
+            hh = h(t)
+            in_c = hh in corpus_hashes
+            bk = keeper[hh] == i
+            want[i] = (hh, in_c, bk, not in_c and bk)
+        for bb in (True, False):
+            got = {
+                r.doc_id: (r.content_hash, r.in_corpus, r.batch_keeper, r.keep)
+                for r in D.dedup_incremental(
+                    batch, corpus, broadcast_batch=bb
+                ).collect()
+            }
+            assert got == want, f"trial {trial} broadcast {bb}"
+
+
+def test_keep_corpus_random_crossvalidation(spark):
+    """keep_corpus on random component labelings == the size +
+    keeper-rule replay (keeper ⇔ id == cluster_id; sizes conserved)."""
+    rng = random.Random(2128)
+    for trial in range(3):
+        ids = rng.sample(range(500), rng.randint(8, 60))
+        labels = {}
+        for i in ids:
+            members = [j for j in ids if j <= i]
+            labels[i] = rng.choice(members[-3:])  # min-ish labels
+        # make labels valid component labels: root points to itself
+        for i in ids:
+            while labels[labels[i]] != labels[i]:
+                labels[i] = labels[labels[i]]
+        clusters = spark.createDataFrame(
+            [(i, labels[i]) for i in ids], "doc_id long, cluster_id long"
+        )
+        got = {
+            r.doc_id: (r.cluster_id, r.cluster_size, r.is_keeper)
+            for r in D.keep_corpus(clusters).collect()
+        }
+        sizes = Counter(labels.values())
+        want = {
+            i: (labels[i], sizes[labels[i]], i == labels[i]) for i in ids
+        }
+        assert got == want, f"trial {trial}"
+        assert sum(1 for v in got.values() if v[2]) == len(sizes)
+
+
+def test_novelty_score_random_crossvalidation(spark):
+    """novelty_score on random corpora == the distinct-shingle
+    document-frequency replay: n_shingles, n_novel, 6 dp novelty,
+    NULL verdict for shingle-free docs."""
+    rng = random.Random(2129)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(6, 40))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        k = rng.choice([2, 3])
+        out = D.novelty_score(docs, k=k)
+        got = {
+            r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+        per = {
+            i: {s for s in _shingles(t, k) if s != ""} for i, t in rows
+        }
+        dfreq = Counter(s for ss in per.values() for s in ss)
+        want = {}
+        for i, ss in per.items():
+            n = len(ss)
+            novel = sum(1 for s in ss if dfreq[s] == 1)
+            want[i] = (n, novel, _rnd(novel / n, 6) if n else None)
+        assert got == want, f"trial {trial} k {k}"
+
+
+def test_dedup_lines_random_crossvalidation(spark):
+    """dedup_lines on random line-pool docs == the order-preserving
+    first-occurrence replay (counts + reassembled text; NULL → '')."""
+    rng = random.Random(2130)
+    pool = ["nav menu", "cookie banner", "real content a",
+            "real content b", "", "footer"]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(5, 30)):
+            if rng.random() < 0.06:
+                rows.append((i, None))
+            else:
+                rows.append((i, "\n".join(
+                    rng.choice(pool)
+                    for _ in range(rng.randint(1, 8)))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_lines, r.n_removed)
+            for r in SC.dedup_lines(docs).collect()
+        }
+        want = {}
+        for i, t in rows:
+            lines = (t or "").split("\n")
+            kept = list(dict.fromkeys(lines))
+            want[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+        assert got == want, f"trial {trial}"
