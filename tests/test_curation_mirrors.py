@@ -1308,3 +1308,132 @@ def test_dedup_lines_random_crossvalidation(spark):
             kept = list(dict.fromkeys(lines))
             want[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
         assert got == want, f"trial {trial}"
+
+
+# ── batch 7: the composed corpus-build pipeline (q55 shape) ─────────
+
+
+def test_corpus_build_random_crossvalidation(spark):
+    """The END-TO-END corpus_build composition on random corpora == a
+    full Python replay of every stage in sequence: benchmark split →
+    PII scrub → corpus-wide first-wins paragraph dedup → exact-Fraction
+    repetition and contamination gates → survivor-population LM
+    percentile gate → hash sample → chunking → greedy packing. The
+    step mirrors are each validated above; this pins the COMPOSITION —
+    row identity across gates, retained-text propagation, and the
+    percentile ranking over exactly the surviving population."""
+    from fractions import Fraction
+
+    from crab_spark.operators.pipeline import corpus_build
+
+    rng = random.Random(2131)
+    ww, rep_k, contam_k = 3, 2, 2
+    rep_max, contam_max = 0.5, 0.25
+    cut, bench_rate, sample_rate = 0.8, 0.2, 0.6
+    cw, st, budget = 4, 2, 8
+
+    def doc(rng):
+        roll = rng.random()
+        if roll < 0.05:
+            return None
+        if roll < 0.10:
+            return ""
+        if roll < 0.25:   # repetitive doc — trips the repetition gate
+            w = rng.choice(["spam", "ham"])
+            return " ".join([w] * rng.randint(4, 9))
+        body = "  ".join(
+            rng.choice(_PHRASES) for _ in range(rng.randint(1, 5))
+        )
+        if rng.random() < 0.2:  # PII-salted
+            body += " bob@mail.example.com 10.0.0.1"
+        return body
+
+    for trial in range(3):
+        rows = [(i, doc(rng)) for i in range(rng.randint(15, 45))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = corpus_build(
+            docs,
+            bench_rate=bench_rate, window_words=ww,
+            rep_k=rep_k, rep_max=rep_max,
+            contam_k=contam_k, contam_max_frac=contam_max,
+            quality_cut=cut, sample_rate=sample_rate,
+            chunk_words=cw, stride=st, pack_budget=budget,
+        )
+        got = {
+            (r.doc_id, r.chunk_id): (r.n_words, r.chunk_hash, r.pack_id)
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+
+        # 1. benchmark split (raw text)
+        bench_thr = _hex_threshold(bench_rate)
+        bench = {i: t for i, t in rows if _md5(f"bench{i}") < bench_thr}
+        corpus = [(i, t) for i, t in rows if i not in bench]
+        # 2. scrub (sequential redaction; NULL stays NULL)
+        def scrub(t):
+            if t is None:
+                return None
+            t = re.sub(EMAIL_RE, "<EMAIL>", t)
+            t = re.sub(IPV4_RE, "<IP>", t)
+            return re.sub(PHONE_RE, "<PHONE>", t)
+
+        scrubbed = [(i, scrub(t)) for i, t in corpus]
+        # 3. corpus-wide first-wins paragraph dedup on scrubbed text
+        first: dict[str, tuple[int, int]] = {}
+        segs: dict[int, list[tuple[int, str]]] = {}
+        for i, t in sorted(scrubbed):
+            ss = [(p, s) for p, s in enumerate(_windows(t, ww)) if s != ""]
+            segs[i] = ss
+            for p, s in ss:
+                h = _md5(s)
+                if (i, p) < first.get(h, (1 << 60, 0)):
+                    first[h] = (i, p)
+        retained = {}
+        for i, _ in scrubbed:
+            kept = [s for p, s in segs[i] if first[_md5(s)] == (i, p)]
+            if kept:
+                retained[i] = " ".join(kept)
+        # 4. repetition gate (exact Fraction) on retained text
+        rfr = Fraction(str(rep_max))
+        gated = {}
+        for i, rt in retained.items():
+            sh = _shingles(_norm(rt), rep_k)
+            n, d = len(sh), len(set(sh))
+            if (n - d) * rfr.denominator <= rfr.numerator * n:
+                gated[i] = rt
+        # 5. contamination gate vs the benchmark's raw text
+        cfr = Fraction(str(contam_max))
+        bench_sh = {
+            s for t in bench.values()
+            for s in _shingles(_norm(t), contam_k) if s != ""
+        }
+        survivors = {}
+        for i, rt in gated.items():
+            dsh = set(_shingles(_norm(rt), contam_k))
+            n_c = len(dsh & bench_sh)
+            n_s = len({s for s in dsh if s != ""})
+            if not (n_c * cfr.denominator > cfr.numerator * n_s):
+                survivors[i] = rt
+        # 6. LM percentile gate over the SURVIVOR population
+        lm = _lm_mirror(sorted(survivors.items()))
+        order = sorted(lm, key=lambda i: (lm[i][0] == 0, lm[i][1], i))
+        boundary = math.ceil(Fraction(str(cut)) * len(order))
+        keepers = {i: survivors[i] for i in order[:boundary]}
+        # 7. decorrelated hash sample
+        s_thr = _hex_threshold(sample_rate)
+        sampled = {
+            i: t for i, t in keepers.items() if _md5(f"mix{i}") < s_thr
+        }
+        # 8. chunk + 9. pack in (doc_id, chunk_id) order
+        want = {}
+        cum = 0
+        for i in sorted(sampled):
+            ws = _norm(sampled[i]).split(" ")
+            n = len(ws)
+            n_chunks = 1 if n <= cw else 1 + math.ceil((n - cw) / st)
+            for c in range(n_chunks):
+                sl = ws[c * st:c * st + cw]
+                want[(i, c)] = (len(sl), _md5(" ".join(sl)), cum // budget)
+                cum += len(sl)
+        assert got == want, f"trial {trial}"
