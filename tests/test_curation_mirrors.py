@@ -1437,3 +1437,142 @@ def test_corpus_build_random_crossvalidation(spark):
                 want[(i, c)] = (len(sl), _md5(" ".join(sl)), cum // budget)
                 cum += len(sl)
         assert got == want, f"trial {trial}"
+
+
+# ── batch 8: heuristic / reputation / linear-classifier gates ───────
+
+
+def test_heuristic_quality_gate_random_crossvalidation(spark):
+    """heuristic_quality_gate (the Gopher rule set) on random
+    symbol-salted docs == the integer-exact rule replay: all five rule
+    booleans, the composite keep, and the 4 dp mean word length."""
+    from fractions import Fraction
+
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2132)
+    vocab = ["the", "a", "is", "of", "to", "zork", "##", "...",
+             "x#", "12", "w", "longishword"]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(8, 40)):
+            roll = rng.random()
+            if roll < 0.06:
+                rows.append((i, None))
+            else:
+                rows.append((i, "  ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 12)))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_words, r.mean_word_len, r.rule_word_count,
+                       r.rule_mean_word_len, r.rule_symbol_ratio,
+                       r.rule_alpha_words, r.rule_stopwords, r.keep)
+            for r in X.heuristic_quality_gate(docs, min_words=2).collect()
+        }
+        a, b = Fraction("2"), Fraction("12")
+        s, al = Fraction("0.1"), Fraction("0.8")
+        from crab_spark.operators.text import LANG_STOPWORDS
+
+        stops = set(LANG_STOPWORDS["en"])
+        want = {}
+        for i, t in rows:
+            norm = _norm(t)
+            ws = norm.split(" ")
+            n_words = sum(1 for w in ws if w)
+            word_chars = len(norm.replace(" ", ""))
+            n_sym = norm.count("#") + norm.count("...")
+            n_alpha = sum(1 for w in ws if re.search("[a-z]", w))
+            hits = len(set(ws) & stops)
+            r_w = 2 <= n_words <= 100_000
+            r_m = (word_chars * a.denominator >= a.numerator * n_words
+                   and word_chars * b.denominator <= b.numerator * n_words)
+            r_s = n_sym * s.denominator <= s.numerator * n_words
+            r_a = n_alpha * al.denominator >= al.numerator * n_words
+            r_st = hits >= 2
+            want[i] = (
+                n_words, _rnd(word_chars / max(n_words, 1), 4),
+                r_w, r_m, r_s, r_a, r_st,
+                r_w and r_m and r_s and r_a and r_st,
+            )
+        assert got == want, f"trial {trial}"
+
+
+def test_source_reputation_gate_random_crossvalidation(spark):
+    """source_reputation_gate on random corpora == the per-source
+    mean-length + dup-fraction replay with exact integer keep rules;
+    NULL sources are a reputation group, NULL texts count as one
+    distinct zero-word group."""
+    from fractions import Fraction
+
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2133)
+    for trial in range(3):
+        pool = [_rand_text(rng) for _ in range(8)]
+        rows = [
+            (i, rng.choice(pool), rng.choice(["s0", "s1", None]))
+            for i in range(rng.randint(8, 50))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        min_mean, max_dup = 2, "0.5"
+        got = {
+            r.doc_id: (r.source, r.src_n_docs, r.src_mean_words,
+                       r.src_dup_frac, r.keep)
+            for r in X.source_reputation_gate(
+                docs, min_mean_words=min_mean, max_dup_frac=max_dup
+            ).collect()
+        }
+        frac = Fraction(max_dup)
+        groups: dict[str | None, list] = {}
+        for _, t, src in rows:
+            groups.setdefault(src, []).append(t)
+        rep = {}
+        for src, ts in groups.items():
+            n = len(ts)
+            words = sum(
+                len(re.sub(r"[ \t\n\x0b\f\r]+", " ", t).split(" "))
+                for t in ts if t is not None
+            )
+            distinct = len({_md5(t) if t is not None else None for t in ts})
+            dups = n - distinct
+            rep[src] = (
+                n, _rnd(words / n, 4), _rnd(dups / n, 4),
+                words >= min_mean * n
+                and dups * frac.denominator <= frac.numerator * n,
+            )
+        want = {i: (src, *rep[src]) for i, _, src in rows}
+        assert got == want, f"trial {trial}"
+
+
+def test_linear_quality_score_random_crossvalidation(spark):
+    """linear_quality_score on random docs with dyadic (1/256-grid)
+    weights == the hashed-bucket bag-of-words fold replay — exact on
+    BOTH the inline-literal and broadcast-join paths, any aggregation
+    order."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2134)
+    for trial in range(3):
+        d = rng.choice([7, 16])
+        weights = [rng.randint(-64, 64) / 256 for _ in range(d)]
+        bias = rng.choice([0.0, -0.125, 0.5])
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(6, 40))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        want = {}
+        for i, t in rows:
+            toks = [w for w in _norm(t).split(" ") if w]
+            score = bias
+            for w in toks:
+                score += weights[int(_md5(w)[:4], 16) % d]
+            want[i] = (len(toks), _rnd(score, 6), score > 0)
+        for jw in (False, True):
+            got = {
+                r.doc_id: (r.n_tokens, r.score, r.keep)
+                for r in X.linear_quality_score(
+                    docs, weights, bias=bias, join_weights=jw
+                ).collect()
+            }
+            assert got == want, f"trial {trial} join_weights {jw}"
