@@ -1576,3 +1576,182 @@ def test_linear_quality_score_random_crossvalidation(spark):
                 ).collect()
             }
             assert got == want, f"trial {trial} join_weights {jw}"
+
+
+# ── batch 9: CCNet buckets / source priors / BM25 / quotas ──────────
+
+
+def _linear_scores(rows, weights, bias):
+    d = len(weights)
+    out = {}
+    for i, *rest in rows:
+        t = rest[0]
+        toks = [w for w in _norm(t).split(" ") if w]
+        s = bias
+        for w in toks:
+            s += weights[int(_md5(w)[:4], 16) % d]
+        out[i] = s
+    return out
+
+
+def test_ccnet_buckets_random_crossvalidation(spark):
+    """ccnet_buckets on random multi-language corpora == the
+    per-language rank replay over (empty-last, avg_nll, doc_id) with
+    the integer third-boundary rules; NULL languages are their own
+    group."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2135)
+    for trial in range(3):
+        rows = [
+            (i, _rand_text(rng), rng.choice(["en", "de", None]))
+            for i in range(rng.randint(8, 40))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        out = X.ccnet_buckets(docs)
+        got = {
+            r.doc_id: (r.lang, r.n_words, r.avg_nll, r.lang_rank,
+                       r.lang_n, r.bucket)
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+        lm = _lm_mirror([(i, t) for i, t, _ in rows])
+        langs: dict[str | None, list] = {}
+        for i, _, lang in rows:
+            langs.setdefault(lang, []).append(i)
+        want = {}
+        for lang, ids in langs.items():
+            order = sorted(ids, key=lambda i: (lm[i][0] == 0, lm[i][1], i))
+            n = len(order)
+            for rk, i in enumerate(order):
+                bucket = ("head" if rk * 3 < n
+                          else "middle" if rk * 3 < 2 * n else "tail")
+                want[i] = (lang, lm[i][0], lm[i][1], rk, n, bucket)
+        assert got == want, f"trial {trial}"
+
+
+def test_source_prior_gate_random_crossvalidation(spark):
+    """source_prior_gate on random corpora with dyadic weights == the
+    empirical-Bayes shrinkage replay: exact per-source sums, the
+    global-mean pseudo-count prior, and the unrounded keep rule."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2136)
+    for trial in range(3):
+        d = rng.choice([7, 16])
+        weights = [rng.randint(-64, 64) / 256 for _ in range(d)]
+        k = rng.choice([5, 20])
+        min_prior = rng.choice([0.0, 0.05])
+        rows = [
+            (i, _rand_text(rng), rng.choice(["s0", "s1", "s2", None]))
+            for i in range(rng.randint(8, 50))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = {
+            r.source: (r.n_docs, r.mean_score, r.prior_score, r.keep)
+            for r in X.source_prior_gate(
+                docs, weights, shrink_k=k, min_prior=min_prior
+            ).collect()
+        }
+        scores = _linear_scores([(i, t) for i, t, _ in rows], weights, 0.0)
+        per: dict[str | None, list] = {}
+        for i, _, src in rows:
+            per.setdefault(src, []).append(scores[i])
+        ts = sum(s for ss in per.values() for s in ss)
+        tn = sum(len(ss) for ss in per.values())
+        mu = ts / float(tn)
+        want = {}
+        for src, ss in per.items():
+            n, sm = len(ss), sum(ss)
+            prior = (sm + float(k) * mu) / (float(n) + float(k))
+            want[src] = (
+                n, _rnd(sm / float(n), 6), _rnd(prior, 6),
+                prior >= min_prior,
+            )
+        assert got == want, f"trial {trial}"
+
+
+def test_bm25_topk_random_crossvalidation(spark):
+    """bm25_topk on random corpora == the Lucene-idf BM25 replay with
+    the (score desc, doc_id) total order at the cut."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2137)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(8, 40))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        q = ["a", "ab"]
+        k1, b, k = 1.2, 0.75, rng.choice([5, 100])
+        got = [
+            (r.doc_id, r.dl, r.score)
+            for r in X.bm25_topk(docs, q, k=k, k1=k1, b=b).collect()
+        ]
+        toks = {
+            i: [w for w in _norm(t).split(" ") if w] for i, t in rows
+        }
+        n_total = len(rows)
+        sdl = float(sum(len(ts) for ts in toks.values()))
+        avgdl = sdl / float(n_total)
+        tf = {
+            i: Counter(w for w in ts if w in q) for i, ts in toks.items()
+        }
+        df_ = Counter(w for i, c in tf.items() for w in c)
+        scored = []
+        for i, c in tf.items():
+            if not c:
+                continue
+            dl = len(toks[i])
+            s = 0.0
+            for w in sorted(c):
+                idf = math.log(
+                    1.0 + ((n_total - df_[w]) + 0.5) / (df_[w] + 0.5)
+                )
+                s += idf * (
+                    c[w] * (k1 + 1.0)
+                    / (c[w] + k1 * ((1.0 - b) + (b * dl) / avgdl))
+                )
+            scored.append((i, dl, _rnd(s, 4)))
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        assert got == scored[:k], f"trial {trial} k {k}"
+
+
+def test_source_quota_random_crossvalidation(spark):
+    """source_quota on random corpora with dyadic weights == the
+    per-source (score desc, doc_id) rank replay with the quota rule;
+    NULL sources are their own quota group."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2138)
+    for trial in range(3):
+        d = rng.choice([7, 16])
+        weights = [rng.randint(-64, 64) / 256 for _ in range(d)]
+        quota = rng.choice([2, 5])
+        rows = [
+            (i, _rand_text(rng), rng.choice(["s0", "s1", None]))
+            for i in range(rng.randint(8, 50))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = X.source_quota(docs, weights, quota=quota)
+        got = {
+            r.doc_id: (r.source, r.score, r.src_rank, r.keep)
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+        scores = _linear_scores([(i, t) for i, t, _ in rows], weights, 0.0)
+        per: dict[str | None, list] = {}
+        for i, _, src in rows:
+            per.setdefault(src, []).append(i)
+        want = {}
+        for src, ids in per.items():
+            order = sorted(ids, key=lambda i: (-scores[i], i))
+            for rk, i in enumerate(order):
+                want[i] = (src, _rnd(scores[i], 6), rk, rk < quota)
+        assert got == want, f"trial {trial} quota {quota}"
