@@ -1755,3 +1755,235 @@ def test_source_quota_random_crossvalidation(spark):
             for rk, i in enumerate(order):
                 want[i] = (src, _rnd(scores[i], 6), rk, rk < quota)
         assert got == want, f"trial {trial} quota {quota}"
+
+
+# ── batch 10: bigram LM / dataset card / calibration / DSIR ─────────
+
+
+def test_bigram_lm_score_random_crossvalidation(spark):
+    """bigram_lm_score on random corpora == the add-α smoothed
+    bigram-NLL replay: row-local pairing, corpus-fit model, the
+    continuation-vocabulary normalizer, and the (0, 0.0) convention
+    for <2-token docs."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2139)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(6, 35))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        alpha = rng.choice([0.5, 1.0])
+        out = X.bigram_lm_score(docs, alpha=alpha)
+        got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in out.collect()}
+        for h in D.cache_handles(out):
+            h.unpersist()
+        per = {}
+        for i, t in rows:
+            ws = _norm(t).split(" ")
+            per[i] = Counter(
+                (a, b) for a, b in zip(ws, ws[1:])
+                if a != "" and b != ""
+            )
+        big = Counter()
+        for c in per.values():
+            big.update(c)
+        ctx = Counter()
+        for (w1, _), n12 in big.items():
+            ctx[w1] += n12
+        vocab = float(len({w2 for _, w2 in big}))
+        want = {}
+        for i, c in per.items():
+            n = sum(c.values())
+            if n == 0:
+                want[i] = (0, 0.0)
+                continue
+            nll = sum(
+                cnt * -math.log(
+                    (big[bg] + alpha) / (ctx[bg[0]] + alpha * vocab)
+                )
+                for bg, cnt in c.items()
+            )
+            want[i] = (n, _rnd(nll / n, 4))
+        assert got == want, f"trial {trial} alpha {alpha}"
+
+
+def _gate_mirror(t: str | None, min_words: int = 5) -> tuple[int, bool]:
+    """heuristic_quality_gate replay at DEFAULT params → (n_words, keep)."""
+    from fractions import Fraction
+
+    from crab_spark.operators.text import LANG_STOPWORDS
+
+    a, b = Fraction("2"), Fraction("12")
+    s, al = Fraction("0.1"), Fraction("0.8")
+    stops = set(LANG_STOPWORDS["en"])
+    norm = _norm(t)
+    ws = norm.split(" ")
+    n_words = sum(1 for w in ws if w)
+    word_chars = len(norm.replace(" ", ""))
+    n_sym = norm.count("#") + norm.count("...")
+    n_alpha = sum(1 for w in ws if re.search("[a-z]", w))
+    hits = len(set(ws) & stops)
+    keep = (
+        min_words <= n_words <= 100_000
+        and word_chars * a.denominator >= a.numerator * n_words
+        and word_chars * b.denominator <= b.numerator * n_words
+        and n_sym * s.denominator <= s.numerator * n_words
+        and n_alpha * al.denominator >= al.numerator * n_words
+        and hits >= 2
+    )
+    return n_words, keep
+
+
+def test_dataset_card_random_crossvalidation(spark):
+    """dataset_card on random corpora == the per-source summary
+    replay: volumes, duplicate fractions, gate pass rates, language
+    spread and the (count desc, lang asc NULLS LAST) top-language
+    pick."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2140)
+    vocab = ["the", "a", "is", "of", "to", "and", "zork", "data",
+             "words", "here"]
+    for trial in range(3):
+        pool = [
+            "  ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(8)
+        ] + [None, ""]
+        rows = [
+            (i, rng.choice(pool), rng.choice(["s0", "s1", None]),
+             rng.choice(["en", "de", None]))
+            for i in range(rng.randint(8, 60))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string"
+        )
+        got = {
+            r.source: (r.n_docs, r.n_distinct, r.dup_fraction,
+                       r.n_words_total, r.mean_words, r.keep_rate,
+                       r.n_langs, r.top_lang, r.top_lang_share)
+            for r in X.dataset_card(docs).collect()
+        }
+        groups: dict[str | None, list] = {}
+        for i, t, src, lang in rows:
+            groups.setdefault(src, []).append((t, lang))
+        want = {}
+        for src, ms in groups.items():
+            n = len(ms)
+            distinct = len({_md5(_norm(t)) for t, _ in ms})
+            gates = [_gate_mirror(t) for t, _ in ms]
+            words = sum(g[0] for g in gates)
+            keeps = sum(1 for g in gates if g[1])
+            langs = len({lg for _, lg in ms if lg is not None})
+            lc = Counter(lg for _, lg in ms)
+            top_lang, top_n = sorted(
+                lc.items(),
+                key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+            )[0]
+            want[src] = (
+                n, distinct, _rnd(1.0 - distinct / n, 6),
+                words, _rnd(words / n, 4), _rnd(keeps / n, 6),
+                langs, top_lang, _rnd(top_n / n, 6),
+            )
+        assert got == want, f"trial {trial}"
+
+
+def test_score_calibration_random_crossvalidation(spark):
+    """score_calibration on random corpora with dyadic weights == the
+    rank-bucket replay: integer decile boundaries over the (rounded
+    score, doc_id) total order, per-bucket extrema/means and gate
+    pass rates."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2141)
+    vocab = ["the", "a", "is", "of", "zork", "data", "##", "w"]
+    for trial in range(3):
+        d = rng.choice([7, 16])
+        # 1/64 grid, NOT 1/256: k/64 is exact at 6 decimals, so the
+        # rounded scores stay dyadic and the bucket SUM is
+        # order-independent — on the 1/256 grid round(score, 6) lands
+        # on decimal midpoints and Spark's partition-order sum vs the
+        # mirror's differ by 1 ulp exactly there, flipping the mean's
+        # last digit
+        weights = [rng.randint(-16, 16) / 64 for _ in range(d)]
+        nb = rng.choice([4, 10])
+        rows = [
+            (i, "  ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+             if rng.random() > 0.06 else None)
+            for i in range(rng.randint(10, 60))
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = X.score_calibration(docs, weights, n_buckets=nb)
+        got = {
+            r.bucket: (r.n_docs, r.min_score, r.max_score, r.mean_score,
+                       r.gate_keep_rate)
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+        scores = {
+            i: _rnd(_linear_scores([(i, t)], weights, 0.0)[i], 6)
+            for i, t in rows
+        }
+        gate = {i: _gate_mirror(t)[1] for i, t in rows}
+        order = sorted(scores, key=lambda i: (scores[i], i))
+        n = len(order)
+        buckets: dict[int, list] = {}
+        for rk, i in enumerate(order):
+            buckets.setdefault((rk * nb) // n, []).append(i)
+        want = {}
+        for bkt, ids in buckets.items():
+            ss = [scores[i] for i in ids]
+            want[bkt] = (
+                len(ids), min(ss), max(ss), _rnd(sum(ss) / len(ss), 6),
+                _rnd(sum(1 for i in ids if gate[i]) / len(ids), 6),
+            )
+        assert got == want, f"trial {trial} nb {nb}"
+
+
+def test_dsir_importance_random_crossvalidation(spark):
+    """dsir_importance on random corpus×target pairs == the hashed
+    bucket log-ratio replay with add-α smoothing over the full-outer
+    bucket model; token-free docs get (0, 0.0)."""
+    from crab_spark.operators import text as X
+
+    rng = random.Random(2142)
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(8, 40))]
+        t_rows = [(i, _rand_text(rng)) for i in range(rng.randint(2, 8))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        target = spark.createDataFrame(t_rows, "doc_id long, text string")
+        nb, alpha = rng.choice([8, 64]), 0.5
+        out = X.dsir_importance(docs, target, n_buckets=nb, alpha=alpha)
+        got = {r.doc_id: (r.n_tokens, r.importance) for r in out.collect()}
+        for h in D.cache_handles(out):
+            h.unpersist()
+
+        def bkt(w):
+            return int(_md5(w)[:4], 16) % nb
+
+        per = {
+            i: Counter(bkt(w) for w in _norm(t).split(" ") if w)
+            for i, t in rows
+        }
+        src = Counter()
+        for c in per.values():
+            src.update(c)
+        tgt = Counter(
+            bkt(w) for _, t in t_rows for w in _norm(t).split(" ") if w
+        )
+        S, T = sum(src.values()), sum(tgt.values())
+        want = {}
+        for i, c in per.items():
+            n = sum(c.values())
+            if n == 0:
+                want[i] = (0, 0.0)
+                continue
+            imp = sum(
+                cnt * (
+                    math.log((tgt[b] + alpha) / (T + alpha * nb))
+                    - math.log((src[b] + alpha) / (S + alpha * nb))
+                )
+                for b, cnt in c.items()
+            )
+            want[i] = (n, _rnd(imp, 4))
+        assert got == want, f"trial {trial} nb {nb}"
