@@ -1987,3 +1987,243 @@ def test_dsir_importance_random_crossvalidation(spark):
             )
             want[i] = (n, _rnd(imp, 4))
         assert got == want, f"trial {trial} nb {nb}"
+
+
+# ── batch 11: near-dup / semantic decontamination ───────────────────
+
+
+def _mh_bands(texts: dict, n_hashes: int, band_size: int, sig_k: int):
+    """Per-id MinHash band keys, replayed (batch-1 arithmetic)."""
+    sigs = {
+        i: [
+            min(_md5(f"{h}|{s}") for s in _shingles(t, sig_k))
+            for h in range(n_hashes)
+        ]
+        for i, t in texts.items()
+    }
+    return {
+        i: [
+            (b, "#".join(sig[b * band_size + j] for j in range(band_size)))
+            for b in range(n_hashes // band_size)
+        ]
+        for i, sig in sigs.items()
+    }
+
+
+def _neardup_mirror(probe_texts, base_texts, cap, verify_k, min_j):
+    """Shared replay for neardup_contamination (probe=corpus,
+    base=benchmark) and dedup_incremental_neardup (probe=batch,
+    base=corpus): the PROBE side gets the verdicts, the BASE side's
+    buckets carry the cap. Returns (per-probe dict, dropped set)."""
+    n_hashes, band_size, sig_k = 8, 2, 2
+    pb = _mh_bands(probe_texts, n_hashes, band_size, sig_k)
+    bb = _mh_bands(base_texts, n_hashes, band_size, sig_k)
+    # bucket sizes count CAPPED-side rows (one per (id, band))
+    capped_counts = Counter()
+    for i, bands in pb.items():
+        for key in bands:
+            capped_counts[key] += 1
+    live = {
+        k for k, n in capped_counts.items() if cap is None or n <= cap
+    }
+    dropped = {
+        (b, key, n) for (b, key), n in capped_counts.items()
+        if cap is not None and n > cap
+    }
+    base_buckets: dict[tuple, set] = {}
+    for i, bands in bb.items():
+        for key in bands:
+            base_buckets.setdefault(key, set()).add(i)
+    cand: dict[int, set] = {}
+    for i, bands in pb.items():
+        for key in bands:
+            if key in live and key in base_buckets:
+                cand.setdefault(i, set()).update(base_buckets[key])
+    want = {}
+    for i, t in probe_texts.items():
+        hits = cand.get(i, set())
+        if not hits:
+            want[i] = (0, 0.0, False)
+            continue
+        ssh = set(_shingles(t, verify_k))
+        js = []
+        for bidx in hits:
+            bsh = set(_shingles(base_texts[bidx], verify_k))
+            js.append(_rnd(len(ssh & bsh) / len(ssh | bsh), 6))
+        n_nd = sum(1 for j in js if j >= min_j)
+        want[i] = (n_nd, max(js), n_nd > 0)
+    return want, dropped
+
+
+def test_neardup_contamination_random_crossvalidation(spark):
+    """neardup_contamination on random corpus×benchmark pairs == the
+    banded MinHash probe replay: candidate generation with the
+    corpus-side bucket cap, the Jaccard verify, and the per-doc
+    verdict columns (docs with no candidates report (0, 0.0, False))."""
+    from crab_spark.operators import decontam as DC
+
+    rng = random.Random(2143)
+    for trial in range(3):
+        pool = [_rand_text(rng) for _ in range(8)]
+        docs_rows = [
+            (i, rng.choice(pool) if rng.random() < 0.5 else _rand_text(rng))
+            for i in range(rng.randint(6, 25))
+        ]
+        bench_rows = [
+            (i, rng.choice(pool)) for i in range(rng.randint(2, 6))
+        ]
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        cap = rng.choice([3, None])
+        out = DC.neardup_contamination(docs, bench, max_bucket=cap)
+        got = {
+            r.doc_id: (r.n_neardup_bench, r.max_jaccard, r.contaminated)
+            for r in out.collect()
+        }
+        want, want_drop = _neardup_mirror(
+            dict(docs_rows), dict(bench_rows), cap, 3, 0.5
+        )
+        assert got == want, f"trial {trial} cap {cap}"
+        if cap is not None:
+            got_drop = {
+                (r.band_idx, r.band_key, r.n)
+                for r in out.dropped_buckets.collect()
+            }
+            assert got_drop == want_drop, f"trial {trial} dropped"
+        for h in D.cache_handles(out):
+            h.unpersist()
+
+
+def test_dedup_incremental_neardup_random_crossvalidation(spark):
+    """dedup_incremental_neardup on random batch×corpus pairs == the
+    mirror-image replay (batch gets the verdicts, corpus buckets carry
+    the cap)."""
+    rng = random.Random(2144)
+    for trial in range(3):
+        pool = [_rand_text(rng) for _ in range(8)]
+        batch_rows = [
+            (i, rng.choice(pool) if rng.random() < 0.5 else _rand_text(rng))
+            for i in range(rng.randint(4, 15))
+        ]
+        corpus_rows = [
+            (100 + i, rng.choice(pool)) for i in range(rng.randint(3, 15))
+        ]
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        cap = rng.choice([3, None])
+        out = D.dedup_incremental_neardup(batch, corpus, max_bucket=cap)
+        got = {
+            r.doc_id: (r.n_neardup_corpus, r.max_jaccard, r.is_neardup)
+            for r in out.collect()
+        }
+        # here the CAP applies to the corpus side and the BATCH gets
+        # the verdicts — swap roles in the shared mirror
+        n_hashes, band_size = 8, 2
+        cb = _mh_bands(dict(corpus_rows), n_hashes, band_size, 2)
+        counts = Counter(k for bands in cb.values() for k in bands)
+        live = {k for k, n in counts.items() if cap is None or n <= cap}
+        corpus_buckets: dict[tuple, set] = {}
+        for i, bands in cb.items():
+            for key in bands:
+                if key in live:
+                    corpus_buckets.setdefault(key, set()).add(i)
+        bb = _mh_bands(dict(batch_rows), n_hashes, band_size, 2)
+        corpus_texts = dict(corpus_rows)
+        want = {}
+        for i, t in batch_rows:
+            hits = set()
+            for key in bb[i]:
+                hits.update(corpus_buckets.get(key, set()))
+            if not hits:
+                want[i] = (0, 0.0, False)
+                continue
+            ssh = set(_shingles(t, 3))
+            js = [
+                _rnd(
+                    len(ssh & set(_shingles(corpus_texts[c], 3)))
+                    / len(ssh | set(_shingles(corpus_texts[c], 3))), 6,
+                )
+                for c in hits
+            ]
+            n_nd = sum(1 for j in js if j >= 0.5)
+            want[i] = (n_nd, max(js), n_nd > 0)
+        assert got == want, f"trial {trial} cap {cap}"
+        for h in D.cache_handles(out):
+            h.unpersist()
+
+
+def test_embedding_decontamination_random_crossvalidation(spark):
+    """embedding_decontamination on random dyadic vectors == the
+    max-cosine-vs-benchmark fold replay; zero-norm/NULL corpus vectors
+    report NULL verdicts, NULL bench vectors are skipped."""
+    from crab_spark.operators import decontam as DC
+
+    rng = random.Random(2145)
+    for trial in range(3):
+        corpus_rows = [
+            (i, _dyadic_vec(rng)) for i in range(rng.randint(6, 30))
+        ]
+        bench_rows = [(i, _dyadic_vec(rng)) for i in range(rng.randint(2, 6))]
+        corpus = spark.createDataFrame(
+            corpus_rows, "vec_id long, embedding array<double>"
+        )
+        bench = spark.createDataFrame(
+            bench_rows, "vec_id long, embedding array<double>"
+        )
+        thr = 0.8
+        got = {
+            r.vec_id: (r.max_bench_cos, r.is_contaminated)
+            for r in DC.embedding_decontamination(
+                corpus, bench, threshold=thr
+            ).collect()
+        }
+        bvecs = [v for _, v in bench_rows if v is not None]
+        want = {}
+        for i, v in corpus_rows:
+            scores = [_cosf(v, b) for b in bvecs]
+            valued = [s for s in scores if s is not None]
+            if not valued:
+                want[i] = (None, None)
+            else:
+                best = _rnd(max(valued), 4)
+                want[i] = (best, best >= thr)
+        assert got == want, f"trial {trial}"
+
+
+def test_contamination_attribution_random_crossvalidation(spark):
+    """contamination_attribution on random corpus×benchmark pairs ==
+    the argmax-overlap replay: per matched doc the single most-shared
+    bench doc (ties → lowest bench id), shingle totals, and the 6 dp
+    overlap fraction; unmatched docs absent."""
+    from crab_spark.operators import decontam as DC
+
+    rng = random.Random(2146)
+    k = 2
+    for trial in range(3):
+        rows = [(i, _rand_text(rng)) for i in range(rng.randint(6, 30))]
+        bench_rows = [(i, _rand_text(rng)) for i in range(rng.randint(2, 6))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        out = DC.contamination_attribution(docs, bench, k=k)
+        got = {
+            r.doc_id: (r.bench_id, r.n_shared, r.n_shingles, r.overlap_frac)
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+        bsh = {
+            i: {s for s in _shingles(_norm(t), k) if s != ""}
+            for i, t in bench_rows
+        }
+        want = {}
+        for i, t in rows:
+            dsh = {s for s in _shingles(_norm(t), k) if s != ""}
+            overlaps = [
+                (len(dsh & ss), b) for b, ss in bsh.items() if dsh & ss
+            ]
+            if not overlaps:
+                continue
+            overlaps.sort(key=lambda x: (-x[0], x[1]))
+            n_shared, b = overlaps[0]
+            want[i] = (b, n_shared, len(dsh), _rnd(n_shared / len(dsh), 6))
+        assert got == want, f"trial {trial}"
