@@ -2227,3 +2227,222 @@ def test_contamination_attribution_random_crossvalidation(spark):
             n_shared, b = overlaps[0]
             want[i] = (b, n_shared, len(dsh), _rnd(n_shared / len(dsh), 6))
         assert got == want, f"trial {trial}"
+
+
+# ── batch 12: semantic dedup / kNN vote / hyperplane LSH ────────────
+
+
+def _ivf_buckets(rows, cents):
+    out = {}
+    for i, v in rows:
+        scores = [_cosf(v, c) for c in cents]
+        if all(s is None for s in scores):
+            out[i] = None
+        else:
+            out[i] = scores.index(max(s for s in scores if s is not None))
+    return out
+
+
+def _union_find_clusters(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id labels
+    return {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+
+
+def test_semantic_dedup_random_crossvalidation(spark):
+    """semantic_dedup on random dyadic vectors == the full replay —
+    bucketed cosine pairs → union-find components → keeper — under
+    BOTH keeper rules (min_id first-wins; SemDeDup farthest-from-
+    centroid with the NULL-cos sentinel and id tie-break)."""
+    from crab_spark.operators import similarity as SI
+
+    rng = random.Random(2147)
+    for trial in range(3):
+        rows = [(i, _dyadic_vec(rng)) for i in range(rng.randint(8, 25))]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cents = []
+        for _ in range(2):
+            c = [rng.randint(-8, 8) * 0.25 for _ in range(4)]
+            if all(x == 0.0 for x in c):
+                c[0] = 1.0
+            cents.append(c)
+        assigned = SI.ivf_assign(emb, cents)
+        thr = 0.9
+
+        # replayed pair + component structure
+        buckets = _ivf_buckets(rows, cents)
+        vecs = dict(rows)
+        members: dict[int, list] = {}
+        for i, b in buckets.items():
+            if b is not None:
+                members.setdefault(b, []).append(i)
+        pairs = []
+        for mem in members.values():
+            for x in mem:
+                for y in mem:
+                    if x < y:
+                        s = _cosf(vecs[x], vecs[y])
+                        if s is not None and _rnd(s, 4) >= thr:
+                            pairs.append((x, y))
+        ids = [i for i, _ in rows]
+        labels = _union_find_clusters(ids, pairs)
+        sizes = Counter(labels.values())
+
+        out = SI.semantic_dedup(assigned, threshold=thr, keeper="min_id")
+        got = {
+            r.vec_id: (r.cluster_id, r.cluster_size, r.is_keeper)
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+        want = {
+            i: (labels[i], sizes[labels[i]], i == labels[i]) for i in ids
+        }
+        assert got == want, f"trial {trial} min_id"
+
+        out2 = SI.semantic_dedup(assigned, threshold=thr, keeper="farthest")
+        got2 = {
+            r.vec_id: (r.cluster_id, r.cluster_size, r.centroid_cos,
+                       r.is_keeper)
+            for r in out2.collect()
+        }
+        for h in D.cache_handles(out2):
+            h.unpersist()
+        clusters: dict[int, list] = {}
+        for i in ids:
+            clusters.setdefault(labels[i], []).append(i)
+        want2 = {}
+        for cid, mem in clusters.items():
+            valued = [i for i in mem if vecs[i] is not None]
+            if not valued:
+                continue  # no centroid cells → inner join drops them
+            dim = len(vecs[valued[0]])
+            cent = [
+                math.fsum(vecs[i][p] for i in valued) / len(valued)
+                for p in range(dim)
+            ]
+            scored = {}
+            for i in mem:
+                s = _cosf(vecs[i], cent)
+                scored[i] = None if s is None else _rnd(s, 4)
+            keep_id = min(
+                mem, key=lambda i: (
+                    scored[i] if scored[i] is not None else 2.0, i
+                )
+            )
+            for i in mem:
+                want2[i] = (cid, len(mem), scored[i], i == keep_id)
+        assert got2 == want2, f"trial {trial} farthest"
+
+
+def test_knn_label_vote_random_crossvalidation(spark):
+    """knn_label_vote on random dyadic train/test sets == the
+    same-bucket top-k + majority-vote replay (cos desc / train-id
+    tie-break; vote desc / label asc; bucketless test vectors predict
+    NULL)."""
+    from crab_spark.operators import similarity as SI
+
+    rng = random.Random(2148)
+    for trial in range(3):
+        train_rows = [
+            (i, _dyadic_vec(rng), rng.choice(["p", "q", "r"]))
+            for i in range(rng.randint(6, 25))
+        ]
+        test_rows = [
+            (100 + i, _dyadic_vec(rng)) for i in range(rng.randint(4, 15))
+        ]
+        train = spark.createDataFrame(
+            train_rows, "vec_id long, embedding array<double>, label string"
+        )
+        test = spark.createDataFrame(
+            test_rows, "vec_id long, embedding array<double>"
+        )
+        cents = []
+        for _ in range(2):
+            c = [rng.randint(-8, 8) * 0.25 for _ in range(4)]
+            if all(x == 0.0 for x in c):
+                c[0] = 1.0
+            cents.append(c)
+        k = rng.choice([3, 5])
+        got = {
+            r.vec_id: (r.pred_label, r.n_votes, r.n_neighbors)
+            for r in SI.knn_label_vote(
+                train, test, cents, k=k
+            ).collect()
+        }
+        tb = _ivf_buckets([(i, v) for i, v, _ in train_rows], cents)
+        teb = _ivf_buckets(test_rows, cents)
+        tlabel = {i: lab for i, _, lab in train_rows}
+        tvec = {i: v for i, v, _ in train_rows}
+        want = {}
+        for ti, tv in test_rows:
+            b = teb[ti]
+            cand = [i for i in tb if b is not None and tb[i] == b]
+            if not cand:
+                want[ti] = (None, None, 0)
+                continue
+            scored = [
+                (i, None if _cosf(tv, tvec[i]) is None
+                 else _rnd(_cosf(tv, tvec[i]), 4))
+                for i in cand
+            ]
+            scored.sort(key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]))
+            top = scored[:k]
+            votes = Counter(tlabel[i] for i, _ in top)
+            lab, nv = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            want[ti] = (lab, nv, len(top))
+        assert got == want, f"trial {trial} k {k}"
+
+
+def test_hyperplane_lsh_random_crossvalidation(spark):
+    """hyperplane_lsh on random dyadic vectors == the quantized
+    sign-projection replay with an independently re-derived md5 sign
+    matrix; NULL embeddings keep NULL signatures."""
+    from crab_spark.operators import similarity as SI
+
+    rng = random.Random(2149)
+    n_bits, dim = 8, 4
+    signs = [
+        [
+            1.0 if int(_md5(f"hp|{k}|{i}")[:2], 16) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for k in range(n_bits)
+    ]
+    for trial in range(3):
+        rows = [(i, _dyadic_vec(rng)) for i in range(rng.randint(6, 30))]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r.vec_id: r.sig
+            for r in SI.hyperplane_lsh(emb, dim, n_bits=n_bits).collect()
+        }
+        want = {}
+        for i, v in rows:
+            if v is None:
+                want[i] = None
+                continue
+            q = [math.floor(x * 4096) / 4096 for x in v]
+            sig = 0
+            for k in range(n_bits):
+                acc = 0.0
+                for x, s in zip(q, signs[k], strict=True):
+                    acc = acc + x * s
+                if acc > 0:
+                    sig |= 1 << k
+            want[i] = sig
+        assert got == want, f"trial {trial}"
