@@ -2446,3 +2446,136 @@ def test_hyperplane_lsh_random_crossvalidation(spark):
                     sig |= 1 << k
             want[i] = sig
         assert got == want, f"trial {trial}"
+
+
+# ── batch 13: token budgets / BPE plumbing / cross-source near-dup ──
+
+
+def test_token_budget_sample_random_crossvalidation(spark):
+    """token_budget_sample on random corpora == the per-source
+    md5-ordered running-sum replay: identical kept rows, token counts
+    (NULL text → NULL count, contributing 0 to the cumsum) and
+    cum_before values, across budget maps with absent/NULL sources."""
+    rng = random.Random(2150)
+    for trial in range(3):
+        rows = [
+            (i, _rand_text(rng), rng.choice(["s0", "s1", "s2", None]))
+            for i in range(rng.randint(10, 60))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        budgets = {"s0": rng.choice([5, 30]), "s1": 10_000}
+        default = rng.choice([0, 8])
+        salt = rng.choice(["", "tb"])
+        out = SA.token_budget_sample(
+            docs, budgets, default_budget=default, salt=salt
+        )
+        got = {
+            r.doc_id: (r.source, r.n_tokens, r.cum_before)
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+        per: dict[str | None, list] = {}
+        for i, t, src in rows:
+            n_tok = (
+                None if t is None
+                else len(re.sub(r"[ \t\n\x0b\f\r]+", " ", t).split(" "))
+            )
+            per.setdefault(src, []).append((_md5(f"{salt}{i}"), i, n_tok))
+        want = {}
+        for src, ms in per.items():
+            budget = budgets.get(src, default) if src else default
+            cum = 0
+            for _, i, n_tok in sorted(ms):
+                if cum < budget:
+                    want[i] = (src, n_tok, cum)
+                cum += n_tok or 0
+        assert got == want, f"trial {trial} default {default}"
+
+
+def test_bpe_token_count_random_crossvalidation(spark):
+    """token_count with a trained BPE tokenizer: the distributed
+    Arrow-batched count over random corpora == the driver-side
+    tokenizer replay row-for-row, and every count == the length of the
+    explicit encode() for that text."""
+    from crab_spark.operators import text as X
+    from crab_spark.operators.tokenizer import BPETokenizer
+
+    rng = random.Random(2151)
+    vocab = ["low", "lower", "lowest", "new", "newer", "wider", "wide"]
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(8, 30)):
+            roll = rng.random()
+            if roll < 0.06:
+                rows.append((i, None))
+            else:
+                rows.append((i, "  ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 9)))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        tok = BPETokenizer.train(
+            (t for _, t in rows if t), n_merges=rng.choice([5, 20])
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_bpe_est)
+            for r in X.token_count(docs, tokenizer=tok).collect()
+        }
+        want = {}
+        for i, t in rows:
+            n_ws = (
+                None if t is None
+                else len(re.sub(r"[ \t\n\x0b\f\r]+", " ", t).split(" "))
+            )
+            n_bpe = tok.count(t)
+            assert n_bpe == len(tok.encode(t))
+            want[i] = (n_ws, n_bpe)
+        assert got == want, f"trial {trial}"
+
+
+def test_cross_source_neardup_random_crossvalidation(spark):
+    """cross_source_neardup on random multi-source corpora == the
+    LSH→cross-source-restrict→Jaccard-verify replay aggregated per
+    unordered source pair; NULL-source docs never pair."""
+    rng = random.Random(2152)
+    for trial in range(3):
+        pool = [_rand_text(rng) for _ in range(6)]
+        rows = [
+            (i,
+             rng.choice(pool) if rng.random() < 0.6 else _rand_text(rng),
+             rng.choice(["s0", "s1", "s2", None]))
+            for i in range(rng.randint(8, 30))
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = SC.cross_source_neardup(docs, min_jaccard=0.5)
+        got = {
+            (r.source_a, r.source_b): r.n_neardup_pairs
+            for r in out.collect()
+        }
+        for h in D.cache_handles(out):
+            h.unpersist()
+        texts = {i: t for i, t, _ in rows}
+        srcs = {i: s for i, _, s in rows}
+        bands = _mh_bands(texts, 8, 2, 2)
+        buckets: dict[tuple, set] = {}
+        for i, bs in bands.items():
+            for key in bs:
+                buckets.setdefault(key, set()).add(i)
+        cand = {
+            (a, b)
+            for mem in buckets.values()
+            for a in mem for b in mem if a < b
+        }
+        want: Counter = Counter()
+        for a, b in cand:
+            sa, sb = srcs[a], srcs[b]
+            if sa is None or sb is None or sa == sb:
+                continue
+            A, B = set(_shingles(texts[a], 3)), set(_shingles(texts[b], 3))
+            if _rnd(len(A & B) / len(A | B), 6) >= 0.5:
+                want[(min(sa, sb), max(sa, sb))] += 1
+        assert got == dict(want), f"trial {trial}"
