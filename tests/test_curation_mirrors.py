@@ -2579,3 +2579,103 @@ def test_cross_source_neardup_random_crossvalidation(spark):
             if _rnd(len(A & B) / len(A | B), 6) >= 0.5:
                 want[(min(sa, sb), max(sa, sb))] += 1
         assert got == dict(want), f"trial {trial}"
+
+
+# ── batch 14: multimodal plumbing (decode stub contract) ────────────
+
+
+def test_multimodal_random_crossvalidation(spark):
+    """The multimodal chain on random corpora == the md5 stub-decoder
+    replay at every stage: media manufacture (kind routing, utf-8
+    payloads, NULL id/text coalescing), Arrow decode features, exact
+    aspect-fit resize geometry, strided frame sampling, and the
+    metadata rollup — all compared as multisets (duplicate NULL ids
+    legitimately collide on media_id)."""
+    from crab_spark.operators import multimodal as MM
+
+    rng = random.Random(2153)
+    for trial in range(3):
+        rows = [
+            (i if rng.random() > 0.08 else None, _rand_text(rng))
+            for i in range(rng.randint(6, 30))
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        media = MM.media_from_documents(docs)
+
+        def mirror_media(i, t):
+            did = str(i) if i is not None else ""
+            txt = t or ""
+            kind = ["image", "audio", "video"][int(_md5(did)[:2], 16) % 3]
+            payload = txt.encode()
+            return (f"m:{did}", did, kind, payload, len(payload))
+
+        m_rows = [mirror_media(i, t) for i, t in rows]
+        got_m = Counter(
+            (r.media_id, r.doc_id, r.kind, bytes(r.payload), r.n_bytes)
+            for r in media.collect()
+        )
+        assert got_m == Counter(m_rows), f"trial {trial} media"
+
+        def decode(payload, kind):
+            d = hashlib.md5(payload).digest()
+            return (
+                16 + d[0] % 64, 16 + d[1] % 64,
+                1 if kind == "image" else 1 + d[2] % 8,
+                tuple(float(b) for b in d[:8]),
+            )
+
+        feats = {
+            (mid, kind, payload): decode(payload, kind)
+            for mid, _, kind, payload, _ in m_rows
+        }
+        got_f = Counter(
+            (r.media_id, r.kind, r.width, r.height, r.n_frames,
+             tuple(r.feature))
+            for r in MM.extract_features(media).collect()
+        )
+        want_f = Counter(
+            (mid, kind, w, h, nf, feat)
+            for (mid, kind, _), (w, h, nf, feat) in feats.items()
+        )
+        assert got_f == want_f, f"trial {trial} features"
+
+        mw = mh = 32
+        got_r = Counter(
+            (r.media_id, r.src_w, r.src_h, r.out_w, r.out_h, r.scale)
+            for r in MM.resize_plan(media, max_w=mw, max_h=mh).collect()
+        )
+        want_r = Counter()
+        for (mid, kind, _), (w, h, nf, _) in feats.items():
+            scale = _rnd(min(mw / w, mh / h, 1.0), 6)
+            if w <= mw and h <= mh:
+                ow, oh = w, h
+            elif w * mh >= h * mw:
+                ow, oh = mw, math.floor(h * float(mw) / w)
+            else:
+                ow, oh = math.floor(w * float(mh) / h), mh
+            want_r[(mid, w, h, ow, oh, scale)] += 1
+        assert got_r == want_r, f"trial {trial} resize"
+
+        got_s = Counter(
+            (r.media_id, r.frame_idx)
+            for r in MM.sample_frames(media, stride=2).collect()
+        )
+        want_s = Counter(
+            (mid, fi)
+            for (mid, kind, _), (_, _, nf, _) in feats.items()
+            for fi in range(0, nf, 2)
+        )
+        assert got_s == want_s, f"trial {trial} frames"
+
+        got_st = {
+            r.kind: (r.n, r.total_bytes, r.avg_bytes)
+            for r in MM.media_stats(media).collect()
+        }
+        per_kind: dict[str, list] = {}
+        for _, _, kind, _, nb in m_rows:
+            per_kind.setdefault(kind, []).append(nb)
+        want_st = {
+            k: (len(v), sum(v), _rnd(sum(v) / len(v), 4))
+            for k, v in per_kind.items()
+        }
+        assert got_st == want_st, f"trial {trial} stats"
