@@ -2679,3 +2679,35 @@ def test_multimodal_random_crossvalidation(spark):
             for k, v in per_kind.items()
         }
         assert got_st == want_st, f"trial {trial} stats"
+
+
+# ── batch 15: range-bucket join ─────────────────────────────────────
+
+
+def test_range_join_tiers_random_crossvalidation(spark):
+    """range_join_tiers on random values == the [lo, hi) containment
+    replay, with out-of-tier and NULL values keeping NULL tiers."""
+    from crab_spark.operators import relational as R
+
+    rng = random.Random(2154)
+    for trial in range(3):
+        tiers = [(0.0, 2.0, "low"), (2.0, 5.0, "mid"), (7.0, 9.0, "high")]
+        rows = [
+            (i, None if rng.random() < 0.08
+             else rng.randint(-4, 40) * 0.25)
+            for i in range(rng.randint(10, 60))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, value double")
+        got = {
+            r.doc_id: (r.tier_lo, r.tier_hi, r.tier)
+            for r in R.range_join_tiers(df, tiers).collect()
+        }
+        want = {}
+        for i, v in rows:
+            hit = next(
+                ((lo, hi, name) for lo, hi, name in tiers
+                 if v is not None and lo <= v < hi),
+                (None, None, None),
+            )
+            want[i] = hit
+        assert got == want, f"trial {trial}"
