@@ -2711,3 +2711,157 @@ def test_range_join_tiers_random_crossvalidation(spark):
             )
             want[i] = hit
         assert got == want, f"trial {trial}"
+
+
+# ── batch 16: robots.txt evaluator (north_rule path) ────────────────
+
+
+def _robots_mirror_parse(body, agent):
+    """Independent RFC 9309 replay: group split (consecutive UA runs),
+    §2.2.1 most-specific named-group selection with merge, max-merged
+    crawl delays."""
+    groups, uas, rules, delay = [], [], [], None
+    in_hdr = started = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_hdr:
+                if started:
+                    groups.append((uas, rules, delay))
+                uas, rules, delay = [], [], None
+                started = True
+                in_hdr = True
+            uas.append(val.lower())
+            continue
+        in_hdr = False
+        if not started:
+            continue
+        if key == "disallow" and val:
+            rules.append((False, val))
+        elif key == "allow" and val:
+            rules.append((True, val))
+        elif key == "crawl-delay":
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            delay = d if delay is None else max(delay, d)
+    if started:
+        groups.append((uas, rules, delay))
+    token = agent.lower()
+    winner = None
+    if token != "*":
+        for gu, _, _ in groups:
+            for v in gu:
+                if v and v != "*" and token.startswith(v):
+                    if winner is None or len(v) > len(winner):
+                        winner = v
+    out_rules, out_delay = [], None
+    for gu, gr, gd in groups:
+        if (winner in gu) if winner is not None else ("*" in gu):
+            out_rules.extend(gr)
+            if gd is not None:
+                out_delay = gd if out_delay is None else max(out_delay, gd)
+    return out_rules, out_delay
+
+
+def _pat_match(pattern, path):
+    """Wildcard matcher via leftmost-feasible search (NOT regex — an
+    independent implementation of the * / $ semantics)."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    segs = core.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    if len(segs) == 1:
+        return path == core if anchored else True
+    for seg in segs[1:-1]:
+        i = path.find(seg, pos)
+        if i < 0:
+            return False
+        pos = i + len(seg)
+    last = segs[-1]
+    if anchored:
+        return len(path) - len(last) >= pos and path.endswith(last)
+    return path.find(last, pos) >= 0
+
+
+def test_robots_random_crossvalidation(spark):
+    """The full Spark robots path (robots_from_bodies →
+    with_robots_flag broadcast join + Arrow eval) on random robots.txt
+    bodies and URLs == an independent Python RFC 9309 replay: group
+    selection, longest-match-wins with the Allow tie-break, * / $
+    wildcards, path?query targets, max-merged crawl delays, and the
+    allow-all default for hosts absent from the cache."""
+    import urllib.parse
+
+    from crab_spark import robots as RB
+
+    rng = random.Random(2155)
+    pats = ["/a", "/b", "/a/b", "/*", "/a*", "*.x$", "/a$", "/b/*.x$",
+            "/a/", ""]
+    uas_pool = ["*", "crabbot", "crab", "botty"]
+    paths = ["", "a", "a/b", "a/c.x", "b/z.x", "b?q=1", "a$b", "c"]
+
+    def body(rng):
+        lines = []
+        for _ in range(rng.randint(1, 4)):  # groups
+            for _ in range(rng.randint(1, 2)):
+                lines.append(f"User-agent: {rng.choice(uas_pool)}")
+            for _ in range(rng.randint(0, 5)):
+                kind = rng.choice(["Disallow", "Allow", "Crawl-delay",
+                                   "# note", "junkline"])
+                if kind == "Crawl-delay":
+                    lines.append(
+                        f"Crawl-delay: {rng.choice(['1', '2.5', 'zzz'])}"
+                    )
+                elif kind.startswith("#") or kind == "junkline":
+                    lines.append(kind)
+                else:
+                    lines.append(f"{kind}: {rng.choice(pats)}")
+        return "\n".join(lines)
+
+    for trial in range(3):
+        hosts = ["h0", "h1", "h2"]
+        bodies = {h: body(rng) for h in hosts}
+        agent = rng.choice(["*", "crabbot-news"])
+        bodies_df = spark.createDataFrame(
+            list(bodies.items()), "host string, body string"
+        )
+        robots = RB.robots_from_bodies(bodies_df, agent=agent)
+        batch_rows = [
+            (i, rng.choice(hosts + ["h-missing"]), rng.choice(paths))
+            for i in range(rng.randint(10, 40))
+        ]
+        batch = spark.createDataFrame(
+            [(i, h, f"http://{h}/{p}") for i, h, p in batch_rows],
+            "row long, host string, url string",
+        )
+        flagged = RB.with_robots_flag(batch, robots)
+        got = {
+            r.row: (r.robots_ok, r.crawl_delay) for r in flagged.collect()
+        }
+        want = {}
+        for i, h, p in batch_rows:
+            if h not in bodies:
+                want[i] = (True, None)
+                continue
+            rules, delay = _robots_mirror_parse(bodies[h], agent)
+            parts = urllib.parse.urlsplit(f"http://{h}/{p}")
+            target = parts.path or "/"
+            if parts.query:
+                target = f"{target}?{parts.query}"
+            best_len, best_allow = -1, True
+            for allow, pat in rules:
+                if _pat_match(pat, target) and (
+                    len(pat) > best_len
+                    or (len(pat) == best_len and allow and not best_allow)
+                ):
+                    best_len, best_allow = len(pat), allow
+            want[i] = (best_allow, delay)
+        assert got == want, f"trial {trial} agent {agent}"
