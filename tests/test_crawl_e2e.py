@@ -154,3 +154,71 @@ def test_navigate_all_depth_quirk(spark, store, registry):
     assert stats.crawl_order == oracle0.crawl_order
     # everything stays at depth 0 under the quirk
     assert store.read("frontier").agg(F.max("depth")).collect()[0][0] == 0
+
+
+def test_crawl_matches_oracle_random_topology(spark, tmp_path, registry):
+    """Seeded-RANDOM link graphs through the full engine vs the
+    pure-Python reference-loop oracle: the fixture topology above pins
+    the reference e2e shape; this pins the scheduler on graphs nobody
+    chose — random out-degrees, random data fan-out, random seed page,
+    random batch size. Exact equality of the URL-seen set (seq, depth,
+    type), the dispatch order, and the new-link count."""
+    import random
+
+    from crab_spark.corpus import CORPUS_SCHEMA, DATA_TYPE
+    from crab_spark.store import TableStore
+
+    rng = random.Random(511)
+    for trial in range(2):
+        n_pages = rng.randint(8, 14)
+        corpus: dict[str, list[dict]] = {}
+        for p in range(1, n_pages + 1):
+            spans, off = [], 0
+
+            def add(kind, text, media_ref=""):
+                nonlocal off
+                spans.append({"kind": kind, "text": text,
+                              "media_ref": media_ref, "offset": off})
+                off += max(len(text), 1)
+
+            add("text", f"Random page {p}")
+            # ≥1 page link keeps every page valid under the listing
+            # parser's validate rule
+            outs = rng.sample(
+                range(1, n_pages + 1), rng.randint(1, min(5, n_pages))
+            )
+            for q in outs:
+                add("link", f"/page/{q}")
+            for d in range(rng.randint(0, 3)):
+                n = p * 10 + d
+                add("link", f"/data/{n}")
+                corpus[C.data_url(n)] = C.data_spans(n)
+            corpus[C.page_url(p)] = spans
+
+        seed = C.page_url(rng.randint(1, n_pages))
+        batch = rng.choice([5, 25])
+        want = run_oracle(
+            seeds=[(seed, C.PAGE_TYPE)], corpus=corpus,
+            registry=registry, batch_size=batch,
+        )
+
+        rows = [
+            (url, DATA_TYPE if "/data/" in url else C.PAGE_TYPE, spans)
+            for url, spans in corpus.items()
+        ]
+        corpus_df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+        store = TableStore(tmp_path / f"w{trial}", spark)
+        seed_frontier(
+            store, spark.createDataFrame([(seed, C.PAGE_TYPE)], SEEDS)
+        )
+        stats = crawl(
+            store, CorpusFetcher(corpus_df), registry,
+            navigate=True, batch_size=batch, record_order=True,
+        )
+        got = {
+            r["url"]: (r["seq"], r["depth"], r["type_id"])
+            for r in store.read("frontier").collect()
+        }
+        assert got == want.seen, f"trial {trial}"
+        assert stats.crawl_order == want.crawl_order, f"trial {trial}"
+        assert stats.new_links == want.new_links, f"trial {trial}"
