@@ -222,3 +222,164 @@ def test_crawl_matches_oracle_random_topology(spark, tmp_path, registry):
         assert got == want.seen, f"trial {trial}"
         assert stats.crawl_order == want.crawl_order, f"trial {trial}"
         assert stats.new_links == want.new_links, f"trial {trial}"
+
+
+def _run_priority_mirror(seeds, corpus, registry, batch_size,
+                         host_budget, rescore_every):
+    """Independent Python replay of the PRIORITY crawl scheduler (the
+    north_rule's depth/host-budget frontier — crab itself has no
+    priority mode, so this mirror, not crawl_oracle, is the authority):
+
+    - registration priority = depth (frontier.register);
+    - every ``rescore_every`` completed epochs (so epochs 1, R+1, ...,
+      crawler.py ``stats.epochs % rescore_every == 0``), the pending
+      slice is re-scored per host: rows sorted by (depth, seq), the
+      (k·budget+1)-th row sinks k levels — priority = depth + idx//B
+      (frontier.score_host_budget's row_number window);
+    - rows registered after a rescore ride at registration priority
+      until the next pass (frontier.scored_head's since-rescore delta);
+    - dequeue = pending sorted by (priority, seq) LIMIT batch, then the
+      reference's swap_remove(0) dispatch remap;
+    - fetch → validate → navigate → absolutize → first-wins register at
+      depth+1, identical to the BFS oracle loop.
+    """
+    from urllib.parse import urlsplit
+
+    from crab_spark.urlnorm import absolutize, canonicalize
+
+    rows: list[dict] = []
+    seen: dict[str, tuple[int, int, int]] = {}
+    order: list[str] = []
+    new_links = 0
+    override: dict[str, float] = {}
+
+    def register(url: str, type_id: int, depth: int) -> bool:
+        if url in seen:
+            return False
+        seen[url] = (len(rows), depth, type_id)
+        rows.append({"url": url, "type_id": type_id, "depth": depth,
+                     "pending": True, "seq": len(rows)})
+        return True
+
+    for url, type_id in seeds:
+        cu = canonicalize(url)
+        if cu is not None:
+            register(cu, type_id, 0)
+
+    epochs_done = 0
+    while True:
+        if epochs_done % max(rescore_every, 1) == 0:
+            override = {}
+            by_host: dict[str, list[dict]] = {}
+            for r in rows:
+                if r["pending"]:
+                    by_host.setdefault(
+                        urlsplit(r["url"]).hostname or "", []
+                    ).append(r)
+            for host_rows in by_host.values():
+                host_rows.sort(key=lambda r: (r["depth"], r["seq"]))
+                for idx, r in enumerate(host_rows):
+                    override[r["url"]] = float(
+                        r["depth"] + idx // host_budget
+                    )
+        batch = sorted(
+            (r for r in rows if r["pending"]),
+            key=lambda r: (override.get(r["url"], float(r["depth"])),
+                           r["seq"]),
+        )[:batch_size]
+        if not batch:
+            break
+        if len(batch) > 1:
+            batch = [batch[0]] + batch[:0:-1]
+        for page in batch:
+            order.append(page["url"])
+            spans = corpus.get(page["url"])
+            if spans is None:
+                continue
+            if not registry.run_validate(page["type_id"], spans):
+                continue
+            page["pending"] = False
+            for href, t in registry.run_navigate(page["type_id"], spans):
+                absu = absolutize(href, page["url"])
+                if absu is not None and register(absu, t, page["depth"] + 1):
+                    new_links += 1
+        epochs_done += 1
+    return order, seen, new_links
+
+
+def test_priority_crawl_matches_mirror_random_topology(
+    spark, tmp_path, registry
+):
+    """Seeded-RANDOM multi-host graphs through the PRIORITY-mode engine
+    (host_budget + rescore_every) vs the independent Python scheduler
+    mirror above: exact equality of the dispatch order, the URL-seen
+    set (seq, depth, type), and the new-link count. The fixed-fixture
+    priority tests (test_crawl_dispatch) pin interleaving and
+    crash-resume; this pins the banded-rescore dequeue + since-rescore
+    delta folds on topologies and cadences nobody chose — random hosts,
+    out-degrees, budgets, and rescore periods (including R=1 every-epoch
+    and R=3 stale-snapshot windows)."""
+    import random
+
+    from crab_spark.corpus import CORPUS_SCHEMA, DATA_TYPE
+    from crab_spark.store import TableStore
+    from crab_spark.urlnorm import absolutize
+
+    rng = random.Random(907)
+    for trial, (budget, rescore) in enumerate([(2, 1), (3, 3)]):
+        n_hosts = rng.randint(2, 3)
+        n_pages = rng.randint(8, 12)
+
+        def purl(p):
+            return f"http://host{p % n_hosts}.example.com/page/{p}"
+
+        corpus: dict[str, list[dict]] = {}
+        for p in range(1, n_pages + 1):
+            spans, off = [], 0
+
+            def add(kind, text, media_ref=""):
+                nonlocal off
+                spans.append({"kind": kind, "text": text,
+                              "media_ref": media_ref, "offset": off})
+                off += max(len(text), 1)
+
+            add("text", f"Priority page {p}")
+            outs = rng.sample(
+                range(1, n_pages + 1), rng.randint(1, min(5, n_pages))
+            )
+            for q in outs:
+                add("link", purl(q))  # absolute: pager links cross hosts
+            for d in range(rng.randint(0, 3)):
+                n = p * 10 + d
+                add("link", f"/data/{n}")  # relative: inherits the host
+                corpus[absolutize(f"/data/{n}", purl(p))] = C.data_spans(n)
+            corpus[purl(p)] = spans
+
+        seed = purl(rng.randint(1, n_pages))
+        batch = rng.choice([5, 6])
+        want_order, want_seen, want_links = _run_priority_mirror(
+            seeds=[(seed, C.PAGE_TYPE)], corpus=corpus, registry=registry,
+            batch_size=batch, host_budget=budget, rescore_every=rescore,
+        )
+
+        rows = [
+            (url, DATA_TYPE if "/data/" in url else C.PAGE_TYPE, spans)
+            for url, spans in corpus.items()
+        ]
+        corpus_df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+        store = TableStore(tmp_path / f"pw{trial}", spark)
+        seed_frontier(
+            store, spark.createDataFrame([(seed, C.PAGE_TYPE)], SEEDS)
+        )
+        stats = crawl(
+            store, CorpusFetcher(corpus_df), registry,
+            navigate=True, batch_size=batch, record_order=True,
+            host_budget=budget, rescore_every=rescore,
+        )
+        got = {
+            r["url"]: (r["seq"], r["depth"], r["type_id"])
+            for r in store.read("frontier").collect()
+        }
+        assert got == want_seen, f"trial {trial}"
+        assert stats.crawl_order == want_order, f"trial {trial}"
+        assert stats.new_links == want_links, f"trial {trial}"
