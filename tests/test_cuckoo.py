@@ -279,3 +279,58 @@ def test_sidecar_sweeps_orphaned_tmp_files(tmp_path):
     save_sidecar(d, b, set())
     assert not orphan.exists()
     assert load_sidecar(d) is not None
+
+
+def test_cuckoo_random_ops_model_check():
+    """Seeded-random insert/delete interleavings vs a Python multiset
+    model (the session-11 cross-validation protocol applied to the
+    seen-set sidecar): after every step, every LIVE key answers True
+    (no false negatives — the invariant register() depends on: a false
+    negative would re-register a seen URL and corrupt seq/order), fresh
+    never-inserted keys stay under the 16-bit-fingerprint FPR bound,
+    delete acknowledges every live key, and fully-deleted keys drop
+    back to FPR-level presence (exact absence is NOT the contract —
+    a live fp-twin in the same bucket pair legitimately keeps a
+    deleted key 'maybe')."""
+    from collections import Counter
+
+    rng = np.random.default_rng(4099)
+    for trial in range(3):
+        f = CuckooFilter.sized_for(20_000, n_buckets=8)
+        model: Counter[int] = Counter()
+        ever: set[int] = set()
+        for step in range(10):
+            if step % 3 != 2 or not model:
+                ks = rng.integers(1, 2**63, size=int(rng.integers(100, 300)),
+                                  dtype=np.uint64)
+                if model and step % 2:
+                    # sprinkle duplicates of already-live keys: the
+                    # multiset path (insert copies, delete one copy)
+                    dups = rng.choice(
+                        np.array(list(model), dtype=np.uint64),
+                        size=min(20, len(model)))
+                    ks = np.concatenate([ks, dups])
+                f.add(ks)
+                for k in ks.tolist():
+                    model[k] += 1
+                    ever.add(k)
+            else:
+                victims = rng.choice(
+                    np.array(list(model), dtype=np.uint64),
+                    size=min(80, len(model)), replace=False)
+                removed = f.delete(victims)
+                assert removed.all(), f"live key refused delete t{trial} s{step}"
+                for k in victims.tolist():
+                    model[k] -= 1
+                    if not model[k]:
+                        del model[k]
+            live = np.array(sorted(model), dtype=np.uint64)
+            assert f.might_contain(live).all(), f"false negative t{trial} s{step}"
+            assert not f.saturated_parts()
+        fresh = rng.integers(1, 2**63, size=5000, dtype=np.uint64)
+        fresh = fresh[~np.isin(fresh, np.array(sorted(ever), dtype=np.uint64))]
+        assert f.might_contain(fresh).mean() < 0.01, "FPR blown"
+        gone = np.array(
+            sorted(ever - set(model)), dtype=np.uint64)
+        if len(gone):
+            assert f.might_contain(gone).mean() < 0.05, "deletes not taking"
