@@ -511,3 +511,28 @@ def test_query_registry_fully_oracled():
             and digits.isdigit()
             and "_" in name[1:]
         ), name
+
+
+def test_proxy_fold_closed_form_matches_sequential_fuzz():
+    """The fold's O(1) closed form — max(floor, min(cap, c+k) − m) for
+    k saturating +1s then m saturating −1s — vs the literal unit loop,
+    fuzzed over the whole (counter, k, m) lattice the crawl can reach.
+    The fixed-outcome tests above pin the documented
+    successes-then-failures semantics; this pins the arithmetic
+    identity the per-epoch fold rides on."""
+    import random
+
+    from crab_spark.proxy import ALIVE_MAX, ALIVE_MIN
+
+    rng = random.Random(6343)
+    for _ in range(500):
+        c = rng.randint(ALIVE_MIN, ALIVE_MAX)
+        k = rng.randint(0, 30)
+        m = rng.randint(0, 30)
+        seq = c
+        for _ in range(k):
+            seq = min(ALIVE_MAX, seq + 1)
+        for _ in range(m):
+            seq = max(ALIVE_MIN, seq - 1)
+        closed = max(ALIVE_MIN, min(ALIVE_MAX, c + k) - m)
+        assert closed == seq, (c, k, m)
