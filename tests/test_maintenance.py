@@ -151,3 +151,108 @@ def test_resume_epoch_survives_fetched_compaction(spark, store):
     store.write_state("crawl", {"epoch": 0})
     store.compact("fetched", n_files=1)
     assert _resume_epoch(store) == before
+
+
+def test_navigate_all_matches_mirror_random_graph(spark, tmp_path):
+    """Seeded-random graphs through navigate-all vs a pure-Python
+    replay of the reference's sequential scan (main.rs:202-223):
+    parents in (depth, doc_id) order, links in navigate-output order,
+    first-wins registration at the parent's depth. The fixture test
+    above pins the quirk; this pins the ordered_index registration
+    path (seq assignment) on link graphs nobody chose."""
+    import random
+
+    from crab_spark.corpus import CORPUS_SCHEMA, DATA_TYPE
+    from crab_spark.store import TableStore
+    from crab_spark.urlnorm import absolutize, canonicalize
+
+    rng = random.Random(7121)
+    registry = load_registry([parser_listing, parser_data])
+    for trial in range(2):
+        n_pages = rng.randint(6, 10)
+        corpus: dict[str, list[dict]] = {}
+        for p in range(1, n_pages + 1):
+            spans, off = [], 0
+
+            def add(kind, text):
+                nonlocal off
+                spans.append({"kind": kind, "text": text,
+                              "media_ref": "", "offset": off})
+                off += max(len(text), 1)
+
+            add("text", f"Nav page {p}")
+            for q in rng.sample(range(1, n_pages + 1),
+                                rng.randint(1, min(4, n_pages))):
+                add("link", f"/page/{q}")
+            for d in range(rng.randint(0, 2)):
+                add("link", f"/data/{p * 10 + d}")
+            corpus[C.page_url(p)] = spans
+
+        rows = [(url, C.PAGE_TYPE, spans) for url, spans in corpus.items()]
+        seeds = rng.sample(sorted(corpus), rng.randint(2, 4))
+        store = TableStore(tmp_path / f"nav{trial}", spark)
+        seed_frontier(store, local_df(
+            spark, [(u, C.PAGE_TYPE) for u in seeds], SEEDS))
+        crawl(store, CorpusFetcher(spark.createDataFrame(rows, CORPUS_SCHEMA)),
+              registry, navigate=False, batch_size=100)
+        n_new = navigate_all(store, registry)  # quirk default: parent depth
+
+        # -- mirror ---------------------------------------------------
+        seen: dict[str, tuple[int, int, int]] = {}
+        # seed_frontier assigns seq in canonical-URL-ascending order
+        # (frontier.py:50-58 — the CLI-call-order stand-in)
+        for cu in sorted(filter(None, (canonicalize(u) for u in seeds))):
+            if cu not in seen:
+                seen[cu] = (len(seen), 0, C.PAGE_TYPE)
+        downloaded = sorted(u for u in seen)  # all depth 0: doc_id order
+        want_new = 0
+        for doc_id in downloaded:
+            for href, t in registry.run_navigate(C.PAGE_TYPE, corpus[doc_id]):
+                absu = absolutize(href, doc_id)
+                if absu is not None and absu not in seen:
+                    seen[absu] = (len(seen), 0, t)  # parent depth quirk
+                    want_new += 1
+
+        got = {
+            r["url"]: (r["seq"], r["depth"], r["type_id"])
+            for r in store.read("frontier").collect()
+        }
+        assert n_new == want_new, f"trial {trial}"
+        assert got == seen, f"trial {trial}"
+
+
+def test_validate_sweep_matches_mirror_random_subset(spark, tmp_path):
+    """Random invalid subsets through validate --reset: the sweep must
+    reset exactly the pages the (arbitrary) validator rejects, and the
+    pending set afterwards must be precisely that subset."""
+    import random
+
+    from crab_spark.store import TableStore
+
+    rng = random.Random(9203)
+    registry = load_registry([parser_listing, parser_data])
+    for trial in range(2):
+        n = rng.randint(6, 10)
+        store = TableStore(tmp_path / f"vs{trial}", spark)
+        seed_frontier(store, local_df(
+            spark, [(C.page_url(p), C.PAGE_TYPE) for p in range(1, n + 1)],
+            SEEDS))
+        crawl(store, CorpusFetcher(C.corpus_df(spark, n + 1)), registry,
+              navigate=False, batch_size=100)
+
+        bad = set(rng.sample(range(1, n + 1), rng.randint(1, n - 1)))
+
+        def is_ok(spans, _bad=bad):
+            for s in spans:
+                if s["kind"] == "text" and s["text"].startswith("Page number"):
+                    return int(s["text"].rsplit(" ", 1)[-1]) not in _bad
+            return True
+
+        strict = ParserRegistry([
+            SpanParser(type_id=C.PAGE_TYPE, validate=is_ok),
+            SpanParser(type_id=C.DATA_TYPE),
+        ])
+        n_bad = validate_sweep(store, strict, reset=True)
+        assert n_bad == len(bad), f"trial {trial}"
+        got_pending = {r["url"] for r in pending(store).collect()}
+        assert got_pending == {C.page_url(p) for p in bad}, f"trial {trial}"
