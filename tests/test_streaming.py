@@ -236,3 +236,58 @@ def test_streaming_recrawl_equals_batch(spark, sf_dir, tmp_path):
     g = {r["url_key"]: tuple(r[c] for c in cols) for r in got.collect()}
     w = {r["url_key"]: tuple(r[c] for c in cols) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_streaming_sessionize_random_microbatch_splits(spark, sf_dir, tmp_path):
+    """Stateful sessionization must be microbatch-split-invariant: the
+    same events chunked into random-sized TIME-ORDERED drops (one file
+    per micro-batch via maxFilesPerTrigger=1, the live-ingest shape)
+    fold through the per-user state across batch boundaries to exactly
+    the single-drop/batch answer. The single-drop dual above pins the
+    arithmetic; this pins the state carry (n_sessions, n_events,
+    last_ts resume) under split points nobody chose."""
+    import random
+
+    from crab_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    rng = random.Random(3517)
+    cuts = sorted(rng.sample(range(1, len(events)), 3))
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, (lo, hi) in enumerate(
+        zip([0] + cuts, cuts + [len(events)])
+    ):
+        spark.createDataFrame(events[lo:hi], EVENTS_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(feed / f"drop{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")  # drops are dirs of parts
+        .parquet(str(feed))
+    )
+    got_rows = run_available_now(
+        sessionize_stream(stream), "sess_split_test",
+        str(tmp_path / "ck_split"), output_mode="update",
+    ).collect()
+    # update mode appends one row per (user, micro-batch that touched
+    # it); both counters are monotone, so the max tuple IS the final
+    g: dict[int, tuple[int, int]] = {}
+    for r in got_rows:
+        t = (r["n_sessions"], r["n_events"])
+        if r["user_id"] not in g or t > g[r["user_id"]]:
+            g[r["user_id"]] = t
+    want = QUERIES["q19_sessionize"](spark, sf_dir)
+    w = {r["user_id"]: (r["n_sessions"], r["n_events"])
+         for r in want.collect()}
+    assert g == w and len(g) > 0
