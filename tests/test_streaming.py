@@ -291,3 +291,53 @@ def test_streaming_sessionize_random_microbatch_splits(spark, sf_dir, tmp_path):
     w = {r["user_id"]: (r["n_sessions"], r["n_events"])
          for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_streaming_recrawl_random_microbatch_splits(spark, sf_dir, tmp_path):
+    """Split-invariance for the recrawl scheduler's state fold: random
+    time-ordered drops through recrawl_stream must land on q110's batch
+    schedule exactly (prev_sig/first_ep/last_ep carried across batch
+    boundaries; n_obs is monotone, so each key's max-n_obs update row
+    is its final schedule)."""
+    import random
+
+    from crab_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        recrawl_stream,
+        run_available_now,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    rng = random.Random(6229)
+    cuts = sorted(rng.sample(range(1, len(events)), 3))
+    feed = tmp_path / "rc_feed"
+    feed.mkdir()
+    for i, (lo, hi) in enumerate(zip([0] + cuts, cuts + [len(events)])):
+        spark.createDataFrame(events[lo:hi], EVENTS_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(feed / f"drop{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(feed))
+    )
+    got_rows = run_available_now(
+        recrawl_stream(stream), "recrawl_split_test",
+        str(tmp_path / "ck_rc_split"), output_mode="update",
+    ).collect()
+    cols = ("n_obs", "n_changes", "span_sec", "interval_sec",
+            "next_due_epoch")
+    g: dict[int, tuple] = {}
+    for r in got_rows:
+        t = tuple(r[c] for c in cols)
+        if r["url_key"] not in g or t[0] > g[r["url_key"]][0]:
+            g[r["url_key"]] = t
+    want = QUERIES["q110_recrawl_schedule"](spark, sf_dir)
+    w = {r["url_key"]: tuple(r[c] for c in cols) for r in want.collect()}
+    assert g == w and len(g) > 0
