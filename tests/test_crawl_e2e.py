@@ -383,3 +383,104 @@ def test_priority_crawl_matches_mirror_random_topology(
         assert got == want_seen, f"trial {trial}"
         assert stats.crawl_order == want_order, f"trial {trial}"
         assert stats.new_links == want_links, f"trial {trial}"
+
+
+def test_crash_resume_matches_mirror_random_topology(spark, tmp_path, registry):
+    """Random crash windows on random topologies: kill the crawl at a
+    RANDOM commit window (docs/reg/done append of a random mid-crawl
+    epoch) on a seeded-random graph, resume, and require the final
+    seen-set AND the resumed dispatch order to equal the uninterrupted
+    oracle/mirror run exactly (the resumed order is the golden order's
+    tail). The fixed-window tests (test_crawl_dispatch) pin each commit
+    window on the fixture; this sweeps window × epoch × topology ×
+    scheduler mode. Priority mode runs rescore_every=1 so the rescore
+    cadence (a per-call counter) is resume-invariant by construction —
+    the crashed epoch itself must still skip the rescore and replay the
+    committed snapshot."""
+    import random
+
+    from crab_spark.corpus import CORPUS_SCHEMA, DATA_TYPE
+    from crab_spark.store import TableStore
+
+    rng = random.Random(1733)
+    for trial, mode in enumerate(["bfs", "priority"]):
+        n_hosts = 1 if mode == "bfs" else rng.randint(2, 3)
+
+        def purl(p):
+            return (C.page_url(p) if n_hosts == 1
+                    else f"http://host{p % n_hosts}.example.com/page/{p}")
+
+        n_pages = rng.randint(8, 12)
+        corpus: dict[str, list[dict]] = {}
+        for p in range(1, n_pages + 1):
+            spans, off = [], 0
+
+            def add(kind, text):
+                nonlocal off
+                spans.append({"kind": kind, "text": text,
+                              "media_ref": "", "offset": off})
+                off += max(len(text), 1)
+
+            add("text", f"Crash page {p}")
+            for q in rng.sample(range(1, n_pages + 1),
+                                rng.randint(1, min(5, n_pages))):
+                add("link", purl(q))
+            for d in range(rng.randint(1, 3)):
+                n = p * 10 + d
+                add("link", f"/data/{n}")
+                from crab_spark.urlnorm import absolutize
+                corpus[absolutize(f"/data/{n}", purl(p))] = C.data_spans(n)
+            corpus[purl(p)] = spans
+
+        seed = purl(rng.randint(1, n_pages))
+        if mode == "bfs":
+            want = run_oracle(seeds=[(seed, C.PAGE_TYPE)], corpus=corpus,
+                              registry=registry, batch_size=5)
+            want_order, want_seen = want.crawl_order, want.seen
+            kw = {}
+        else:
+            want_order, want_seen, _ = _run_priority_mirror(
+                seeds=[(seed, C.PAGE_TYPE)], corpus=corpus,
+                registry=registry, batch_size=5,
+                host_budget=2, rescore_every=1,
+            )
+            kw = {"host_budget": 2, "rescore_every": 1}
+
+        rows = [
+            (url, DATA_TYPE if "/data/" in url else C.PAGE_TYPE, spans)
+            for url, spans in corpus.items()
+        ]
+        fetcher = CorpusFetcher(spark.createDataFrame(rows, CORPUS_SCHEMA))
+        store = TableStore(tmp_path / f"cw{trial}", spark)
+        seed_frontier(
+            store, spark.createDataFrame([(seed, C.PAGE_TYPE)], SEEDS)
+        )
+
+        crash_tag = (f"{rng.choice(['docs', 'reg', 'done'])}-"
+                     f"{rng.randint(2, 3):06d}")
+        orig_append = store.append
+        armed = {"on": True}
+
+        def boom(name, df, tag, _tag=crash_tag):
+            if armed["on"] and tag == _tag:
+                armed["on"] = False
+                raise RuntimeError("injected crash")
+            return orig_append(name, df, tag)
+
+        store.append = boom
+        with pytest.raises(RuntimeError, match="injected crash"):
+            crawl(store, fetcher, registry, batch_size=5, **kw)
+        store.append = orig_append
+
+        stats2 = crawl(store, fetcher, registry, batch_size=5,
+                       record_order=True, **kw)
+        got = {
+            r["url"]: (r["seq"], r["depth"], r["type_id"])
+            for r in store.read("frontier").collect()
+        }
+        assert got == want_seen, f"{mode} @ {crash_tag}"
+        n_resumed = len(stats2.crawl_order)
+        assert stats2.crawl_order == want_order[len(want_order) - n_resumed:], \
+            f"{mode} @ {crash_tag}"
+        docs = store.read("documents")
+        assert docs.select("doc_id").distinct().count() == docs.count()
