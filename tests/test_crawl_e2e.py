@@ -484,3 +484,154 @@ def test_crash_resume_matches_mirror_random_topology(spark, tmp_path, registry):
             f"{mode} @ {crash_tag}"
         docs = store.read("documents")
         assert docs.select("doc_id").distinct().count() == docs.count()
+
+
+def test_robots_gated_crawl_matches_mirror_random_topology(
+    spark, tmp_path, registry
+):
+    """Random robots rule-sets inside random multi-host crawls vs a
+    Python replay: denied rows must occupy their dequeue slots but
+    never dispatch (they resolve as robots-skips, their children are
+    never discovered), while the allowed rows keep the reference
+    dispatch order. Pins the dispatch-path gating (broadcast robots
+    join + rule eval + resolved-not-retried commit) end-to-end on
+    topologies and rule-sets nobody chose — incl. Allow carve-outs
+    under a broader Disallow (longest-prefix-wins, RFC 9309 §2.2.2)."""
+    import random
+
+    from crab_spark.corpus import CORPUS_SCHEMA, DATA_TYPE
+    from crab_spark.robots import robots_table
+    from crab_spark.store import TableStore
+    from crab_spark.urlnorm import absolutize
+    from urllib.parse import urlsplit
+
+    rng = random.Random(4817)
+    total_denied = 0
+    for trial in range(2):
+        n_hosts = rng.randint(2, 3)
+        n_pages = rng.randint(8, 12)
+
+        def purl(p):
+            return f"http://host{p % n_hosts}.example.com/page/{p}"
+
+        corpus: dict[str, list[dict]] = {}
+        for p in range(1, n_pages + 1):
+            spans, off = [], 0
+
+            def add(kind, text):
+                nonlocal off
+                spans.append({"kind": kind, "text": text,
+                              "media_ref": "", "offset": off})
+                off += max(len(text), 1)
+
+            add("text", f"Robots page {p}")
+            for q in rng.sample(range(1, n_pages + 1),
+                                rng.randint(1, min(5, n_pages))):
+                add("link", purl(q))
+            for d in range(rng.randint(1, 3)):
+                n = p * 10 + d
+                add("link", f"/data/{n}")
+                corpus[absolutize(f"/data/{n}", purl(p))] = C.data_spans(n)
+            corpus[purl(p)] = spans
+
+        # random rule-sets: host0 stays open (the seed host); others
+        # get a random mix of data bans, page bans, and Allow carve-outs
+        entries: dict[str, dict] = {}
+        for h in range(1, n_hosts):
+            spec: dict = {"disallow": [], "allow": []}
+            if h == 1 or rng.random() < 0.7:
+                spec["disallow"].append("/data/")
+            if rng.random() < 0.5:
+                spec["disallow"].append("/page/")
+                carve = rng.sample(range(1, n_pages + 1), 2)
+                spec["allow"] += [f"/page/{k}" for k in carve]
+            entries[f"host{h}.example.com"] = spec
+        robots = robots_table(spark, entries)
+
+        def mirror_allowed(url):
+            parts = urlsplit(url)
+            spec = entries.get(parts.hostname or "")
+            if spec is None:
+                return True
+            path = parts.path or "/"
+            best_len, best_allow = -1, True
+            for allow, prefixes in ((False, spec["disallow"]),
+                                    (True, spec["allow"])):
+                for pre in prefixes:
+                    if path.startswith(pre) and (
+                        len(pre) > best_len
+                        or (len(pre) == best_len and allow and not best_allow)
+                    ):
+                        best_len, best_allow = len(pre), allow
+            return best_allow
+
+        seed = purl(rng.choice(
+            [p for p in range(1, n_pages + 1) if p % n_hosts == 0]))
+        batch = 5
+
+        # -- mirror: the BFS oracle loop + the dispatch-slot gate ------
+        rows_m: list[dict] = []
+        seen: dict[str, tuple[int, int, int]] = {}
+        order: list[str] = []
+        denied = 0
+
+        def register(url, type_id, depth):
+            if url in seen:
+                return False
+            seen[url] = (len(rows_m), depth, type_id)
+            rows_m.append({"url": url, "type_id": type_id, "depth": depth,
+                           "pending": True, "seq": len(rows_m)})
+            return True
+
+        from crab_spark.urlnorm import canonicalize
+
+        register(canonicalize(seed), C.PAGE_TYPE, 0)
+        while True:
+            b = sorted((r for r in rows_m if r["pending"]),
+                       key=lambda r: (r["depth"], r["seq"]))[:batch]
+            if not b:
+                break
+            if len(b) > 1:
+                b = [b[0]] + b[:0:-1]
+            for page in b:
+                if not mirror_allowed(page["url"]):
+                    page["pending"] = False  # resolved: robots-skip
+                    denied += 1
+                    continue
+                order.append(page["url"])
+                spans = corpus.get(page["url"])
+                if spans is None:
+                    continue
+                if not registry.run_validate(page["type_id"], spans):
+                    continue
+                page["pending"] = False
+                for href, t in registry.run_navigate(page["type_id"], spans):
+                    absu = absolutize(href, page["url"])
+                    if absu is not None:
+                        register(absu, t, page["depth"] + 1)
+
+        # -- engine ----------------------------------------------------
+        rows = [
+            (url, DATA_TYPE if "/data/" in url else C.PAGE_TYPE, spans)
+            for url, spans in corpus.items()
+        ]
+        store = TableStore(tmp_path / f"rb{trial}", spark)
+        seed_frontier(
+            store, spark.createDataFrame([(seed, C.PAGE_TYPE)], SEEDS)
+        )
+        stats = crawl(
+            store, CorpusFetcher(spark.createDataFrame(rows, CORPUS_SCHEMA)),
+            registry, navigate=True, batch_size=batch,
+            record_order=True, robots=robots,
+        )
+        got = {
+            r["url"]: (r["seq"], r["depth"], r["type_id"])
+            for r in store.read("frontier").collect()
+        }
+        assert got == seen, f"trial {trial}"
+        assert stats.crawl_order == order, f"trial {trial}"
+        assert stats.robots_denied == denied, f"trial {trial}"
+        skipped = store.read("fetched").filter(F.col("reason") == "robots")
+        assert skipped.count() == denied, f"trial {trial}"
+        total_denied += denied
+    assert total_denied > 0  # the sweep must actually exercise the gate
