@@ -370,3 +370,129 @@ def test_crawl_delay_host_pinned_to_single_politeness_group(spark):
         by_host.setdefault(r["host"], set()).add(r["_hs"])
     assert len(by_host["cd.example"]) == 1          # pinned: one group
     assert len(by_host["free.example"]) > 1         # salted: skew split
+
+
+def test_proxy_rotation_matches_mirror_random_topology(spark, tmp_path, registry):
+    """Random topologies × a random failing proxy through the full
+    dispatch path vs a Python replay of the pool semantics: per-row
+    assignment alive[seq % n_alive] over the EPOCH's non-dead ids,
+    failed rows staying pending and retrying on the shrunken pool, the
+    per-epoch successes-then-failures saturating fold, and death at the
+    -2 floor. Exact equality of dispatch order (incl. retries), seen
+    set, and every proxy's final (requests, successes, counter)."""
+    import random
+
+    from crab_spark.corpus import CORPUS_SCHEMA, DATA_TYPE
+    from crab_spark.proxy import ALIVE_MAX, ALIVE_MIN
+    from crab_spark.store import TableStore
+    from crab_spark.urlnorm import absolutize, canonicalize
+
+    rng = random.Random(5531)
+    for trial in range(2):
+        n_pages = rng.randint(8, 12)
+        corpus: dict[str, list[dict]] = {}
+        for p in range(1, n_pages + 1):
+            spans, off = [], 0
+
+            def add(kind, text):
+                nonlocal off
+                spans.append({"kind": kind, "text": text,
+                              "media_ref": "", "offset": off})
+                off += max(len(text), 1)
+
+            add("text", f"Proxy page {p}")
+            for q in rng.sample(range(1, n_pages + 1),
+                                rng.randint(1, min(5, n_pages))):
+                add("link", f"/page/{q}")
+            for d in range(rng.randint(0, 2)):
+                n = p * 10 + d
+                add("link", f"/data/{n}")
+                corpus[C.data_url(n)] = C.data_spans(n)
+            corpus[C.page_url(p)] = spans
+
+        n_proxies = rng.randint(2, 3)
+        fail_id = rng.randrange(n_proxies)
+        seed = C.page_url(rng.randint(1, n_pages))
+        batch = 5
+
+        # -- mirror -----------------------------------------------------
+        rows_m: list[dict] = []
+        seen: dict[str, tuple[int, int, int]] = {}
+        order: list[str] = []
+        counter = [0] * n_proxies
+        requests = [0] * n_proxies
+        successes = [0] * n_proxies
+
+        def register(url, type_id, depth):
+            if url in seen:
+                return False
+            seen[url] = (len(rows_m), depth, type_id)
+            rows_m.append({"url": url, "type_id": type_id, "depth": depth,
+                           "pending": True, "seq": len(rows_m)})
+            return True
+
+        register(canonicalize(seed), C.PAGE_TYPE, 0)
+        while True:
+            b = sorted((r for r in rows_m if r["pending"]),
+                       key=lambda r: (r["depth"], r["seq"]))[:batch]
+            if not b:
+                break
+            if len(b) > 1:
+                b = [b[0]] + b[:0:-1]
+            alive = [i for i in range(n_proxies) if counter[i] > ALIVE_MIN]
+            alive = alive or list(range(n_proxies))
+            ep_ok = [0] * n_proxies
+            ep_fail = [0] * n_proxies
+            for page in b:
+                pid = alive[page["seq"] % len(alive)]
+                order.append(page["url"])
+                ok = pid != fail_id and page["url"] in corpus
+                valid = ok and registry.run_validate(
+                    page["type_id"], corpus[page["url"]])
+                if valid:
+                    ep_ok[pid] += 1
+                    page["pending"] = False
+                    for href, t in registry.run_navigate(
+                            page["type_id"], corpus[page["url"]]):
+                        absu = absolutize(href, page["url"])
+                        if absu is not None:
+                            register(absu, t, page["depth"] + 1)
+                else:
+                    ep_fail[pid] += 1
+            for i in range(n_proxies):
+                if ep_ok[i] or ep_fail[i]:
+                    requests[i] += ep_ok[i] + ep_fail[i]
+                    successes[i] += ep_ok[i]
+                    counter[i] = max(
+                        ALIVE_MIN,
+                        min(ALIVE_MAX, counter[i] + ep_ok[i]) - ep_fail[i],
+                    )
+
+        # -- engine -----------------------------------------------------
+        rows = [
+            (url, DATA_TYPE if "/data/" in url else C.PAGE_TYPE, spans)
+            for url, spans in corpus.items()
+        ]
+        pool = ProxyPool([f"http://proxy{i}:3128" for i in range(n_proxies)])
+        store = TableStore(tmp_path / f"px{trial}", spark)
+        seed_frontier(
+            store, spark.createDataFrame([(seed, C.PAGE_TYPE)], SEEDS)
+        )
+        stats = crawl(
+            store,
+            ProxyFailingFetcher(
+                spark.createDataFrame(rows, CORPUS_SCHEMA), fail_ids=[fail_id]
+            ),
+            registry, batch_size=batch, proxy_pool=pool, record_order=True,
+        )
+        got = {
+            r["url"]: (r["seq"], r["depth"], r["type_id"])
+            for r in store.read("frontier").collect()
+        }
+        assert got == seen, f"trial {trial}"
+        assert stats.crawl_order == order, f"trial {trial}"
+        for i, s in enumerate(pool.stats):
+            assert (s.requests, s.successful_requests, s.alive_counter) == (
+                requests[i], successes[i], counter[i]
+            ), f"trial {trial} proxy {i}"
+        assert pending(store).count() == 0, f"trial {trial}"
