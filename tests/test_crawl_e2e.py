@@ -222,6 +222,16 @@ def test_crawl_matches_oracle_random_topology(spark, tmp_path, registry):
         assert got == want.seen, f"trial {trial}"
         assert stats.crawl_order == want.crawl_order, f"trial {trial}"
         assert stats.new_links == want.new_links, f"trial {trial}"
+        # span-sequence equality (kind, text, media_ref, order) per
+        # document — the input_hint's per-row invariant, on random docs
+        docs = store.read("documents")
+        assert docs.count() == len(want.documents), f"trial {trial}"
+        for row in docs.collect():
+            ws = want.documents[row["doc_id"]]
+            assert [(s["kind"], s["text"], s["media_ref"])
+                    for s in row["spans"]] == \
+                [(s["kind"], s["text"], s["media_ref"]) for s in ws], \
+                f"trial {trial} {row['doc_id']}"
 
 
 def _run_priority_mirror(seeds, corpus, registry, batch_size,
