@@ -203,12 +203,19 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",") if s]
+    if not args.no_warmup:
+        # unreported warmup size: the first register/dequeue in a
+        # process pays one-time JIT + UDF-import costs that would
+        # otherwise contaminate the smallest measured size
+        sizes = [20_000] + sizes
 
     spark = get_spark(app_name="frontier-scale-probe")
     results = []
-    for total in sizes:
+    for i, total in enumerate(sizes):
+        warm = i == 0 and not args.no_warmup
         root = tempfile.mkdtemp(prefix=f"probe_{total}_")
         store = TableStore(root, spark)
         t0 = time.monotonic()
@@ -257,8 +264,9 @@ def main() -> int:
         rec["confined_batch"] = n_conf
         assert 0 < n_new2 < n_conf, (n_new2, n_conf)
 
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
+        if not warm:
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
         spark.catalog.clearCache()
         shutil.rmtree(root, ignore_errors=True)
 
