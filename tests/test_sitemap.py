@@ -1,0 +1,234 @@
+"""Sitemap ingestion: planted-case extraction tests, a seeded-random
+ElementTree cross-validation (the independent-mirror discipline — the
+codegen regexp parser must agree with a real XML parser on sitemaps
+nobody chose), and the end-to-end glue: robots ``Sitemap:`` discovery →
+index expansion → urlset entries → seed_frontier (register dedup)."""
+
+from __future__ import annotations
+
+import random
+import xml.etree.ElementTree as ET
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from crab_spark.frontier import seed_frontier
+from crab_spark.sitemap import (
+    sitemap_entries,
+    sitemap_index_entries,
+    sitemap_seeds,
+    sitemaps_from_robots,
+)
+
+_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def _bodies(spark, rows, cols=("url", "body")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+# ---------------------------------------------------------------------------
+# planted cases
+# ---------------------------------------------------------------------------
+
+
+def test_urlset_planted_cases(spark):
+    body = f"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="{_NS}">
+  <url>
+    <loc>http://a.example/p?x=1&amp;y=2</loc>
+    <lastmod>2026-01-05</lastmod>
+    <changefreq>Daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc><![CDATA[http://a.example/cdata?a=1&b=2]]></loc></url>
+  <url>
+    <LOC>  http://a.example/upper  </LOC>
+    <lastmod>2026-01-05T10:30:00+02:00</lastmod>
+    <priority>not-a-number</priority>
+  </url>
+  <url><lastmod>2026-01-01</lastmod></url>
+  <url><loc></loc></url>
+</urlset>"""
+    out = sitemap_entries(_bodies(spark, [("http://a.example/sm.xml", body)]))
+    rows = {r["loc"]: r for r in out.collect()}
+    # entity unescape + all fields
+    assert set(rows) == {
+        "http://a.example/p?x=1&y=2",
+        "http://a.example/cdata?a=1&b=2",  # CDATA verbatim, & kept
+        "http://a.example/upper",  # case-insensitive tag, trimmed
+    }
+    r0 = rows["http://a.example/p?x=1&y=2"]
+    assert r0["lastmod"] == "2026-01-05"
+    assert r0["lastmod_ts"] == datetime(2026, 1, 5)  # session tz = UTC
+    assert r0["changefreq"] == "daily"
+    assert r0["priority"] == 0.8
+    r1 = rows["http://a.example/cdata?a=1&b=2"]
+    assert r1["lastmod"] is None and r1["lastmod_ts"] is None
+    assert r1["changefreq"] is None
+    assert r1["priority"] == 0.5  # protocol default when absent
+    r2 = rows["http://a.example/upper"]
+    # +02:00 offset normalizes to UTC
+    assert r2["lastmod_ts"] == datetime(2026, 1, 5, 8, 30, 0)
+    assert r2["priority"] == 0.5  # malformed -> default, never a throw
+
+
+def test_sitemapindex_and_robots_discovery(spark):
+    idx = f"""<sitemapindex xmlns="{_NS}">
+  <sitemap><loc>http://a.example/sm1.xml</loc>
+    <lastmod>2026-02-01T00:00:00Z</lastmod></sitemap>
+  <sitemap><loc>http://a.example/sm2.xml</loc></sitemap>
+</sitemapindex>"""
+    out = sitemap_index_entries(
+        _bodies(spark, [("http://a.example/smidx.xml", idx)])
+    ).collect()
+    kids = {r["child_url"]: r for r in out}
+    assert set(kids) == {"http://a.example/sm1.xml", "http://a.example/sm2.xml"}
+    assert kids["http://a.example/sm1.xml"]["child_lastmod_ts"] == datetime(
+        2026, 2, 1
+    )
+    assert kids["http://a.example/sm2.xml"]["child_lastmod"] is None
+
+    robots = (
+        "User-agent: *\nDisallow: /private\n"
+        "SITEMAP: http://a.example/smidx.xml\n"
+        "  sitemap:\thttp://a.example/extra.xml\n"
+    )
+    found = sitemaps_from_robots(
+        _bodies(spark, [("a.example", robots), ("dead.example", None)],
+                cols=("host", "body"))
+    ).collect()
+    assert {(r["host"], r["sitemap_url"]) for r in found} == {
+        ("a.example", "http://a.example/smidx.xml"),
+        ("a.example", "http://a.example/extra.xml"),
+    }
+
+
+def test_namespace_prefixed_tags(spark):
+    body = f"""<sm:urlset xmlns:sm="{_NS}">
+  <sm:url><sm:loc>http://p.example/one</sm:loc>
+    <sm:priority>0.3</sm:priority></sm:url>
+</sm:urlset>"""
+    out = sitemap_entries(_bodies(spark, [("http://p.example/sm.xml", body)]))
+    rows = out.collect()
+    assert [(r["loc"], r["priority"]) for r in rows] == [
+        ("http://p.example/one", 0.3)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# seeded-random ElementTree mirror
+# ---------------------------------------------------------------------------
+
+
+def _gen_sitemap(rng: random.Random, n: int) -> str:
+    """Random urlset: query strings needing &amp; escaping, optional
+    CDATA locs, random tag whitespace, optional lastmod (all three W3C
+    forms), optional changefreq/priority."""
+    parts = [f'<urlset xmlns="{_NS}">']
+    for i in range(n):
+        url = f"http://h{rng.randrange(4)}.example/p/{i}?a={rng.randrange(9)}&b={rng.randrange(9)}"
+        if rng.random() < 0.3:
+            loc = f"<loc><![CDATA[{url}]]></loc>"
+        else:
+            loc = f"<loc>{url.replace('&', '&amp;')}</loc>"
+        bits = [loc]
+        roll = rng.random()
+        if roll < 0.25:
+            bits.append(f"<lastmod>2026-0{rng.randrange(1, 9)}-1{rng.randrange(9)}</lastmod>")
+        elif roll < 0.5:
+            bits.append(
+                f"<lastmod>2026-03-0{rng.randrange(1, 9)}T0{rng.randrange(9)}"
+                f":15:{10 + rng.randrange(40)}Z</lastmod>"
+            )
+        elif roll < 0.6:
+            bits.append(
+                f"<lastmod>2026-04-0{rng.randrange(1, 9)}T12:00:00"
+                f"{rng.choice(['+02:00', '-05:00'])}</lastmod>"
+            )
+        if rng.random() < 0.4:
+            bits.append(f"<changefreq>{rng.choice(['daily', 'WEEKLY', 'monthly'])}</changefreq>")
+        if rng.random() < 0.5:
+            bits.append(f"<priority>0.{rng.randrange(1, 10)}</priority>")
+        rng.shuffle(bits)
+        ws = " " * rng.randrange(3)
+        parts.append(f"<url>{ws}" + "".join(bits) + f"{ws}</url>")
+    parts.append("</urlset>")
+    return "\n".join(parts)
+
+
+def _mirror_parse(body: str):
+    """Independent oracle: real XML parser + the module's documented
+    policy (priority default 0.5, lastmod → UTC-naive timestamp)."""
+    root = ET.fromstring(body)
+    out = set()
+    for u in root.findall(f"{{{_NS}}}url"):
+        loc = (u.findtext(f"{{{_NS}}}loc") or "").strip()
+        if not loc:
+            continue
+        lastmod = u.findtext(f"{{{_NS}}}lastmod")
+        ts = None
+        if lastmod is not None:
+            dt = datetime.fromisoformat(lastmod.strip().replace("Z", "+00:00"))
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+            ts = dt
+        cf = u.findtext(f"{{{_NS}}}changefreq")
+        pr = u.findtext(f"{{{_NS}}}priority")
+        try:
+            prv = float(pr) if pr is not None else 0.5
+        except ValueError:
+            prv = 0.5
+        out.add(
+            (
+                loc,
+                lastmod.strip() if lastmod is not None else None,
+                ts,
+                cf.strip().lower() if cf is not None else None,
+                prv,
+            )
+        )
+    return out
+
+
+def test_urlset_matches_elementtree_mirror_random(spark):
+    rng = random.Random(0x51737)
+    rows = [
+        (f"http://gen.example/sm{k}.xml", _gen_sitemap(rng, 5 + rng.randrange(20)))
+        for k in range(6)
+    ]
+    got = sitemap_entries(_bodies(spark, rows)).collect()
+    want = set()
+    for _, body in rows:
+        want |= _mirror_parse(body)
+    assert {
+        (r["loc"], r["lastmod"], r["lastmod_ts"], r["changefreq"], r["priority"])
+        for r in got
+    } == want
+    assert len(got) == sum(len(_mirror_parse(b)) for _, b in rows)  # no cross-file merge
+
+
+# ---------------------------------------------------------------------------
+# e2e glue: discovery → entries → seeds → register dedup
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_seeds_feed_frontier(spark, store):
+    body = f"""<urlset xmlns="{_NS}">
+  <url><loc>http://s.example/a</loc></url>
+  <url><loc>http://s.example/a</loc></url>
+  <url><loc>http://S.EXAMPLE/b</loc></url>
+  <url><loc>not a url at all</loc></url>
+</urlset>"""
+    entries = sitemap_entries(_bodies(spark, [("http://s.example/sm.xml", body)]))
+    seeds = sitemap_seeds(entries, type_id=1)
+    n = seed_frontier(store, seeds)
+    # in-batch dup collapsed, host case-folded by canonicalization,
+    # invalid URL dropped by seed_frontier's validation
+    assert n == 2
+    urls = {
+        r["url"] for r in store.read("frontier").select("url").collect()
+    }
+    assert urls == {"http://s.example/a", "http://s.example/b"}
+    # idempotent refresh: re-seeding the same sitemap registers nothing
+    assert seed_frontier(store, sitemap_seeds(entries, type_id=1)) == 0
