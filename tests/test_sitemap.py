@@ -232,3 +232,48 @@ def test_sitemap_seeds_feed_frontier(spark, store):
     assert urls == {"http://s.example/a", "http://s.example/b"}
     # idempotent refresh: re-seeding the same sitemap registers nothing
     assert seed_frontier(store, sitemap_seeds(entries, type_id=1)) == 0
+
+
+# ---------------------------------------------------------------------------
+# fetch layer (file:// URLs, the test_httpfetcher convention) + full ingest
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_sitemaps_two_pass_file_urls(spark, tmp_path):
+    import gzip
+
+    us1 = tmp_path / "us1.xml"
+    us1.write_text(
+        f'<urlset xmlns="{_NS}"><url><loc>http://f.example/a</loc></url>'
+        "<url><loc>http://f.example/b</loc><priority>0.2</priority></url></urlset>"
+    )
+    us2 = tmp_path / "us2.xml"
+    us2.write_text(
+        f'<urlset xmlns="{_NS}"><url><loc>http://f.example/c</loc></url></urlset>'
+    )
+    idx = tmp_path / "idx.xml.gz"  # gzipped index -> us1 + one dead child
+    idx.write_bytes(
+        gzip.compress(
+            (
+                f'<sitemapindex xmlns="{_NS}">'
+                f"<sitemap><loc>file://{us1}</loc></sitemap>"
+                f"<sitemap><loc>file://{tmp_path}/missing.xml</loc></sitemap>"
+                "</sitemapindex>"
+            ).encode()
+        )
+    )
+    from crab_spark.sitemap import ingest_sitemaps
+
+    urls = spark.createDataFrame(
+        [(f"file://{idx}",), (f"file://{us2}",)], ["sitemap_url"]
+    )
+    entries = ingest_sitemaps(urls)
+    got = {(r["loc"], r["priority"]) for r in entries.collect()}
+    entries.df_ordered_cache.unpersist()
+    # index (gz) expanded to us1; dead child dropped (NULL body);
+    # directly-advertised urlset parsed in pass one
+    assert got == {
+        ("http://f.example/a", 0.5),
+        ("http://f.example/b", 0.2),
+        ("http://f.example/c", 0.5),
+    }
