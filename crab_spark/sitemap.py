@@ -254,3 +254,67 @@ def sitemap_seeds(entries: DataFrame, type_id: int) -> DataFrame:
         .distinct()
         .select("url", F.lit(int(type_id)).cast("int").alias("type_id"))
     )
+
+
+def sitemap_refresh(store, entries: DataFrame) -> int:
+    """Sitemap-driven recrawl: re-queue every FETCHED page whose
+    sitemap ``lastmod`` advanced since the last refresh; returns the
+    re-queued count.
+
+    The fetched log is deliberately wall-clock-free (epochs only — the
+    determinism contract), so freshness is a SNAPSHOT DIFF, not a
+    clock comparison: the ``sitemap_lastmod`` table records each URL's
+    lastmod as of the previous refresh, and a URL re-queues iff its
+    current lastmod is strictly newer than its recorded one — immune
+    to clock skew between the crawl host and the sitemap publisher,
+    and idempotent (running twice on the same sitemap state re-queues
+    nothing the second time, because the snapshot advanced). The first
+    refresh only seeds the snapshot. Entries without a parseable
+    lastmod never re-queue (no signal ≠ stale — ``recrawl_older_than``
+    is the TTL policy for those).
+
+    Scale shape: canonicalize (the one Arrow crossing, same UDF as
+    register) → groupBy(url).max(lastmod) — map-combinable over the
+    ≤50k-entry sitemap explodes — then one join against the snapshot
+    on url_hash and the fetched-log anti-join rewrite that
+    ``reset_pages`` already is. Nothing here touches the frontier
+    table. NEW urls are the seeding path's job (``sitemap_seeds``),
+    not refresh's."""
+    from .frontier import reset_pages
+    from .urlnorm import canonicalize_udf, with_url_hash
+
+    cur = (
+        entries.select(
+            canonicalize_udf(F.col("loc")).alias("url"), "lastmod_ts"
+        )
+        .where(F.col("url").isNotNull() & F.col("lastmod_ts").isNotNull())
+        .groupBy("url")
+        .agg(F.max("lastmod_ts").alias("lastmod_ts"))
+        .select(with_url_hash().alias("url_hash"), "url", "lastmod_ts")
+    )
+    n = 0
+    if store.exists("sitemap_lastmod"):
+        prev = store.read("sitemap_lastmod").select(
+            "url_hash", "url", F.col("lastmod_ts").alias("prev_ts")
+        )
+        changed = (
+            cur.join(prev, ["url_hash", "url"])
+            .where(F.col("lastmod_ts") > F.col("prev_ts"))
+            .select("url_hash", "url")
+        )
+        if store.exists("fetched"):
+            # count only pages that were actually downloaded — a
+            # pending or robots-skipped page has nothing to re-queue
+            stale = changed.join(
+                store.read("fetched")
+                .where(F.col("reason") == "fetched")
+                .select("url_hash", "url"),
+                ["url_hash", "url"],
+                "left_semi",
+            ).cache()  # count + reset both consume it
+            n = stale.count()
+            if n:
+                reset_pages(store, stale)
+            stale.unpersist()
+    store.overwrite("sitemap_lastmod", cur, tag="sitemap-refresh")
+    return n

@@ -277,3 +277,52 @@ def test_ingest_sitemaps_two_pass_file_urls(spark, tmp_path):
         ("http://f.example/b", 0.2),
         ("http://f.example/c", 0.5),
     }
+
+
+# ---------------------------------------------------------------------------
+# sitemap-driven recrawl (lastmod snapshot diff)
+# ---------------------------------------------------------------------------
+
+
+def _urlset(rows) -> str:
+    """rows: [(loc, lastmod-or-None), ...] -> urlset body."""
+    items = []
+    for loc, lm in rows:
+        lmx = f"<lastmod>{lm}</lastmod>" if lm else ""
+        items.append(f"<url><loc>{loc}</loc>{lmx}</url>")
+    return f'<urlset xmlns="{_NS}">' + "".join(items) + "</urlset>"
+
+
+def test_sitemap_refresh_requeues_on_lastmod_advance(spark, store):
+    from crab_spark.frontier import mark_fetched
+    from crab_spark.sitemap import sitemap_refresh
+
+    a, b, c = (f"http://r.example/{x}" for x in "abc")
+    v1 = _urlset([(a, "2026-01-01"), (b, "2026-01-02"), (c, None)])
+    e1 = sitemap_entries(_bodies(spark, [("http://r.example/sm.xml", v1)]))
+    assert seed_frontier(store, sitemap_seeds(e1, type_id=1)) == 3
+    frontier = store.read("frontier")
+    mark_fetched(
+        store,
+        frontier.where(F.col("url").isin(a, b)).select("url_hash", "url", "depth"),
+        epoch=1,
+    )
+
+    # first refresh only seeds the snapshot; repeat on same state = 0
+    assert sitemap_refresh(store, e1) == 0
+    assert sitemap_refresh(store, e1) == 0
+    assert {r["url"] for r in store.read("fetched").collect()} == {a, b}
+
+    # v2: a advanced, b unchanged, c gains a first lastmod (no baseline
+    # -> no signal), d is brand new (seeding path's job, not refresh's)
+    v2 = _urlset(
+        [(a, "2026-02-01"), (b, "2026-01-02"), (c, "2026-03-01"),
+         ("http://r.example/d", "2026-03-01")]
+    )
+    e2 = sitemap_entries(_bodies(spark, [("http://r.example/sm.xml", v2)]))
+    assert sitemap_refresh(store, e2) == 1
+    # only a was re-queued: its completion row is gone, b's remains
+    assert {r["url"] for r in store.read("fetched").collect()} == {b}
+    # idempotent: the snapshot advanced with the reset
+    assert sitemap_refresh(store, e2) == 0
+    assert {r["url"] for r in store.read("fetched").collect()} == {b}
