@@ -116,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("new").add_argument("dir")
     p = sub.add_parser("register"); p.add_argument("url"); p.add_argument("type_id", type=int)
+    # beyond the reference: bulk-register from a sitemap / sitemap index
+    # (gzip-aware fetch, one index level), optionally re-queueing fetched
+    # pages whose <lastmod> advanced since the recorded snapshot
+    p = sub.add_parser("sitemap"); p.add_argument("url"); p.add_argument("type_id", type=int)
+    p.add_argument("--refresh", action="store_true",
+                   help="also re-queue fetched pages whose lastmod advanced")
     p = sub.add_parser("run-crawler")
     p.add_argument("--navigate", action="store_true")
     p.add_argument("--batch", type=int, default=None)
@@ -173,6 +179,19 @@ def main(argv: list[str] | None = None) -> int:
 
         n = seed_frontier(store, local_df(spark, [(args.url, args.type_id)], SEEDS))
         print(f"registered {n} page(s)")
+    elif args.cmd == "sitemap":
+        from .frontier import seed_frontier
+        from .sitemap import ingest_sitemaps, sitemap_refresh, sitemap_seeds
+
+        entries = ingest_sitemaps(
+            spark.createDataFrame([(args.url,)], ["sitemap_url"])
+        )
+        n = seed_frontier(store, sitemap_seeds(entries, args.type_id))
+        line = f"registered {n} page(s) from sitemap"
+        if args.refresh:
+            line += f"; re-queued {sitemap_refresh(store, entries)}"
+        entries.df_ordered_cache.unpersist()
+        print(line)
     elif args.cmd == "run-crawler":
         from .crawler import CorpusFetcher, HttpFetcher, crawl
 

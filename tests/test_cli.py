@@ -166,3 +166,37 @@ def test_export_table_arbitrary_column_names(spark):
     assert got == {"d1": ("9", "2"), "d2": ("7", "")}
     csv = to_csv_string(wide, ["price.usd", "qty"])
     assert csv == "price.usd,qty\n9,2\n7,\n"
+
+
+def test_cli_sitemap_seed_and_refresh(spark, tmp_path, capsys):
+    """`crab_spark sitemap <url> <type>`: bulk-register from a sitemap
+    file, then --refresh re-queues on a lastmod advance (snapshot diff)."""
+    ws = tmp_path / "smws"
+    assert main(["new", str(ws)]) == 0
+    C.corpus_df(spark, 4).write.parquet(str(ws / "corpus.parquet"))
+    cfg = json.loads((ws / "crab_spark.json").read_text())
+    cfg["crawler"]["corpus_parquet"] = "corpus.parquet"
+    (ws / "crab_spark.json").write_text(json.dumps(cfg))
+    (ws / "parser_example.py").unlink()
+    (ws / "parser_listing.py").write_text(LISTING_PARSER)
+    (ws / "parser_data.py").write_text(DATA_PARSER)
+
+    def sm(lastmod):
+        p = ws / "sm.xml"
+        p.write_text(
+            "<urlset><url><loc>%s</loc><lastmod>%s</lastmod></url></urlset>"
+            % (C.page_url(1), lastmod)
+        )
+        return f"file://{p}"
+
+    out = _run(capsys, ["--workdir", str(ws), "sitemap", sm("2026-01-01"), "1"])
+    assert "registered 1 page(s) from sitemap" in out
+    assert main(["--workdir", str(ws), "run-crawler"]) == 0
+    # baseline refresh: snapshot recorded, nothing re-queued
+    out = _run(capsys, ["--workdir", str(ws), "sitemap", sm("2026-01-01"), "1",
+                        "--refresh"])
+    assert "registered 0 page(s) from sitemap; re-queued 0" in out
+    # lastmod advance: already-registered (0 new) but 1 re-queued
+    out = _run(capsys, ["--workdir", str(ws), "sitemap", sm("2026-02-01"), "1",
+                        "--refresh"])
+    assert "registered 0 page(s) from sitemap; re-queued 1" in out
