@@ -52,14 +52,22 @@ def _tag_text(block: Column, tag: str) -> Column:
     """Inner text of ``<tag>…</tag>`` within a block ('' if absent),
     trimmed, CDATA honored verbatim, XML named entities unescaped
     otherwise (&amp; LAST so '&amp;lt;' round-trips to the literal
-    '&lt;' — the single-pass unescape order)."""
-    raw = F.trim(
-        F.regexp_extract(
-            block,
-            rf"(?is)<(?:\w+:)?{tag}[^>]*>(.*?)</(?:\w+:)?{tag}\s*>",
-            1,
-        )
+    '&lt;' — the single-pass unescape order).
+
+    Tag-name matching is boundary-correct (``(?:\\s[^>]*)?>`` — a
+    ``<locale>`` decoy can never open a ``loc`` span) and the PLAIN
+    form is preferred over a namespace-prefixed one: sitemap extension
+    tags live inside ``<url>`` blocks under their own prefix
+    (``<image:loc>``, Google image/video/news extensions), so a
+    prefixed match is only trusted when the block has no plain tag at
+    all (the fully-prefixed-sitemap case)."""
+    plain = F.regexp_extract(
+        block, rf"(?is)<{tag}(?:\s[^>]*)?>(.*?)</{tag}\s*>", 1
     )
+    prefixed = F.regexp_extract(
+        block, rf"(?is)<\w+:{tag}(?:\s[^>]*)?>(.*?)</\w+:{tag}\s*>", 1
+    )
+    raw = F.trim(F.when(plain != "", plain).otherwise(prefixed))
     cdata = F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1)
     is_cdata = raw.rlike(r"(?s)^<!\[CDATA\[.*\]\]>$")
     unescaped = raw

@@ -326,3 +326,35 @@ def test_sitemap_refresh_requeues_on_lastmod_advance(spark, store):
     # idempotent: the snapshot advanced with the reset
     assert sitemap_refresh(store, e2) == 0
     assert {r["url"] for r in store.read("fetched").collect()} == {b}
+
+
+def test_extension_tags_do_not_shadow_loc(spark):
+    """Google image/video extension tags live INSIDE <url> blocks under
+    their own prefix: <image:loc> must never win over the page <loc>,
+    in either order; decoy tags sharing a name prefix (<locale>) must
+    not open a loc span."""
+    body = f"""<urlset xmlns="{_NS}" xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">
+  <url>
+    <image:image><image:loc>http://x.example/img1.jpg</image:loc></image:image>
+    <loc>http://x.example/page1</loc>
+  </url>
+  <url>
+    <loc>http://x.example/page2</loc>
+    <image:image><image:loc>http://x.example/img2.jpg</image:loc></image:image>
+  </url>
+  <url>
+    <locale>en-US</locale>
+    <loc>http://x.example/page3</loc>
+  </url>
+</urlset>"""
+    got = sorted(
+        r["loc"]
+        for r in sitemap_entries(
+            _bodies(spark, [("http://x.example/sm.xml", body)])
+        ).collect()
+    )
+    assert got == [
+        "http://x.example/page1",
+        "http://x.example/page2",
+        "http://x.example/page3",
+    ]
