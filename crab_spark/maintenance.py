@@ -29,14 +29,17 @@ from .frontier import register, reset_pages
 from .parsers import ParserRegistry
 from .store import TableStore
 from .urlnorm import absolutize_udf
-from .util import ordered_index
+from .util import latest_documents, ordered_index
 
 
 def _downloaded_docs(store: TableStore) -> DataFrame:
     """documents ⋈ frontier → (doc_id, type_id, depth, spans) for all
     downloaded pages (the reference's read_downloaded_pages cursor,
-    storage.rs:170-177, as a plain join)."""
-    docs = store.read("documents")
+    storage.rs:170-177, as a plain join). Goes through
+    ``latest_documents`` so a re-fetched page (TTL recrawl, sitemap
+    refresh, reset) contributes its NEWEST version once — the
+    reference's content-replaced semantics over the append-only log."""
+    docs = latest_documents(store.read("documents"))
     meta = store.read("frontier").select(
         F.col("url").alias("doc_id"), "type_id", "depth", "url_hash"
     )

@@ -64,9 +64,15 @@ def page_row(store: TableStore, url: str) -> DataFrame:
 
 
 def dump_content(store: TableStore, url: str) -> DataFrame:
-    """Raw span content of one page (`crab dump <id>`)."""
-    return _table_or_empty(store, "documents", DOCUMENTS).filter(
-        F.col("doc_id") == url
+    """Raw span content of one page (`crab dump <id>`) — the NEWEST
+    version if the page was re-fetched (latest_documents; the filter
+    lands before the version agg, so this scans one doc_id's rows)."""
+    from .util import latest_documents
+
+    return latest_documents(
+        _table_or_empty(store, "documents", DOCUMENTS).filter(
+            F.col("doc_id") == url
+        )
     ).select("spans")
 
 

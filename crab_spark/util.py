@@ -77,3 +77,26 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: T.StructType) -> Da
     """
     pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
     return spark.createDataFrame(pdf, schema=schema)
+
+
+def latest_documents(docs: DataFrame) -> DataFrame:
+    """One row per doc_id: the newest ``fetched_epoch`` version.
+
+    The documents table is append-only — a recrawl (TTL sweep,
+    ``sitemap_refresh``, per-page reset) appends a FRESH row for the
+    re-fetched page rather than updating in place, because a reset
+    can't atomically rewrite two tables (the fetched log is the commit
+    point; a documents rewrite beside it would open a crash window
+    where content is gone but status still says Downloaded). Readers
+    go through this view to get the reference's content-REPLACED
+    semantics (storage.rs UPDATE pages SET content): latest version
+    wins, older versions stay as lineage until compaction policy says
+    otherwise.
+
+    Shape: map-combinable groupBy(doc_id).max + semi join-back — the
+    skew-splittable first-wins pattern (operators/dedup.py), never a
+    global window; payload (spans) columns are never shuffled."""
+    latest = docs.groupBy("doc_id").agg(
+        F.max("fetched_epoch").alias("fetched_epoch")
+    )
+    return docs.join(latest, ["doc_id", "fetched_epoch"], "left_semi")

@@ -256,3 +256,47 @@ def test_validate_sweep_matches_mirror_random_subset(spark, tmp_path):
         assert n_bad == len(bad), f"trial {trial}"
         got_pending = {r["url"] for r in pending(store).collect()}
         assert got_pending == {C.page_url(p) for p in bad}, f"trial {trial}"
+
+
+def test_refetch_single_visible_document_version(spark, store):
+    """A re-fetched page appends a SECOND documents row (append-only
+    log, no two-table atomic rewrite) — every reader must see exactly
+    ONE version, the newest (the reference's content-replaced
+    semantics, storage.rs UPDATE pages)."""
+    from crab_spark.frontier import reset_pages
+    from crab_spark.maintenance import _downloaded_docs
+    from crab_spark.report import dump_content
+    from crab_spark.util import latest_documents
+
+    registry = load_registry([parser_listing, parser_data])
+    seed_frontier(
+        store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS)
+    )
+    crawl(store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10)
+    url = C.page_url(1)
+    first = store.read("documents").where(F.col("doc_id") == url).collect()
+    assert len(first) == 1
+
+    reset_pages(
+        store,
+        store.read("frontier").where(F.col("url") == url).select("url_hash"),
+    )
+    crawl(store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10)
+
+    # the log keeps both versions (lineage), readers see only the newest
+    raw = store.read("documents").where(F.col("doc_id") == url)
+    assert raw.count() == 2
+    vis = latest_documents(store.read("documents")).where(
+        F.col("doc_id") == url
+    ).collect()
+    assert len(vis) == 1
+    assert vis[0]["fetched_epoch"] == max(r["fetched_epoch"] for r in raw.collect())
+    assert vis[0]["spans"] == first[0]["spans"]  # deterministic corpus content
+
+    # reader choke points: one row per doc everywhere
+    dd = _downloaded_docs(store)
+    assert dd.where(F.col("doc_id") == url).count() == 1
+    assert dd.count() == dd.select("doc_id").distinct().count()
+    assert dump_content(store, url).count() == 1
+    # navigate-all over the doubled log registers nothing new
+    assert navigate_all(store, registry) == 0
