@@ -176,3 +176,26 @@ def validate_sweep(
         reset_pages(store, invalid)
     invalid.unpersist()
     return n
+
+
+def prune_document_versions(store: TableStore) -> int:
+    """Drop superseded document versions — keep the newest
+    ``fetched_epoch`` row per doc_id (the Iceberg
+    ``rewrite_data_files`` + ``expire_snapshots`` analogue for the
+    append-only documents log). ``util.latest_documents`` already gives
+    every reader content-replaced semantics without this; pruning only
+    bounds storage after heavy recrawl churn (TTL sweeps / sitemap
+    refresh loops re-fetching the same pages). Returns rows removed.
+
+    ``keep_history=True`` records the collapsed ``docs-*`` tags so a
+    crash-window replay of the last epoch's docs append no-ops instead
+    of re-duplicating rows the prune already folded (the fetched-log
+    in-crawl compaction discipline, crawler.py)."""
+    if not store.exists("documents"):
+        return 0
+    docs = store.read("documents")
+    keep = latest_documents(docs)
+    n_drop = docs.count() - keep.count()
+    if n_drop:
+        store.overwrite("documents", keep, tag="prune", keep_history=True)
+    return n_drop

@@ -300,3 +300,41 @@ def test_refetch_single_visible_document_version(spark, store):
     assert dump_content(store, url).count() == 1
     # navigate-all over the doubled log registers nothing new
     assert navigate_all(store, registry) == 0
+
+
+def test_prune_document_versions(spark, store):
+    """Superseded versions fold away; visible content and resume
+    semantics are untouched."""
+    from crab_spark.frontier import reset_pages
+    from crab_spark.maintenance import prune_document_versions
+    from crab_spark.util import latest_documents
+
+    registry = load_registry([parser_listing, parser_data])
+    seed_frontier(
+        store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS)
+    )
+    crawl(store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10)
+    url = C.page_url(1)
+    reset_pages(
+        store,
+        store.read("frontier").where(F.col("url") == url).select("url_hash"),
+    )
+    crawl(store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10)
+    before = {
+        r["doc_id"]: r["spans"]
+        for r in latest_documents(store.read("documents")).collect()
+    }
+    assert store.read("documents").count() == len(before) + 1  # one superseded
+
+    assert prune_document_versions(store) == 1
+    assert store.read("documents").count() == len(before)
+    after = {
+        r["doc_id"]: r["spans"] for r in store.read("documents").collect()
+    }
+    assert after == before  # visible content identical
+    assert prune_document_versions(store) == 0  # idempotent
+    # resume unaffected: nothing pending, a follow-up crawl no-ops
+    stats = crawl(
+        store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10
+    )
+    assert stats.requests == 0
