@@ -326,3 +326,55 @@ def sitemap_refresh(store, entries: DataFrame) -> int:
             stale.unpersist()
     store.overwrite("sitemap_lastmod", cur, tag="sitemap-refresh")
     return n
+
+
+def recrawl_by_changefreq(
+    store, entries: DataFrame, freq_epochs: dict[str, int]
+) -> int:
+    """Per-page TTL recrawl driven by sitemap ``<changefreq>`` hints —
+    the page-granular sibling of ``maintenance.recrawl_older_than``'s
+    one-global-age policy. ``freq_epochs`` maps changefreq values to a
+    max age in EPOCHS (the store's only clock — the fetched log is
+    wall-clock-free by the determinism contract), e.g. ``{"hourly": 1,
+    "daily": 2, "weekly": 8}``; a fetched page re-queues when
+    ``epoch <= max(epoch) - freq_epochs[its hint]``. Unknown/absent
+    changefreq = no hint = never re-queued here (``recrawl_older_than``
+    is the catch-all). Duplicate hints for one URL take the most
+    eager (min age). Returns the re-queued count; a second call finds
+    the reset rows gone from the fetched log, so it is naturally
+    idempotent.
+
+    Scale shape: the hint map is a literal ``create_map`` (codegen),
+    hints aggregate map-combinably per URL, and the only join is
+    fetched ⋈ hints on (url_hash, url) — sitemap-entry scale, never a
+    frontier scan."""
+    from .frontier import reset_pages
+    from .urlnorm import canonicalize_udf, with_url_hash
+
+    if not store.exists("fetched") or not freq_epochs:
+        return 0
+    kv: list[Column] = []
+    for k, v in freq_epochs.items():
+        kv += [F.lit(str(k).lower()), F.lit(int(v))]
+    age = F.create_map(*kv)[F.lower(F.col("changefreq"))]
+    hints = (
+        entries.where(F.col("changefreq").isNotNull())
+        .select(canonicalize_udf(F.col("loc")).alias("url"), age.alias("age"))
+        .where(F.col("url").isNotNull() & F.col("age").isNotNull())
+        .groupBy("url")
+        .agg(F.min("age").alias("age"))
+        .select(with_url_hash().alias("url_hash"), "url", "age")
+    )
+    fetched = store.read("fetched")
+    cur = fetched.agg(F.max("epoch")).collect()[0][0] or 0
+    stale = (
+        fetched.where(F.col("reason") == "fetched")
+        .join(hints, ["url_hash", "url"])
+        .where(F.col("epoch") <= F.lit(cur) - F.col("age"))
+        .select("url_hash", "url")
+    ).cache()  # count + reset both consume it
+    n = stale.count()
+    if n:
+        reset_pages(store, stale)
+    stale.unpersist()
+    return n

@@ -358,3 +358,60 @@ def test_extension_tags_do_not_shadow_loc(spark):
         "http://x.example/page2",
         "http://x.example/page3",
     ]
+
+
+def test_recrawl_by_changefreq(spark, store):
+    """Per-page TTL from <changefreq> hints: ages are in epochs against
+    the fetched log's max epoch; unhinted/unknown pages never re-queue;
+    most-eager hint wins on duplicates; idempotent after the reset."""
+    from crab_spark import corpus as C
+    from crab_spark.crawler import CorpusFetcher, crawl
+    from crab_spark.parsers import load_registry
+    from crab_spark.parsers import data as pd_
+    from crab_spark.parsers import listing as pl_
+    from crab_spark.schemas import SEEDS
+    from crab_spark.sitemap import recrawl_by_changefreq
+
+    registry = load_registry([pl_, pd_])
+    seed_frontier(
+        store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS)
+    )
+    crawl(store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10)
+    fetched = {
+        r["url"]: r["epoch"] for r in store.read("fetched").collect()
+    }
+    cur = max(fetched.values())
+    assert fetched[C.page_url(1)] < cur  # page 1 fetched in epoch 1
+
+    fresh_data = next(u for u, e in fetched.items() if e == cur)
+    body = _urlset(
+        [(C.page_url(1), None), (fresh_data, None), (fresh_data, None)]
+    ).replace(
+        f"<url><loc>{C.page_url(1)}</loc></url>",
+        f"<url><loc>{C.page_url(1)}</loc><changefreq>Daily</changefreq></url>",
+    ).replace(
+        f"<url><loc>{fresh_data}</loc></url>",
+        f"<url><loc>{fresh_data}</loc><changefreq>daily</changefreq></url>",
+        1,
+    ).replace(
+        f"<url><loc>{fresh_data}</loc></url>",
+        f"<url><loc>{fresh_data}</loc><changefreq>yearly</changefreq></url>",
+        1,
+    )
+    entries = sitemap_entries(_bodies(spark, [("sm", body)]))
+    freq = {"daily": cur - fetched[C.page_url(1)], "yearly": 100}
+    # page 1 is exactly at its daily age bound -> re-queued; the fresh
+    # data page's most-eager hint (daily, age cur-cur=0 < bound) keeps
+    # it... epoch == cur > cur - daily_age, so it stays; every unhinted
+    # page stays
+    n = recrawl_by_changefreq(store, entries, freq)
+    assert n == 1
+    assert C.page_url(1) not in {
+        r["url"] for r in store.read("fetched").collect()
+    }
+    assert recrawl_by_changefreq(store, entries, freq) == 0  # idempotent
+    # the re-queued page re-fetches alone
+    stats = crawl(
+        store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10
+    )
+    assert stats.requests == 1
