@@ -301,6 +301,7 @@ def sitemap_refresh(store, entries: DataFrame) -> int:
         .select(with_url_hash().alias("url_hash"), "url", "lastmod_ts")
     )
     n = 0
+    snap = cur
     if store.exists("sitemap_lastmod"):
         prev = store.read("sitemap_lastmod").select(
             "url_hash", "url", F.col("lastmod_ts").alias("prev_ts")
@@ -324,7 +325,36 @@ def sitemap_refresh(store, entries: DataFrame) -> int:
             if n:
                 reset_pages(store, stale)
             stale.unpersist()
-    store.overwrite("sitemap_lastmod", cur, tag="sitemap-refresh")
+        # MERGE the snapshot, never replace it: a refresh legitimately
+        # covers a SUBSET of hosts (one host's sitemap poll), and a
+        # plain overwrite-with-current would wipe every other URL's
+        # baseline — their next lastmod observation would look
+        # first-seen and never re-queue. Matched rows keep the NEWEST
+        # baseline (greatest: a publisher moving lastmod BACKWARDS is
+        # noise, not freshness — monotone baselines keep the diff
+        # idempotent); unmatched previous rows carry over verbatim.
+        # Row-level MERGE on Iceberg; a rewrite here (snapshot is
+        # O(known URLs), tiny next to content).
+        snap = (
+            cur.join(prev, ["url_hash", "url"], "left")
+            .select(
+                "url_hash",
+                "url",
+                F.greatest(
+                    F.col("lastmod_ts"), F.coalesce("prev_ts", "lastmod_ts")
+                ).alias("lastmod_ts"),
+            )
+            .unionByName(
+                prev.join(
+                    cur.select("url_hash", "url"),
+                    ["url_hash", "url"],
+                    "left_anti",
+                ).select(
+                    "url_hash", "url", F.col("prev_ts").alias("lastmod_ts")
+                )
+            )
+        )
+    store.overwrite("sitemap_lastmod", snap, tag="sitemap-refresh")
     return n
 
 

@@ -415,3 +415,53 @@ def test_recrawl_by_changefreq(spark, store):
         store, CorpusFetcher(C.corpus_df(spark, 4)), registry, batch_size=10
     )
     assert stats.requests == 1
+
+
+def test_sitemap_refresh_merges_partial_snapshots(spark, store):
+    """A refresh covering a SUBSET of URLs must not wipe the other
+    baselines (per-host sitemap polls are the normal case), and a
+    publisher moving lastmod BACKWARDS must not erode a baseline."""
+    from crab_spark.frontier import mark_fetched
+    from crab_spark.sitemap import sitemap_refresh
+
+    a, b = "http://m.example/a", "http://m.example/b"
+    both = _urlset([(a, "2026-01-01"), (b, "2026-01-01")])
+    e_both = sitemap_entries(_bodies(spark, [("sm", both)]))
+    assert seed_frontier(store, sitemap_seeds(e_both, type_id=1)) == 2
+    frontier = store.read("frontier")
+    mark_fetched(
+        store, frontier.select("url_hash", "url", "depth"), epoch=1
+    )
+    assert sitemap_refresh(store, e_both) == 0  # baseline for a AND b
+
+    # partial poll: only a, unchanged — b's baseline must survive
+    e_a = sitemap_entries(
+        _bodies(spark, [("sm", _urlset([(a, "2026-01-01")]))])
+    )
+    assert sitemap_refresh(store, e_a) == 0
+    # b advances in a later full poll: requeued iff its baseline survived
+    e_b2 = sitemap_entries(
+        _bodies(spark, [("sm", _urlset([(b, "2026-02-01")]))])
+    )
+    assert sitemap_refresh(store, e_b2) == 1
+    assert {r["url"] for r in store.read("fetched").collect()} == {a}
+
+    # backwards lastmod is noise: baseline stays at its max, so
+    # re-advancing to a value under the max does not requeue
+    mark_fetched(
+        store,
+        frontier.where(F.col("url") == b).select("url_hash", "url", "depth"),
+        epoch=2,
+    )
+    e_b_old = sitemap_entries(
+        _bodies(spark, [("sm", _urlset([(b, "2026-01-15")]))])
+    )
+    assert sitemap_refresh(store, e_b_old) == 0
+    e_b_mid = sitemap_entries(
+        _bodies(spark, [("sm", _urlset([(b, "2026-01-20")]))])
+    )
+    assert sitemap_refresh(store, e_b_mid) == 0  # still under the 02-01 max
+    e_b3 = sitemap_entries(
+        _bodies(spark, [("sm", _urlset([(b, "2026-03-01")]))])
+    )
+    assert sitemap_refresh(store, e_b3) == 1  # past the max -> requeue
