@@ -190,7 +190,8 @@ def main(argv: list[str] | None = None) -> int:
         line = f"registered {n} page(s) from sitemap"
         if args.refresh:
             line += f"; re-queued {sitemap_refresh(store, entries)}"
-        entries.df_ordered_cache.unpersist()
+        for c in entries.df_pipeline_caches:
+            c.unpersist()
         print(line)
     elif args.cmd == "run-crawler":
         from .crawler import CorpusFetcher, HttpFetcher, crawl

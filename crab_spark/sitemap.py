@@ -233,11 +233,14 @@ def ingest_sitemaps(
     ``<url>`` blocks and urlsets no ``<sitemap>`` blocks, so the union
     double-counts nothing.
 
-    The first-pass bodies feed BOTH the index expansion and the final
-    parse, so they are cached — without it the multi-consumer
-    re-execution rule would re-FETCH every advertised sitemap on the
-    second consumer. ``df_ordered_cache`` on the result is the
-    caller-unpersist handle (repo convention)."""
+    Caching (the multi-consumer re-FETCH trap, twice over): the
+    first-pass bodies feed BOTH the index expansion and the final
+    parse, and the returned entries frame typically feeds BOTH seeding
+    and a refresh (the CLI's ``sitemap --refresh``) — so the first-pass
+    bodies AND the parsed entries are cached; without the latter every
+    consumer of the result would re-GET all child sitemaps through the
+    uncached second pass. ``df_pipeline_caches`` on the result is the
+    caller-unpersist handle (the corpus_build convention)."""
     first = fetch_sitemap_bodies(
         sitemap_urls, url_col=url_col, timeout=timeout
     ).cache()
@@ -245,8 +248,8 @@ def ingest_sitemaps(
         F.col("child_url").alias("url")
     )
     second = fetch_sitemap_bodies(kids, timeout=timeout)
-    out = sitemap_entries(first.unionByName(second))
-    out.df_ordered_cache = first
+    out = sitemap_entries(first.unionByName(second)).cache()
+    out.df_pipeline_caches = [first, out]
     return out
 
 

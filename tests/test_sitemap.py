@@ -269,7 +269,8 @@ def test_ingest_sitemaps_two_pass_file_urls(spark, tmp_path):
     )
     entries = ingest_sitemaps(urls)
     got = {(r["loc"], r["priority"]) for r in entries.collect()}
-    entries.df_ordered_cache.unpersist()
+    for c in entries.df_pipeline_caches:
+        c.unpersist()
     # index (gz) expanded to us1; dead child dropped (NULL body);
     # directly-advertised urlset parsed in pass one
     assert got == {
