@@ -361,6 +361,53 @@ def sitemap_refresh(store, entries: DataFrame) -> int:
     return n
 
 
+def bootstrap_from_robots(
+    store,
+    hosts: DataFrame,
+    type_id: int,
+    scheme: str = "http",
+    timeout: float = 5.0,
+    refresh: bool = False,
+) -> dict:
+    """One-call frontier bootstrap from a host list — the full
+    discovery chain a production crawl starts with:
+
+        hosts → GET robots.txt (``robots.fetch_robots_http``) →
+        ``Sitemap:`` discovery → two-pass ingest (index expansion,
+        gzip) → ``seed_frontier`` [→ lastmod snapshot refresh]
+
+    Returns ``{"hosts": H, "sitemaps": S, "entries": E, "seeded": N,
+    "requeued": R}`` (R only when ``refresh=True``). Hosts without a
+    robots.txt or without ``Sitemap:`` lines simply contribute nothing
+    — bootstrap is additive and idempotent (register's anti-join +
+    the monotone snapshot merge), so it can run on every crawl cycle.
+
+    Scale shape: every stage is the already-audited plan of its
+    operator; the only news here is the composition, and the two
+    multi-consumer frames (robots bodies feed discovery only; entries
+    feed seeding + optional refresh) ride the ingest cache."""
+    from .frontier import seed_frontier
+    from .robots import fetch_robots_http
+
+    bodies = fetch_robots_http(hosts, scheme=scheme, timeout=timeout)
+    sm = sitemaps_from_robots(bodies).cache()  # counted + ingested
+    n_sm = sm.count()
+    out = {"hosts": hosts.select("host").distinct().count(), "sitemaps": n_sm}
+    if n_sm == 0:
+        sm.unpersist()
+        out.update({"entries": 0, "seeded": 0})
+        return out
+    entries = ingest_sitemaps(sm, url_col="sitemap_url", timeout=timeout)
+    out["entries"] = entries.count()
+    out["seeded"] = seed_frontier(store, sitemap_seeds(entries, type_id))
+    if refresh:
+        out["requeued"] = sitemap_refresh(store, entries)
+    for c in entries.df_pipeline_caches:
+        c.unpersist()
+    sm.unpersist()
+    return out
+
+
 def recrawl_by_changefreq(
     store, entries: DataFrame, freq_epochs: dict[str, int]
 ) -> int:

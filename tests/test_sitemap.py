@@ -466,3 +466,55 @@ def test_sitemap_refresh_merges_partial_snapshots(spark, store):
         _bodies(spark, [("sm", _urlset([(b, "2026-03-01")]))])
     )
     assert sitemap_refresh(store, e_b3) == 1  # past the max -> requeue
+
+
+# ---------------------------------------------------------------------------
+# one-call bootstrap: hosts -> robots -> discovery -> ingest -> seeds
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_from_robots_file_scheme(spark, store, tmp_path):
+    """The full discovery chain over file:// 'hosts' (fetch_robots_http
+    builds {scheme}://{host}/robots.txt, so a directory path works as a
+    host): robots advertises a gzipped index -> child urlset -> seeds.
+    A host with no robots.txt contributes nothing; re-running is
+    idempotent."""
+    import gzip
+
+    from crab_spark.sitemap import bootstrap_from_robots
+
+    h1 = tmp_path / "h1"
+    h1.mkdir()
+    us = h1 / "us.xml"
+    us.write_text(
+        f'<urlset xmlns="{_NS}">'
+        "<url><loc>http://b.example/a</loc><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>http://b.example/b</loc></url></urlset>"
+    )
+    (h1 / "idx.xml.gz").write_bytes(
+        gzip.compress(
+            (
+                f'<sitemapindex xmlns="{_NS}">'
+                f"<sitemap><loc>file://{us}</loc></sitemap></sitemapindex>"
+            ).encode()
+        )
+    )
+    (h1 / "robots.txt").write_text(
+        f"User-agent: *\nAllow: /\nSitemap: file://{h1}/idx.xml.gz\n"
+    )
+    h2 = tmp_path / "h2"  # no robots.txt at all
+    h2.mkdir()
+
+    hosts = spark.createDataFrame([(str(h1),), (str(h2),)], ["host"])
+    out = bootstrap_from_robots(store, hosts, type_id=1, scheme="file")
+    assert out == {"hosts": 2, "sitemaps": 1, "entries": 2, "seeded": 2}
+    urls = {r["url"] for r in store.read("frontier").select("url").collect()}
+    assert urls == {"http://b.example/a", "http://b.example/b"}
+
+    # idempotent + refresh path: snapshot seeds, nothing requeued
+    out2 = bootstrap_from_robots(
+        store, hosts, type_id=1, scheme="file", refresh=True
+    )
+    assert out2 == {
+        "hosts": 2, "sitemaps": 1, "entries": 2, "seeded": 0, "requeued": 0
+    }
