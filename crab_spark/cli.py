@@ -147,6 +147,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sort", type=str, default=None)
     p = sub.add_parser("vacuum")  # maintenance: expire unreferenced dirs
     p.add_argument("table")
+    # maintenance: read-only store consistency check (manifest/epoch/
+    # row/sidecar invariants the crash-resume contract relies on)
+    p = sub.add_parser("fsck")
+    p.add_argument("--no-sidecar", action="store_true",
+                   help="skip the seen-set sidecar probe sweep")
     p = sub.add_parser("dump"); p.add_argument("url")
     p = sub.add_parser("parse"); p.add_argument("url")
     p.add_argument("-n", "--columns", action="append", default=[])
@@ -293,6 +298,18 @@ def main(argv: list[str] | None = None) -> int:
         n = store.vacuum(args.table)
         print(f"vacuumed {n} unreferenced dir(s) of {args.table}" if n
               else f"{args.table}: nothing to vacuum")
+    elif args.cmd == "fsck":
+        from .fsck import fsck
+
+        findings = fsck(store, sidecar=not args.no_sidecar)
+        for f in findings:
+            print(f.line())
+        n_err = sum(1 for f in findings if f.level == "error")
+        if n_err:
+            print(f"fsck: {n_err} error(s), {len(findings) - n_err} other finding(s)")
+            return 1
+        print("fsck: clean" if not findings
+              else f"fsck: clean ({len(findings)} non-error finding(s))")
     elif args.cmd == "parsers":
         from .report import parser_report
 
