@@ -1,0 +1,180 @@
+"""Crawl-trap detection: URL-template explosion analysis over the frontier.
+
+At 10^10-URL scale the frontier's worst enemy is not volume but
+*generated* URL spaces — calendars (``/cal/2024/01/31``), session ids,
+faceted search — where one host manufactures unbounded distinct URLs
+under a handful of path shapes. The reference has no defense (its
+fixture graph is finite); a production frontier needs one, and the
+idiomatic Spark shape is an offline analysis pass, not per-dispatch
+bookkeeping:
+
+1. ``url_template`` — collapse each URL to its path *shape* (numeric /
+   id-like / token-like segments templated out, query reduced to its
+   sorted key set). Pure built-in codegen: split + transform + rlike +
+   array_join; no Python crossing.
+2. ``trap_report`` — ONE map-combinable groupBy (host, template) count
+   over the frontier, plus a host rollup; templates whose distinct-URL
+   count exceeds the cap are flagged. Output is tiny by construction
+   (only flagged shapes survive).
+3. ``trap_rules`` — flagged shapes re-expressed as robots-style
+   Disallow patterns (templated segments → ``*``) in the ROBOTS schema,
+   so the guard composes with the EXISTING dispatch gate
+   (crawler.crawl(robots=...)): trap URLs already registered resolve as
+   robots-skips and never dispatch, their children are never
+   discovered, and the crawl loop needs zero new code. ``merge_robots``
+   folds them into a real robots cache.
+
+The conversion to Disallow patterns deliberately over-blocks *within* a
+flagged shape (every URL of that shape is capped, including the few
+already useful) — that is the semantics of trap escape, and the report
+row carries the counts so an operator can whitelist via a robots Allow
+rule, which wins ties by RFC 9309 precedence (robots.rules_allow).
+
+A literal ``*``/``$`` inside a flagged URL's static segment would widen
+its emitted pattern (robots wildcards) — over-blocking only, never
+under-blocking; acceptable for a trap cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .schemas import ROBOTS
+
+# a segment is templated when it LOOKS generated: all digits, an
+# id-like hex/uuid run, or a long token — each requiring at least one
+# digit so plain words ("deadbeef", "configuration") stay literal
+_NUM = r"^[0-9]+$"
+_ID = r"^[0-9a-fA-F-]{8,}$"
+_TOKEN = r"^[A-Za-z0-9_=-]{16,}$"
+_HAS_DIGIT = r"[0-9]"
+
+
+def _template_segment(s: Column) -> Column:
+    return (
+        F.when(s.rlike(_NUM), F.lit("{n}"))
+        .when(s.rlike(_ID) & s.rlike(_HAS_DIGIT), F.lit("{id}"))
+        .when(s.rlike(_TOKEN) & s.rlike(_HAS_DIGIT), F.lit("{t}"))
+        .otherwise(s)
+    )
+
+
+def url_template(url: Column | str) -> Column:
+    """The URL's path shape: ``/cal/{n}/{n}?page,sort`` — templated path
+    segments plus the sorted distinct query KEY set (values dropped, so
+    session-id/offset churn collapses to one shape). Host is NOT part
+    of the template (callers group by the frontier's host column)."""
+    u = F.col(url) if isinstance(url, str) else url
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("/"))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    shaped = F.array_join(
+        F.transform(F.split(path, "/"), _template_segment), "/"
+    )
+    query = F.parse_url(u, F.lit("QUERY"))
+    keys = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.split(query, "&"), lambda kv: F.split_part(kv, F.lit("="), F.lit(1))
+                )
+            )
+        ),
+        ",",
+    )
+    return F.when(
+        query.isNull() | (query == ""), shaped
+    ).otherwise(F.concat(shaped, F.lit("?"), keys))
+
+
+def trap_report(frontier: DataFrame, max_urls_per_template: int = 1000,
+                url_col: str = "url", host_col: str = "host") -> DataFrame:
+    """Flag (host, template) shapes holding more registered URLs than
+    any hand-written site plausibly has. Returns
+    (host, template, n_urls, n_host_urls, host_share) for flagged
+    shapes only — tiny by construction (each row summarizes ≥ cap
+    URLs, so at most |frontier|/cap rows survive: broadcast-sized).
+
+    Scale shape: the frontier is scanned ONCE — one map-combinable
+    groupBy (host, template) count is its only row-grain shuffle; the
+    per-host rollup is a window sum over the already-aggregated shape
+    counts (template-grain rows, orders of magnitude fewer), not a
+    second frontier pass."""
+    from pyspark.sql import Window
+
+    shaped = frontier.select(
+        F.col(host_col).alias("host"),
+        url_template(url_col).alias("template"),
+    )
+    per_tpl = shaped.groupBy("host", "template").agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+    return (
+        per_tpl.withColumn(
+            "n_host_urls", F.sum("n_urls").over(Window.partitionBy("host"))
+        )
+        .filter(F.col("n_urls") > max_urls_per_template)
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            "n_host_urls",
+            F.round(F.col("n_urls") / F.col("n_host_urls"), 4).alias("host_share"),
+        )
+    )
+
+
+def _pattern_from_template(template: Column) -> Column:
+    """Robots Disallow pattern for a flagged shape: templated segments
+    become ``*`` wildcards; a query-key suffix becomes ``?*`` (the
+    robots match target is path?query, robots._match_target)."""
+    path = F.split_part(template, F.lit("?"), F.lit(1))
+    pat = F.regexp_replace(path, r"\{(n|id|t)\}", "*")
+    has_query = template.contains("?")
+    return F.when(has_query, F.concat(pat, F.lit("?*"))).otherwise(pat)
+
+
+def trap_rules(report: DataFrame, epoch: int = 0) -> DataFrame:
+    """Flagged shapes → ROBOTS-schema rows (one per host, Disallow
+    rules only, no crawl_delay) ready for crawler.crawl(robots=...) or
+    merge_robots. Deterministic rule order (sorted patterns)."""
+    return (
+        report.select(
+            "host", _pattern_from_template(F.col("template")).alias("pattern")
+        )
+        .distinct()
+        .groupBy("host")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_set("pattern")),
+                lambda p: F.struct(
+                    F.lit(False).alias("allow"), p.alias("pattern")
+                ),
+            ).alias("rules")
+        )
+        .select(
+            "host",
+            "rules",
+            F.lit(None).cast("double").alias("crawl_delay"),
+            F.lit(epoch).cast("int").alias("fetched_epoch"),
+        )
+    )
+
+
+def merge_robots(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two ROBOTS-schema caches into one row per host: rule lists
+    concatenated (RFC 9309 evaluates the merged group; longest-match
+    precedence makes order irrelevant), the most conservative
+    crawl_delay (max) and the newest fetched_epoch kept. Both inputs
+    are host-grain caches — tiny — so this is a trivially cheap agg."""
+    cols = [f.name for f in ROBOTS.fields]
+    return (
+        a.select(cols)
+        .unionByName(b.select(cols))
+        .groupBy("host")
+        .agg(
+            F.flatten(F.collect_list("rules")).alias("rules"),
+            F.max("crawl_delay").alias("crawl_delay"),
+            F.max("fetched_epoch").alias("fetched_epoch"),
+        )
+        .select(cols)
+    )

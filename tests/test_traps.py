@@ -1,0 +1,214 @@
+"""Crawl-trap detection: template shapes, the explosion report, the
+ROBOTS-schema rule emission, and the e2e guard through the existing
+dispatch gate. Includes a seeded-random cross-validation of the
+templating against a pure-Python mirror (the session-10 protocol)."""
+
+from __future__ import annotations
+
+import random
+from urllib.parse import urlsplit
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from crab_spark import corpus as C
+from crab_spark.crawler import CorpusFetcher, crawl
+from crab_spark.frontier import seed_frontier
+from crab_spark.parsers import load_registry
+from crab_spark.parsers import data as parser_data
+from crab_spark.parsers import listing as parser_listing
+from crab_spark.schemas import ROBOTS, SEEDS
+from crab_spark.traps import merge_robots, trap_report, trap_rules, url_template
+
+
+def _templates(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["t"] for r in
+            df.select(url_template("url").alias("t")).collect()]
+
+
+# -- template unit cases -------------------------------------------------------
+
+CASES = [
+    ("http://h.test/cal/2024/01/31", "/cal/{n}/{n}/{n}"),
+    ("http://h.test/page/7", "/page/{n}"),
+    ("http://h.test/docs/intro", "/docs/intro"),
+    ("http://h.test/", "/"),
+    ("http://h.test", "/"),
+    ("http://h.test/a/b/", "/a/b/"),
+    # id-like: hex/uuid runs need a digit; plain hex words stay literal
+    ("http://h.test/s/550e8400-e29b-41d4-a716-446655440000", "/s/{id}"),
+    ("http://h.test/s/deadbeef", "/s/deadbeef"),
+    # long tokens need a digit too
+    ("http://h.test/t/c2Vzc2lvbjEyMzQ1Njc4OTA=", "/t/{t}"),
+    ("http://h.test/t/configurationsetting", "/t/configurationsetting"),
+    # query → sorted distinct key set, values dropped
+    ("http://h.test/search?q=foo&page=2", "/search?page,q"),
+    ("http://h.test/search?page=9&q=bar", "/search?page,q"),
+    ("http://h.test/search?a=1&a=2", "/search?a"),
+    ("http://h.test/search?flag", "/search?flag"),
+]
+
+
+def test_template_planted_cases(spark):
+    got = _templates(spark, [u for u, _ in CASES])
+    assert got == [t for _, t in CASES]
+
+
+def test_template_random_mirror(spark):
+    """Seeded-random cross-validation vs a pure-Python mirror of the
+    templating spec (Spark split keeps trailing empties; query keys are
+    sorted distinct; {n}/{id}/{t} precedence in that order)."""
+    import re
+
+    def mirror(url: str) -> str:
+        parts = urlsplit(url)
+        path = parts.path or "/"
+        segs = []
+        for s in path.split("/"):
+            if re.fullmatch(r"[0-9]+", s):
+                segs.append("{n}")
+            elif re.fullmatch(r"[0-9a-fA-F-]{8,}", s) and re.search(r"[0-9]", s):
+                segs.append("{id}")
+            elif re.fullmatch(r"[A-Za-z0-9_=-]{16,}", s) and re.search(r"[0-9]", s):
+                segs.append("{t}")
+            else:
+                segs.append(s)
+        shaped = "/".join(segs)
+        if not parts.query:
+            return shaped
+        keys = sorted({kv.split("=")[0] for kv in parts.query.split("&")})
+        return shaped + "?" + ",".join(keys)
+
+    seg_pool = ["docs", "a", "item42", "2024", "7", "deadbeef", "beef1234",
+                "550e8400-e29b-41d4", "x" * 20, "tok3n" + "a" * 15, "intro",
+                "0", "UPPER", "mixed-Case_1"]
+    key_pool = ["q", "page", "sort", "session", "id"]
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        urls = []
+        for _ in range(80):
+            n = rng.randint(0, 4)
+            path = "/" + "/".join(rng.choice(seg_pool) for _ in range(n))
+            if rng.random() < 0.3:
+                path += "/"
+            url = f"http://h{rng.randint(1, 3)}.test{path}"
+            if rng.random() < 0.5:
+                ks = rng.sample(key_pool, rng.randint(1, 3))
+                url += "?" + "&".join(
+                    f"{k}={rng.randint(0, 99)}" if rng.random() < 0.8 else k
+                    for k in ks)
+            urls.append(url)
+        assert _templates(spark, urls) == [mirror(u) for u in urls]
+
+
+# -- report + rules -------------------------------------------------------------
+
+def _frontier_like(spark, rows):
+    return spark.createDataFrame(rows, "host string, url string")
+
+
+def test_trap_report_flags_exploding_shape(spark):
+    rows = [("cal.test", f"http://cal.test/cal/2024/{m:02d}/{d:02d}")
+            for m in range(1, 13) for d in range(1, 21)]          # 240 URLs, one shape
+    rows += [("cal.test", f"http://cal.test/about/{p}") for p in ("team", "jobs")]
+    rows += [("ok.test", f"http://ok.test/page/{i}") for i in range(30)]
+    rep = trap_report(_frontier_like(spark, rows), max_urls_per_template=100)
+    got = {(r["host"], r["template"]): (r["n_urls"], r["n_host_urls"],
+                                        float(r["host_share"]))
+           for r in rep.collect()}
+    assert got == {("cal.test", "/cal/{n}/{n}/{n}"): (240, 242, round(240 / 242, 4))}
+
+
+def test_trap_rules_schema_and_patterns(spark):
+    rows = [("s.test", f"http://s.test/view?session={i}&page={i % 3}")
+            for i in range(50)]
+    rows += [("s.test", f"http://s.test/cal/{i}") for i in range(50)]
+    rep = trap_report(_frontier_like(spark, rows), max_urls_per_template=10)
+    rules = trap_rules(rep, epoch=3)
+    # type-shape parity with the dispatch gate's cache schema
+    # (nullability flags differ on computed columns; the gate reads
+    # columns + types)
+    assert rules.schema.simpleString() == ROBOTS.simpleString()
+    row = rules.collect()[0]
+    assert row["host"] == "s.test" and row["fetched_epoch"] == 3
+    assert row["crawl_delay"] is None
+    pats = [(r["allow"], r["pattern"]) for r in row["rules"]]
+    assert pats == [(False, "/cal/*"), (False, "/view?*")]
+
+
+def test_merge_robots_concatenates_per_host(spark):
+    from crab_spark.robots import robots_table
+
+    base = robots_table(spark, {
+        "s.test": {"disallow": ["/private"], "crawl_delay": 2.0},
+        "other.test": {"disallow": ["/x"]},
+    }, epoch=1)
+    extra = spark.createDataFrame(
+        [("s.test", [(False, "/cal/*")], None, 5)], ROBOTS)
+    merged = {r["host"]: r for r in merge_robots(base, extra).collect()}
+    assert set(merged) == {"s.test", "other.test"}
+    s = merged["s.test"]
+    assert sorted((r["allow"], r["pattern"]) for r in s["rules"]) == [
+        (False, "/cal/*"), (False, "/private")]
+    assert s["crawl_delay"] == 2.0 and s["fetched_epoch"] == 5
+    assert merged["other.test"]["rules"][0]["pattern"] == "/x"
+
+
+# -- e2e: the guard rides the existing robots dispatch gate ---------------------
+
+def test_trap_guard_caps_dispatch_e2e(spark, store):
+    """Crawl the fixture graph ungated, flag /data/{n} as a trap from
+    the resulting frontier, then recrawl FRESH with the emitted rules:
+    data URLs occupy dequeue slots but never dispatch (robots-skips),
+    pages still crawl, and no data children are fetched."""
+    from crab_spark.store import TableStore
+
+    registry = load_registry([parser_listing, parser_data])
+    corpus_df = C.corpus_df(spark, 4)
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    stats = crawl(store, CorpusFetcher(corpus_df), registry, navigate=True,
+                  batch_size=10)
+    assert stats.requests == 33  # 3 pages + 30 data, fixture arithmetic
+
+    rep = trap_report(store.read("frontier"), max_urls_per_template=10)
+    flagged = rep.collect()
+    assert [(r["host"], r["template"], r["n_urls"]) for r in flagged] == [
+        (urlsplit(C.data_url(10)).hostname, "/data/{n}", 30)]
+    rules = trap_rules(rep)
+
+    store2 = TableStore(store.root.parent / "guarded", spark)
+    seed_frontier(store2, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    stats2 = crawl(store2, CorpusFetcher(corpus_df), registry, navigate=True,
+                   batch_size=10, robots=rules)
+    assert stats2.requests == 3          # pages only
+    assert stats2.robots_denied == 30    # every data URL capped
+    fetched = store2.read("fetched")
+    assert fetched.filter(F.col("reason") == "robots").count() == 30
+    assert fetched.filter(
+        (F.col("reason") == "fetched") & F.col("url").contains("/data/")
+    ).count() == 0
+    # the seen set still records the capped URLs (no re-registration
+    # churn): identical to the ungated crawl's URL set
+    assert (
+        {r["url"] for r in store2.read("frontier").select("url").collect()}
+        == {r["url"] for r in store.read("frontier").select("url").collect()}
+    )
+
+
+def test_trap_report_plan_contract(spark):
+    """The 100 TB contract: ONE frontier scan, no Python crossing — the
+    templating is built-in codegen, the only row-grain shuffle is the
+    (host, template) combine, and host totals come from a window over
+    the already-aggregated shape counts (never a second frontier pass)."""
+    import re
+
+    from crab_spark.plans import formatted_plan
+
+    df = _frontier_like(spark, [("h.test", "http://h.test/a/1")])
+    plan = formatted_plan(trap_report(df, 10))
+    assert sum(1 for line in plan.splitlines()
+               if re.match(r"^\(\d+\) Scan", line)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert sum(1 for line in plan.splitlines()
+               if re.match(r"^\(\d+\) Exchange", line)) == 2
