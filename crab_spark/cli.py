@@ -152,6 +152,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("fsck")
     p.add_argument("--no-sidecar", action="store_true",
                    help="skip the seen-set sidecar probe sweep")
+    # maintenance: URL-template explosion report over the frontier;
+    # --apply merges the flagged shapes into the workspace robots file
+    # so the next run-crawler caps them via the dispatch gate
+    p = sub.add_parser("traps")
+    p.add_argument("--cap", type=int, default=1000,
+                   help="flag shapes holding more registered URLs than this")
+    p.add_argument("--apply", action="store_true",
+                   help="write Disallow patterns into the robots cache file")
     p = sub.add_parser("dump"); p.add_argument("url")
     p = sub.add_parser("parse"); p.add_argument("url")
     p.add_argument("-n", "--columns", action="append", default=[])
@@ -310,6 +318,51 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         print("fsck: clean" if not findings
               else f"fsck: clean ({len(findings)} non-error finding(s))")
+    elif args.cmd == "traps":
+        from .traps import trap_report, trap_rules
+
+        rows = []
+        if store.exists("frontier"):
+            rep = trap_report(store.read("frontier"),
+                              max_urls_per_template=args.cap)
+            rows = rep.collect()  # flagged shapes only: tiny by construction
+        for r in sorted(rows, key=lambda r: (-r["n_urls"], r["host"], r["template"])):
+            print(f"{r['n_urls']:8d}  {r['host']}{r['template']}"
+                  f"  ({float(r['host_share']):.1%} of host)")
+        if not rows:
+            print(f"no url-template explosions at cap {args.cap}")
+        elif args.apply:
+            per_host: dict[str, list[str]] = {}
+            for r in trap_rules(rep).collect():
+                per_host[r["host"]] = [x["pattern"] for x in r["rules"]]
+            cfg_path = os.path.join(args.workdir, "crab_spark.json")
+            with open(cfg_path) as f:
+                raw = json.load(f)
+            rel = raw.get("crawler", {}).get("robots") or "robots.json"
+            path = os.path.join(args.workdir, rel)
+            existing = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    existing = json.load(f)
+            n_new = 0
+            for host, pats in sorted(per_host.items()):
+                spec = existing.get(host)
+                if isinstance(spec, dict):
+                    have = spec.setdefault("disallow", [])
+                elif isinstance(spec, list):
+                    have = spec
+                else:
+                    have = existing[host] = []
+                fresh = [p for p in pats if p not in have]
+                have += fresh
+                n_new += len(fresh)
+            with open(path, "w") as f:
+                json.dump(existing, f, indent=2)
+            if raw.setdefault("crawler", {}).get("robots") != rel:
+                raw["crawler"]["robots"] = rel
+                with open(cfg_path, "w") as f:
+                    json.dump(raw, f, indent=2)
+            print(f"applied {n_new} new Disallow rule(s) to {rel}")
     elif args.cmd == "parsers":
         from .report import parser_report
 

@@ -212,3 +212,52 @@ def test_trap_report_plan_contract(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert sum(1 for line in plan.splitlines()
                if re.match(r"^\(\d+\) Exchange", line)) == 2
+
+
+# -- CLI: traps report + --apply feeds the run-crawler robots cache --------------
+
+def test_cli_traps_apply_guards_next_run(spark, tmp_path, capsys):
+    import json
+
+    from crab_spark.cli import main
+
+    ws = tmp_path / "ws"
+    assert main(["new", str(ws)]) == 0
+    C.corpus_df(spark, 4).write.parquet(str(ws / "corpus.parquet"))
+    cfg = json.loads((ws / "crab_spark.json").read_text())
+    cfg["crawler"]["corpus_parquet"] = "corpus.parquet"
+    cfg["crawler"]["batch_size"] = 10
+    (ws / "crab_spark.json").write_text(json.dumps(cfg))
+    (ws / "parser_example.py").unlink()
+    (ws / "parser_listing.py").write_text(
+        "from crab_spark.parsers.listing import TYPE_ID, SPAN_KINDS, navigate, validate\n")
+    (ws / "parser_data.py").write_text(
+        "from crab_spark.parsers.data import TYPE_ID, parse\n")
+    assert main(["--workdir", str(ws), "register", C.page_url(1), "1"]) == 0
+    assert main(["--workdir", str(ws), "run-crawler", "--navigate"]) == 0
+    capsys.readouterr()
+
+    # report prints the exploding shape, count-descending
+    assert main(["--workdir", str(ws), "traps", "--cap", "10"]) == 0
+    out = capsys.readouterr().out
+    assert "/data/{n}" in out and "30" in out
+
+    # --apply writes the robots file and registers it in the config
+    assert main(["--workdir", str(ws), "traps", "--cap", "10", "--apply"]) == 0
+    assert "applied 1 new Disallow rule(s)" in capsys.readouterr().out
+    robots = json.loads((ws / "robots.json").read_text())
+    host = list(robots)[0]
+    assert robots[host] == ["/data/*"]
+    assert json.loads((ws / "crab_spark.json").read_text())["crawler"]["robots"] == "robots.json"
+
+    # idempotent re-apply adds nothing
+    assert main(["--workdir", str(ws), "traps", "--cap", "10", "--apply"]) == 0
+    assert "applied 0 new" in capsys.readouterr().out
+    assert json.loads((ws / "robots.json").read_text())[host] == ["/data/*"]
+
+    # a reset trap URL is DENIED on the next run instead of re-fetched
+    assert main(["--workdir", str(ws), "reset", C.data_url(10)]) == 0
+    capsys.readouterr()
+    assert main(["--workdir", str(ws), "run-crawler"]) == 0
+    out = capsys.readouterr().out
+    assert "robots_denied=1" in out and "requests=0" in out
