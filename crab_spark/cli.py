@@ -128,6 +128,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host-budget", type=int, default=None,
                    help="priority-frontier mode: cap per-host rows per "
                         "priority level (north_rule host-budget scoring)")
+    p.add_argument("--trap-cap", type=int, default=None,
+                   help="self-defending mode: periodically cap URL-template "
+                        "shapes holding more registered URLs than this")
+    p.add_argument("--trap-every", type=int, default=16,
+                   help="epochs between trap sweeps (with --trap-cap)")
     sub.add_parser("navigate-all")
     p = sub.add_parser("navigate"); p.add_argument("url")
     p = sub.add_parser("reset"); p.add_argument("url")
@@ -241,10 +246,12 @@ def main(argv: list[str] | None = None) -> int:
         stats = crawl(store, fetcher, registry, navigate=args.navigate,
                       batch_size=args.batch or c["batch_size"],
                       robots=robots, proxy_pool=pool,
-                      host_budget=args.host_budget)
+                      host_budget=args.host_budget,
+                      trap_cap=args.trap_cap, trap_check_every=args.trap_every)
         print(f"epochs={stats.epochs} requests={stats.requests} "
               f"successful={stats.successful} new_links={stats.new_links}"
-              + (f" robots_denied={stats.robots_denied}" if robots is not None else ""))
+              + (f" robots_denied={stats.robots_denied}"
+                 if robots is not None or args.trap_cap is not None else ""))
         if pool is not None:
             for row in pool.report():
                 print(row)

@@ -402,6 +402,8 @@ def crawl(
     host_budget: int | None = None,
     rescore_every: int = 8,
     compact_threshold: int | None = 64,
+    trap_cap: int | None = None,
+    trap_check_every: int = 16,
 ) -> CrawlStats:
     """Run the crawl to completion (or max_epochs). Mirrors
     `crab run-crawler [--navigate]` (main.rs:156-184, crawler.rs:52-125).
@@ -415,6 +417,18 @@ def crawl(
     broadcast-joined into every dequeued batch; disallowed rows are never
     dispatched and are marked resolved so they don't retry (north_rule:
     robots cache in the dispatch path — the reference itself has none).
+
+    ``trap_cap``: optional self-defending mode — every
+    ``trap_check_every`` epochs (absolute epoch number, so the cadence
+    is resume-stable) the frontier's URL-template explosion report
+    (traps.trap_report, one frontier scan) flags shapes holding more
+    registered URLs than the cap, and their Disallow patterns join the
+    dispatch gate alongside ``robots``: trapped URLs resolve as
+    robots-skips, their children are never discovered, and the crawl
+    escapes calendar/session-id URL generators without operator
+    intervention. Active rules checkpoint to the store state BEFORE the
+    epoch dispatches with them, so a crashed epoch re-runs under the
+    identical gate (state write precedes every epoch commit).
 
     ``proxy_pool``: optional proxy.ProxyPool. Each dispatched row gets a
     deterministic proxy among the epoch's non-dead ids (seq % n_alive —
@@ -477,6 +491,18 @@ def crawl(
         and "crawl_delay" in robots.columns
         and robots.filter(F.col("crawl_delay").isNotNull()).limit(1).count() > 0
     )
+    # trap guard: the effective dispatch gate = user robots ∪ active
+    # trap caps; caps persist in store state so later crawls (and
+    # crashed-epoch re-runs) keep them (trap rules never carry a
+    # Crawl-delay, so robots_has_delay stays the user-cache probe)
+    gate_robots = robots
+    trap_hosts: dict[str, list[str]] = {}
+    if trap_cap is not None:
+        from .traps import trap_gate
+
+        trap_hosts = store.read_state("traps", {"hosts": {}})["hosts"]
+        if trap_hosts:
+            gate_robots = trap_gate(spark, robots, trap_hosts)
     t0 = time.monotonic()
     epoch = _resume_epoch(store)
 
@@ -647,6 +673,27 @@ def crawl(
                 n_files=max(1, (max_seq + 1) // 500_000 + 1),
                 sort_within=["depth", "epoch"],
             )
+        if (trap_cap is not None and not rerun
+                and epoch % max(trap_check_every, 1) == 0):
+            # periodic trap sweep: one frontier scan (amortized over
+            # trap_check_every epochs), flagged-shape rows only come
+            # back to the driver (tiny by construction). State commits
+            # BEFORE this epoch dispatches under the new gate — a crash
+            # anywhere later re-runs the epoch with the identical gate.
+            from .traps import pattern_for_template, trap_gate, trap_report
+
+            added = 0
+            for r in trap_report(
+                store.read("frontier"), max_urls_per_template=trap_cap
+            ).collect():
+                pats = trap_hosts.setdefault(r["host"], [])
+                pat = pattern_for_template(r["template"])
+                if pat not in pats:
+                    pats.append(pat)
+                    added += 1
+            if added:
+                store.write_state("traps", {"hosts": trap_hosts})
+                gate_robots = trap_gate(spark, robots, trap_hosts)
         if (host_budget is not None and not rerun
                 and (stats.epochs % max(rescore_every, 1)) == 0):
             # priority mode: refresh the host-budget scoring snapshot
@@ -693,10 +740,10 @@ def crawl(
         denied = None
         flagged = None
         n = n_total
-        if robots is not None:
+        if gate_robots is not None:
             from .robots import with_robots_flag
 
-            flagged = with_robots_flag(batch, robots).cache()
+            flagged = with_robots_flag(batch, gate_robots).cache()
             denied = flagged.filter(~F.col("robots_ok"))
             dispatch = flagged.filter(F.col("robots_ok")).drop("robots_ok")
             if not robots_has_delay and "crawl_delay" in dispatch.columns:

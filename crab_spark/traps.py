@@ -160,6 +160,40 @@ def trap_rules(report: DataFrame, epoch: int = 0) -> DataFrame:
     )
 
 
+def pattern_for_template(template: str) -> str:
+    """Driver-side twin of ``_pattern_from_template`` for the tiny
+    collected report rows (the in-crawl guard keeps its active rules as
+    plain state; parity with the column form is pinned by test)."""
+    import re
+
+    path, sep, _ = template.partition("?")
+    pat = re.sub(r"\{(n|id|t)\}", "*", path)
+    return pat + "?*" if sep else pat
+
+
+def rules_from_state(spark, hosts: dict[str, list[str]],
+                     epoch: int = 0) -> DataFrame | None:
+    """ROBOTS-schema rows from a persisted {host: [Disallow pattern]}
+    dict (the crawl's trap-guard checkpoint state). None when empty."""
+    if not hosts:
+        return None
+    rows = [
+        (h, [(False, p) for p in pats], None, epoch)
+        for h, pats in sorted(hosts.items())
+    ]
+    return spark.createDataFrame(rows, ROBOTS)
+
+
+def trap_gate(spark, robots: DataFrame | None,
+              hosts: dict[str, list[str]]) -> DataFrame | None:
+    """The effective dispatch-gate cache: the user's robots cache with
+    the active trap caps folded in (either side may be absent)."""
+    tr = rules_from_state(spark, hosts)
+    if tr is None:
+        return robots
+    return merge_robots(robots, tr) if robots is not None else tr
+
+
 def merge_robots(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold two ROBOTS-schema caches into one row per host: rule lists
     concatenated (RFC 9309 evaluates the merged group; longest-match

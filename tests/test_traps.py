@@ -261,3 +261,79 @@ def test_cli_traps_apply_guards_next_run(spark, tmp_path, capsys):
     assert main(["--workdir", str(ws), "run-crawler"]) == 0
     out = capsys.readouterr().out
     assert "robots_denied=1" in out and "requests=0" in out
+
+
+# -- in-crawl auto guard (crawl(trap_cap=...)) -----------------------------------
+
+def test_pattern_for_template_parity(spark):
+    from crab_spark.traps import _pattern_from_template, pattern_for_template
+
+    templates = [t for _, t in CASES] + ["/a/{id}/{t}?k1,k2", "/{n}", "/?q"]
+    df = spark.createDataFrame([(t,) for t in templates], "t string")
+    col = [r["p"] for r in
+           df.select(_pattern_from_template(F.col("t")).alias("p")).collect()]
+    assert col == [pattern_for_template(t) for t in templates]
+
+
+def test_incrawl_trap_guard_caps_midcrawl(spark, store):
+    """Self-defending crawl: /data/{n} grows past the cap MID-crawl, the
+    periodic sweep flags it, and from then on data URLs resolve as
+    robots-skips — early data fetched, later data denied, pages
+    unaffected, state checkpointed."""
+    registry = load_registry([parser_listing, parser_data])
+    seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    stats = crawl(store, CorpusFetcher(C.corpus_df(spark, 12)), registry,
+                  navigate=True, batch_size=10,
+                  trap_cap=30, trap_check_every=2)
+
+    frontier = store.read("frontier")
+    fetched = store.read("fetched")
+    total_data = frontier.filter(F.col("url").contains("/data/")).count()
+    data_fetched = fetched.filter(
+        (F.col("reason") == "fetched") & F.col("url").contains("/data/")).count()
+    denied = fetched.filter(F.col("reason") == "robots").count()
+    assert total_data > 30 and data_fetched > 0 and denied > 0
+    assert data_fetched + denied == total_data          # every data URL resolved
+    assert stats.robots_denied == denied
+    # every denied row is a data URL; pages all fetched normally
+    assert fetched.filter(
+        (F.col("reason") == "robots") & ~F.col("url").contains("/data/")
+    ).count() == 0
+    n_pages = frontier.filter(F.col("url").contains("/page/")).count()
+    assert fetched.filter(
+        (F.col("reason") == "fetched") & F.col("url").contains("/page/")
+    ).count() == n_pages
+    # active caps checkpointed for later crawls / crash re-runs
+    host = urlsplit(C.page_url(1)).hostname
+    assert store.read_state("traps")["hosts"] == {host: ["/data/*"]}
+
+
+def test_incrawl_trap_guard_resume_stable(spark, tmp_path):
+    """Stop-and-resume under the guard equals the uninterrupted run:
+    the sweep cadence keys on the ABSOLUTE epoch number and active caps
+    persist in store state, so the resumed crawl dispatches and denies
+    identically."""
+    from crab_spark.store import TableStore
+
+    registry = load_registry([parser_listing, parser_data])
+    cdf = C.corpus_df(spark, 12)
+    kw = dict(navigate=True, batch_size=10, trap_cap=30, trap_check_every=2)
+
+    a = TableStore(tmp_path / "straight", spark)
+    seed_frontier(a, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    crawl(a, CorpusFetcher(cdf), registry, **kw)
+
+    b = TableStore(tmp_path / "resumed", spark)
+    seed_frontier(b, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
+    crawl(b, CorpusFetcher(cdf), registry, max_epochs=3, **kw)
+    crawl(b, CorpusFetcher(cdf), registry, **kw)
+
+    def snap(s):
+        return (
+            {(r["url"], r["reason"], r["epoch"])
+             for r in s.read("fetched").collect()},
+            {r["url"] for r in s.read("frontier").collect()},
+            s.read_state("traps")["hosts"],
+        )
+
+    assert snap(a) == snap(b)
