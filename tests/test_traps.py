@@ -337,3 +337,145 @@ def test_incrawl_trap_guard_resume_stable(spark, tmp_path):
         )
 
     assert snap(a) == snap(b)
+
+
+def test_trap_guarded_crawl_matches_mirror_random_topology(spark, tmp_path):
+    """Random multi-host topologies with per-host generated URL spaces
+    vs a pure-Python replay of the WHOLE guarded crawl: the periodic
+    template sweep (absolute-epoch cadence, strict > cap over the
+    frontier as-of epoch start), the pattern conversion, and the
+    dispatch-slot denial must reproduce the engine's dispatch order,
+    seen set, and denial ledger exactly — on topologies nobody chose.
+    (crab has no trap guard, so the mirror is the authority.)"""
+    import re
+
+    from crab_spark.corpus import CORPUS_SCHEMA, DATA_TYPE
+    from crab_spark.store import TableStore
+    from crab_spark.traps import pattern_for_template
+    from crab_spark.urlnorm import absolutize, canonicalize
+
+    registry = load_registry([parser_listing, parser_data])
+
+    def template(url: str) -> str:
+        parts = urlsplit(url)
+        segs = ["{n}" if re.fullmatch(r"[0-9]+", s) else s
+                for s in (parts.path or "/").split("/")]
+        return "/".join(segs)  # topology has no query strings / ids
+
+    def pat_match(path: str, pat: str) -> bool:
+        rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in pat)
+        return re.match(rx, path) is not None
+
+    rng = random.Random(9261)
+    total_denied = 0
+    for trial in range(3):
+        n_hosts = rng.randint(2, 3)
+        n_pages = rng.randint(8, 12)
+        cap = 7
+        every = rng.choice([1, 2])
+
+        def purl(p):
+            return f"http://host{p % n_hosts}.example.com/page/{p}"
+
+        corpus: dict[str, list[dict]] = {}
+        for p in range(1, n_pages + 1):
+            spans, off = [], 0
+
+            def add(kind, text):
+                nonlocal off
+                spans.append({"kind": kind, "text": text,
+                              "media_ref": "", "offset": off})
+                off += max(len(text), 1)
+
+            add("text", f"Trap page {p}")
+            for q in rng.sample(range(1, n_pages + 1),
+                                rng.randint(1, min(5, n_pages))):
+                add("link", purl(q))
+            for d in range(rng.randint(1, 3)):
+                n = p * 10 + d
+                add("link", f"/data/{n}")
+                corpus[absolutize(f"/data/{n}", purl(p))] = C.data_spans(n)
+            corpus[purl(p)] = spans
+
+        seed = purl(rng.choice(
+            [p for p in range(1, n_pages + 1) if p % n_hosts == 0]))
+        batch = 5
+
+        # -- mirror: BFS oracle loop + epoch-cadenced trap sweep -------
+        rows_m: list[dict] = []
+        seen: dict[str, tuple[int, int, int]] = {}
+        order: list[str] = []
+        active: dict[str, set[str]] = {}
+        denied = 0
+
+        def register(url, type_id, depth):
+            if url in seen:
+                return
+            seen[url] = (len(rows_m), depth, type_id)
+            rows_m.append({"url": url, "type_id": type_id, "depth": depth,
+                           "pending": True, "seq": len(rows_m)})
+
+        register(canonicalize(seed), C.PAGE_TYPE, 0)
+        epoch = 0
+        while True:
+            epoch += 1
+            if epoch % every == 0:
+                from collections import Counter
+
+                counts = Counter(
+                    (urlsplit(r["url"]).hostname, template(r["url"]))
+                    for r in rows_m)
+                for (h, t), c in counts.items():
+                    if c > cap:
+                        active.setdefault(h, set()).add(pattern_for_template(t))
+            b = sorted((r for r in rows_m if r["pending"]),
+                       key=lambda r: (r["depth"], r["seq"]))[:batch]
+            if not b:
+                break
+            if len(b) > 1:
+                b = [b[0]] + b[:0:-1]
+            for page in b:
+                parts = urlsplit(page["url"])
+                pats = active.get(parts.hostname or "", ())
+                if any(pat_match(parts.path or "/", p) for p in pats):
+                    page["pending"] = False  # resolved: robots-skip
+                    denied += 1
+                    continue
+                order.append(page["url"])
+                spans = corpus.get(page["url"])
+                if spans is None:
+                    continue
+                if not registry.run_validate(page["type_id"], spans):
+                    continue
+                page["pending"] = False
+                for href, t in registry.run_navigate(page["type_id"], spans):
+                    absu = absolutize(href, page["url"])
+                    if absu is not None:
+                        register(absu, t, page["depth"] + 1)
+
+        # -- engine ----------------------------------------------------
+        rows = [
+            (url, DATA_TYPE if "/data/" in url else C.PAGE_TYPE, spans)
+            for url, spans in corpus.items()
+        ]
+        store = TableStore(tmp_path / f"tg{trial}", spark)
+        seed_frontier(
+            store, spark.createDataFrame([(seed, C.PAGE_TYPE)], SEEDS))
+        stats = crawl(
+            store, CorpusFetcher(spark.createDataFrame(rows, CORPUS_SCHEMA)),
+            registry, navigate=True, batch_size=batch, record_order=True,
+            trap_cap=cap, trap_check_every=every,
+        )
+        got = {
+            r["url"]: (r["seq"], r["depth"], r["type_id"])
+            for r in store.read("frontier").collect()
+        }
+        assert got == seen, f"trial {trial}"
+        assert stats.crawl_order == order, f"trial {trial}"
+        assert stats.robots_denied == denied, f"trial {trial}"
+        assert store.read("fetched").filter(
+            F.col("reason") == "robots").count() == denied, f"trial {trial}"
+        got_state = store.read_state("traps", {"hosts": {}})["hosts"]
+        assert {h: set(p) for h, p in got_state.items()} == active, f"trial {trial}"
+        total_denied += denied
+    assert total_denied > 0  # the sweep must actually fire
