@@ -165,6 +165,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="flag shapes holding more registered URLs than this")
     p.add_argument("--apply", action="store_true",
                    help="write Disallow patterns into the robots cache file")
+    p.add_argument("--clear", action="store_true",
+                   help="drop the in-crawl trap-guard state (caps applied to "
+                        "the robots file are operator-owned and kept)")
     p = sub.add_parser("dump"); p.add_argument("url")
     p = sub.add_parser("parse"); p.add_argument("url")
     p.add_argument("-n", "--columns", action="append", default=[])
@@ -251,7 +254,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"epochs={stats.epochs} requests={stats.requests} "
               f"successful={stats.successful} new_links={stats.new_links}"
               + (f" robots_denied={stats.robots_denied}"
-                 if robots is not None or args.trap_cap is not None else ""))
+                 if robots is not None or args.trap_cap is not None
+                 or stats.robots_denied else ""))
         if pool is not None:
             for row in pool.report():
                 print(row)
@@ -326,8 +330,13 @@ def main(argv: list[str] | None = None) -> int:
         print("fsck: clean" if not findings
               else f"fsck: clean ({len(findings)} non-error finding(s))")
     elif args.cmd == "traps":
-        from .traps import trap_report, trap_rules
+        from .traps import pattern_for_template, trap_report
 
+        if args.clear:
+            n = len(store.read_state("traps", {"hosts": {}})["hosts"])
+            store.write_state("traps", {"hosts": {}})
+            print(f"cleared in-crawl trap state for {n} host(s)")
+            return 0
         rows = []
         if store.exists("frontier"):
             rep = trap_report(store.read("frontier"),
@@ -339,9 +348,17 @@ def main(argv: list[str] | None = None) -> int:
         if not rows:
             print(f"no url-template explosions at cap {args.cap}")
         elif args.apply:
+            # patterns derive driver-side from the ALREADY-collected
+            # report rows (same helper the in-crawl guard uses) — no
+            # second frontier scan, and the applied rules can never
+            # diverge from the printed report on a live workspace
             per_host: dict[str, list[str]] = {}
-            for r in trap_rules(rep).collect():
-                per_host[r["host"]] = [x["pattern"] for x in r["rules"]]
+            for r in rows:
+                pats = per_host.setdefault(r["host"], [])
+                pat = pattern_for_template(r["template"])
+                if pat not in pats:
+                    pats.append(pat)
+            per_host = {h: sorted(p) for h, p in per_host.items()}
             cfg_path = os.path.join(args.workdir, "crab_spark.json")
             with open(cfg_path) as f:
                 raw = json.load(f)

@@ -428,7 +428,9 @@ def crawl(
     escapes calendar/session-id URL generators without operator
     intervention. Active rules checkpoint to the store state BEFORE the
     epoch dispatches with them, so a crashed epoch re-runs under the
-    identical gate (state write precedes every epoch commit).
+    identical gate (state write precedes every epoch commit); persisted
+    caps gate every subsequent crawl on the workspace even when
+    ``trap_cap`` is not passed (``cli traps --clear`` removes them).
 
     ``proxy_pool``: optional proxy.ProxyPool. Each dispatched row gets a
     deterministic proxy among the epoch's non-dead ids (seq % n_alive —
@@ -492,17 +494,20 @@ def crawl(
         and robots.filter(F.col("crawl_delay").isNotNull()).limit(1).count() > 0
     )
     # trap guard: the effective dispatch gate = user robots ∪ active
-    # trap caps; caps persist in store state so later crawls (and
-    # crashed-epoch re-runs) keep them (trap rules never carry a
-    # Crawl-delay, so robots_has_delay stays the user-cache probe)
+    # trap caps. Persisted caps gate EVERY crawl on this workspace —
+    # including one whose operator forgot --trap-cap — so the
+    # identical-gate re-run contract holds unconditionally; ``trap_cap``
+    # only controls whether NEW shapes are swept. (Trap rules never
+    # carry a Crawl-delay, so robots_has_delay stays the user-cache
+    # probe. ``cli traps --clear`` is the recovery path.)
     gate_robots = robots
-    trap_hosts: dict[str, list[str]] = {}
-    if trap_cap is not None:
+    trap_hosts: dict[str, list[str]] = (
+        store.read_state("traps", {"hosts": {}})["hosts"]
+    )
+    if trap_hosts:
         from .traps import trap_gate
 
-        trap_hosts = store.read_state("traps", {"hosts": {}})["hosts"]
-        if trap_hosts:
-            gate_robots = trap_gate(spark, robots, trap_hosts)
+        gate_robots = trap_gate(spark, robots, trap_hosts)
     t0 = time.monotonic()
     epoch = _resume_epoch(store)
 

@@ -230,7 +230,8 @@ def _check_frontier_rows(store: TableStore, findings: list[Finding]) -> None:
 
 
 def _check_fetched_rows(store: TableStore, horizon: int,
-                        findings: list[Finding]) -> None:
+                        findings: list[Finding],
+                        frontier_ok: bool) -> None:
     fe = store.read("fetched")
     row = fe.agg(
         F.count(F.lit(1)).alias("n"),
@@ -257,16 +258,18 @@ def _check_fetched_rows(store: TableStore, horizon: int,
             f"{row['bad_epoch']} row(s) claim an epoch past the resume "
             f"horizon {horizon} — their done tag never committed",
             n=row["bad_epoch"]))
-    n_orphan = (
-        fe.select("url_hash", "url")
-        .join(store.read("frontier").select("url_hash", "url"),
-              ["url_hash", "url"], "left_anti")
-        .count())
-    if n_orphan:
-        findings.append(Finding(
-            "error", "fetched_orphan",
-            f"{n_orphan} completion row(s) for URLs the frontier never "
-            f"registered", n=n_orphan))
+    if frontier_ok:  # membership needs a readable frontier; the
+        # self-contained checks above run regardless
+        n_orphan = (
+            fe.select("url_hash", "url")
+            .join(store.read("frontier").select("url_hash", "url"),
+                  ["url_hash", "url"], "left_anti")
+            .count())
+        if n_orphan:
+            findings.append(Finding(
+                "error", "fetched_orphan",
+                f"{n_orphan} completion row(s) for URLs the frontier never "
+                f"registered", n=n_orphan))
 
 
 def _check_documents_rows(store: TableStore, horizon: int,
@@ -374,8 +377,8 @@ def fsck(store: TableStore, sidecar: bool = True) -> list[Finding]:
     frontier_ok = store.exists("frontier") and "frontier" not in broken
     if frontier_ok:
         _check_frontier_rows(store, findings)
-        if store.exists("fetched") and "fetched" not in broken:
-            _check_fetched_rows(store, horizon, findings)
+    if store.exists("fetched") and "fetched" not in broken:
+        _check_fetched_rows(store, horizon, findings, frontier_ok)
     if store.exists("documents") and "documents" not in broken:
         _check_documents_rows(store, horizon, findings, frontier_ok)
     if sidecar and frontier_ok:

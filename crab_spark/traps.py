@@ -24,15 +24,17 @@ bookkeeping:
    discovered, and the crawl loop needs zero new code. ``merge_robots``
    folds them into a real robots cache.
 
-The conversion to Disallow patterns deliberately over-blocks *within* a
-flagged shape (every URL of that shape is capped, including the few
-already useful) — that is the semantics of trap escape, and the report
-row carries the counts so an operator can whitelist via a robots Allow
-rule, which wins ties by RFC 9309 precedence (robots.rules_allow).
-
-A literal ``*``/``$`` inside a flagged URL's static segment would widen
-its emitted pattern (robots wildcards) — over-blocking only, never
-under-blocking; acceptable for a trap cap.
+The conversion to Disallow patterns deliberately fails CLOSED: robots
+``*`` wildcards match across ``/``, so an emitted pattern can block
+beyond the flagged shape — ``/page/*`` (from ``/page/{n}``) also denies
+the distinct shape ``/page/about``, and a root-level numeric template
+``/{n}`` yields ``/*``, capping the whole host. Over-blocking is the
+safe direction for trap escape (never under-blocking), and both
+recovery paths are first-class: an operator whitelist is a robots
+Allow rule (wins by RFC 9309 longest-match precedence,
+robots.rules_allow), and ``cli traps --clear`` drops the in-crawl
+guard's persisted caps. A literal ``*``/``$`` inside a flagged URL's
+static segment widens its pattern the same way — same safe direction.
 """
 
 from __future__ import annotations

@@ -307,6 +307,19 @@ def test_incrawl_trap_guard_caps_midcrawl(spark, store):
     host = urlsplit(C.page_url(1)).hostname
     assert store.read_state("traps")["hosts"] == {host: ["/data/*"]}
 
+    # persisted caps gate a LATER crawl even when trap_cap is omitted:
+    # a reset trap URL is re-denied, never re-fetched
+    from crab_spark.frontier import reset_pages
+
+    victim = store.read("fetched").filter(F.col("reason") == "robots").limit(1)
+    url = victim.collect()[0]["url"]
+    reset_pages(store, victim.select("url_hash"))
+    stats2 = crawl(store, CorpusFetcher(C.corpus_df(spark, 12)), registry,
+                   navigate=True, batch_size=10)
+    assert stats2.requests == 0 and stats2.robots_denied == 1
+    assert store.read("fetched").filter(
+        (F.col("url") == url) & (F.col("reason") == "robots")).count() == 1
+
 
 def test_incrawl_trap_guard_resume_stable(spark, tmp_path):
     """Stop-and-resume under the guard equals the uninterrupted run:
@@ -479,3 +492,19 @@ def test_trap_guarded_crawl_matches_mirror_random_topology(spark, tmp_path):
         assert {h: set(p) for h, p in got_state.items()} == active, f"trial {trial}"
         total_denied += denied
     assert total_denied > 0  # the sweep must actually fire
+
+
+def test_cli_traps_clear(spark, tmp_path, capsys):
+    import json
+
+    from crab_spark.cli import main
+    from crab_spark.store import TableStore
+
+    ws = tmp_path / "ws"
+    assert main(["new", str(ws)]) == 0
+    cfg = json.loads((ws / "crab_spark.json").read_text())
+    store = TableStore(ws / cfg["database"], spark)
+    store.write_state("traps", {"hosts": {"h.test": ["/data/*"]}})
+    assert main(["--workdir", str(ws), "traps", "--clear"]) == 0
+    assert "cleared in-crawl trap state for 1 host(s)" in capsys.readouterr().out
+    assert store.read_state("traps")["hosts"] == {}
