@@ -55,9 +55,20 @@ from .parsers import ParserRegistry
 from .schemas import METRICS, SPAN
 from .store import TableStore
 from .urlnorm import absolutize_udf
-from .util import local_df
 
 HOST_SALT = 4  # sub-splits per host for hot-host skew (north_rule)
+
+# Below this many seen URLs the bloom/cuckoo seen-set sidecar costs more
+# than it saves: the exact membership check is ONE broadcast semi-join
+# against a partition-pruned frontier slice (frontier.antijoin_new),
+# while the sidecar adds a cold build, a per-epoch executor-side fold of
+# the register delta, and a probe UDF crossing per epoch. The filter
+# exists to avoid streaming a 10^9-10^10-row frontier; activating it
+# only past this size keeps small/medium crawls on the cheap exact path
+# and is purely an optimization threshold — both paths are exact
+# (measured: ~4 s/crawl saved at the 55k-URL bench; crawl() callers can
+# override, e.g. bloom_min_frontier=0 forces the sidecar on).
+BLOOM_MIN_FRONTIER = 1_000_000
 
 FETCH_RESULT = T.StructType(
     [
@@ -404,6 +415,7 @@ def crawl(
     compact_threshold: int | None = 64,
     trap_cap: int | None = None,
     trap_check_every: int = 16,
+    bloom_min_frontier: int = BLOOM_MIN_FRONTIER,
 ) -> CrawlStats:
     """Run the crawl to completion (or max_epochs). Mirrors
     `crab run-crawler [--navigate]` (main.rs:156-184, crawler.rs:52-125).
@@ -527,6 +539,15 @@ def crawl(
         stats.wall_sec = time.monotonic() - t0
         return stats
     max_seq = store.read("frontier").agg(F.max("seq")).collect()[0][0]
+    if use_filter and (max_seq + 1) < bloom_min_frontier:
+        # scale-adaptive: the sidecar only pays past BLOOM_MIN_FRONTIER
+        # seen rows (see the constant's rationale) — below it every
+        # epoch uses the exact broadcast membership check and sidecar
+        # maintenance (cold build + per-epoch folds) is skipped
+        # entirely. A later crawl over a grown frontier cold-builds (or
+        # catch-up-folds) the sidecar from the full table, so deferring
+        # maintenance never loses keys.
+        use_filter = False
     # Driver-side per-depth pending counts: computed once at resume, then
     # maintained incrementally (−resolved, +registered per epoch) so
     # steady-state dequeue never scans the frontier to pick its cutoff.
@@ -777,11 +798,13 @@ def crawl(
                 r["url"] for r in dispatch.orderBy("pos").select("url", "pos").collect()
             )
 
-        fetched_df = fetcher.fetch(dispatch)
-        if getattr(fetcher, "side_effects", False):
-            # side-effectful fetchers (HTTP, politeness sleeps) must not
-            # recompute: pin the fetch results
-            fetched_df = fetched_df.cache()
+        # Always pin the fetch results: side-effectful fetchers (HTTP,
+        # politeness sleeps) MUST not recompute, and even a pure fetch
+        # is consumed twice per epoch (the processed pipeline and the
+        # documents append, which needs the full spans) — uncached, the
+        # whole fetch join ran twice, concurrently, per epoch. The cache
+        # is epoch-bounded (batch_size rows) and released at epoch end.
+        fetched_df = fetcher.fetch(dispatch).cache()
         # JVM fast path: when every validator has an expression form,
         # `valid` is computed in whole-stage codegen over the full span
         # array — no Arrow crossing for validation at all
@@ -955,8 +978,9 @@ def crawl(
             (epoch, part, v[0], v[1], v[2], 0)
             for part, v in sorted(per_part.items())
         ] + [(epoch, -1, n, n_good, n_invalid, n_new_logged)]
-        store.append("metrics", local_df(spark, rows, METRICS).coalesce(1),
-                     tag=f"metrics-{epoch:06d}")
+        # rows already live on the driver: the pyarrow append skips a
+        # full Spark job submission per epoch for O(partitions) ints
+        store.append_rows("metrics", rows, METRICS, tag=f"metrics-{epoch:06d}")
         te = _tick("metrics", te, timings)
 
         # ATOMIC COMMIT POINT: one manifest swap marks the whole epoch
@@ -1028,8 +1052,7 @@ def crawl(
         stats.invalid += n_invalid
         stats.new_links += n_new_logged
         processed.unpersist()
-        if getattr(fetcher, "side_effects", False):
-            fetched_df.unpersist()
+        fetched_df.unpersist()
         if flagged is not None:
             flagged.unpersist()
         batch0.unpersist()

@@ -78,6 +78,15 @@ def seed_frontier(store: TableStore, seeds: DataFrame) -> int:
 # driver-side hash relation — fall back to the shuffle anti-join.
 BROADCAST_CANDIDATE_LIMIT = 2_000_000
 
+# A seen SLICE at or below this many rows is broadcast directly and the
+# anti-join is one BroadcastHashJoin (single broadcast, zero exchanges)
+# — the two-step probe below exists to keep a 10^9+-row frontier
+# stream-side, but for a small frontier it costs two broadcast builds
+# and two joins per epoch where one of each suffices. ~1M (url_hash,
+# url) rows is tens of MB framed; aligned with crawler.BLOOM_MIN_FRONTIER
+# (the same "small frontier" regime where the sidecar is off).
+SEEN_BROADCAST_LIMIT = 1_000_000
+
 # Seq assignment: below this candidate count a single-task global
 # window is FASTER than the two-pass range index (the 2-pass costs two
 # extra job barriers + a range shuffle — measured ~2 s/epoch at bench
@@ -103,7 +112,8 @@ def seen_slice(store: TableStore, parts: list[int]) -> DataFrame:
 
 
 def antijoin_new(cands: DataFrame, seen: DataFrame,
-                 broadcast_probe: bool = True) -> DataFrame:
+                 broadcast_probe: bool = True,
+                 seen_rows: int | None = None) -> DataFrame:
     """candidates ∖ seen — with the seen side STREAMED, never shuffled.
 
     A plain ``cands LEFT ANTI seen`` shuffles BOTH sides on the join key
@@ -122,7 +132,15 @@ def antijoin_new(cands: DataFrame, seen: DataFrame,
     point probe (storage.rs:93-101), O(batch) not O(table). For
     candidate sets too big to broadcast (navigate-all over a whole
     corpus) the caller sets broadcast_probe=False and pays the classic
-    shuffle join."""
+    shuffle join.
+
+    ``seen_rows``: the caller's (free) upper bound on the seen side —
+    at or below SEEN_BROADCAST_LIMIT the seen slice itself is broadcast
+    and the anti-join is ONE BroadcastHashJoin (the small-frontier fast
+    path; the two-step probe costs two broadcast builds + two joins per
+    epoch, which only pays once the frontier is too big to ship)."""
+    if seen_rows is not None and seen_rows <= SEEN_BROADCAST_LIMIT:
+        return cands.join(F.broadcast(seen), ["url_hash", "url"], "left_anti")
     if not broadcast_probe:
         return cands.join(seen, ["url_hash", "url"], "left_anti")
     keys = cands.select("url_hash", "url")
@@ -194,6 +212,15 @@ def register(
     n_cands = None
     probe = None
     if store.exists("frontier"):
+        if seen_bloom is not None:
+            # align the candidate partitioning with the sidecar layout
+            # BEFORE the probe runs: each probe task then loads O(1)
+            # part files instead of every one (the dedup exchange above
+            # hashes on (url_hash, url), which scatters all N_BUCKETS
+            # parts into every task — N_BUCKETS× the sidecar I/O per
+            # epoch). The extra exchange moves only the deduped,
+            # epoch-sized key rows.
+            cands = cands.repartition(N_BUCKETS, "part")
         # Bloom split setup: the probe column is added BEFORE the cache
         # so the (pandas) probe UDF runs exactly once — during the
         # part-count materialization below — and the cached frame
@@ -234,15 +261,24 @@ def register(
             definite_new = cands.filter(~F.col("_maybe")).drop("_maybe")
             maybe = cands.filter(F.col("_maybe")).drop("_maybe")
             new = definite_new.unionByName(
-                antijoin_new(maybe, seen, broadcast_probe=use_broadcast)
+                antijoin_new(maybe, seen, broadcast_probe=use_broadcast,
+                             seen_rows=max_seq + 1)
             )
         else:
-            new = antijoin_new(cands, seen, broadcast_probe=use_broadcast)
+            new = antijoin_new(cands, seen, broadcast_probe=use_broadcast,
+                               seen_rows=max_seq + 1)
     else:
         store.set_partitioning("frontier", "part")
         new = cands
         if max_seq is None:
             max_seq = -1
+        # first registration (seed lists): count the deduped set so the
+        # seq-assignment strategy pick below sees the real size — a
+        # seed-sized batch then takes the cheap single-task window
+        # instead of the two-pass range index (two extra job barriers)
+        cached_cands = cands.cache()
+        new = cached_cands
+        n_cands = new.count()
 
     # Deterministic seq assignment. Small candidate sets (the common
     # epoch case) take a single-task window — ≤ SEQ_WINDOW_MAX narrow
@@ -282,16 +318,20 @@ def register(
             d = int(r["depth"])
             depth_counts_out[d] = depth_counts_out.get(d, 0) + int(r["n"])
     if n_new:
-        # size-aware file count: appends are per-epoch deltas, so write
-        # few large files — a steady drip of 32-file micro-appends makes
-        # every subsequent frontier scan open thousands of tiny files
-        # (Iceberg calls this the small-file problem; same cure: compact
-        # at write time)
-        n_files = max(1, n_new // 500_000 + (1 if n_new % 500_000 else 0))
-        # the append lands Hive-partitioned by `part` (store-level
+        # The append lands Hive-partitioned by `part` (store-level
         # layout, set at table creation) so later seen_slice reads prune
-        # whole part directories
-        store.append("frontier", new_rows.coalesce(n_files), tag=f"reg-{epoch:06d}")
+        # whole part directories. Distribute by the partition column
+        # before the write (the guide's hash write-distribution): every
+        # part's rows sit in exactly ONE task, so the epoch still emits
+        # one file per touched part (no small-file drip) but the tasks
+        # write in parallel — the previous coalesce(1) funneled all
+        # N_BUCKETS partition files through a single task (measured
+        # 2.5 s serial for a 45k-row epoch append).
+        store.append(
+            "frontier",
+            new_rows.repartition(N_BUCKETS, "part"),
+            tag=f"reg-{epoch:06d}",
+        )
     new_rows.unpersist()
     if index_cache is not None:
         index_cache.unpersist()
@@ -357,6 +397,15 @@ def pending_depth_counts(
 # above this batch size the driver-merge of TakeOrderedAndProject
 # (k rows × partitions) costs more than a parallel two-pass rank
 TAKE_ORDERED_MAX_K = 10_000
+
+# ...unless the WHOLE pending head is itself small: the driver merge is
+# bounded by min(total head rows, k × partitions), and the per-depth
+# counts give the head size for free — below this many pending rows the
+# one-job TakeOrderedAndProject always beats the two-pass rank's extra
+# job barriers + range shuffle (~1 M narrow frontier rows is tens of MB
+# on a 24 g driver; at a real 10^10 frontier n_pending is far above
+# this and the parallel two-pass takes over as before)
+TAKE_ORDERED_MERGE_MAX = 1_000_000
 
 
 def head_cutoff(depth_counts: dict[int, int], batch_size: int) -> int:
@@ -610,7 +659,8 @@ def dequeue(
     # same rows (limit stays batch_size), so a stale count can never
     # change the batch.
     n_pending = sum((prio_counts if by_priority else depth_counts).values())
-    if min(batch_size, n_pending) <= TAKE_ORDERED_MAX_K:
+    if (min(batch_size, n_pending) <= TAKE_ORDERED_MAX_K
+            or n_pending <= TAKE_ORDERED_MERGE_MAX):
         topk = head.orderBy(*keys).limit(batch_size)
         w = Window.orderBy(*keys)  # over ≤ k_eff rows — one tiny task
         return topk.withColumn("pos", F.row_number().over(w).cast("long"))

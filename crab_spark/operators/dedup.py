@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import fan_out
+
 
 def cache_handles(*frames) -> list[DataFrame]:
     """Harvest the caller-unpersist cache handles (``df_ordered_cache``
@@ -132,8 +134,15 @@ def minhash_signatures(
     measured 7× slower end-to-end at sf0.1 (15 s vs 2 s for the same
     2.2M md5 calls). Exploding keeps md5 inside codegen; the groupBy's
     min is map-side combinable, so the shuffle carries one partial
-    signature per (doc × map task), not the shingles."""
-    sh = docs.select(
+    signature per (doc × map task), not the shingles.
+
+    The input is fanned out first (util.fan_out): a single-row-group
+    parquet table plans as ONE scan task, and since the shingle explode
+    + per-shingle md5s fuse into the scan stage, the whole CPU cost ran
+    serially (measured 13.7 s → 2.3 s at sf1.0, local[32]). Partitioning
+    BY id means the groupBy below reuses the exchange; at real scale
+    (many input splits) fan_out is a no-op."""
+    sh = fan_out(docs.select(id_col, text_col), id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
     aggs = [
@@ -199,10 +208,20 @@ def lsh_candidate_pairs(
     dropped = None
     if max_bucket is not None:
         keyed, dropped = cap_buckets(keyed, ["band_idx", "band_key"], max_bucket)
+    # Self-join strategy: force a SHUFFLE join, never broadcast. Left
+    # alone, the planner broadcasts one side — and a BroadcastExchange
+    # subtree is never deduped against the streamed side's Exchange, so
+    # the whole signature pipeline (shingle explode + n_hashes md5-mins,
+    # the dominant cost) ran TWICE per query (plan nodes 1-13 ≡ 14-26 in
+    # plans/r06/q23_lsh_pairs_before.txt). With a shuffled-hash join the
+    # two sides' band-key Exchanges are IDENTICAL subtrees and exchange
+    # reuse computes the signatures once (ReusedExchange in the after
+    # plan). This is also the only shape that exists at corpus scale,
+    # where the banded relation is far past any broadcast threshold.
     a = keyed.alias("a")
     b = keyed.alias("b")
     out = (
-        a.join(b, ["band_idx", "band_key"])
+        a.join(b.hint("shuffle_hash"), ["band_idx", "band_key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
@@ -257,8 +276,10 @@ def ngram_jaccard(
     )
     out.df_ordered_cache = sh
     # the pairs cache rides the wrapper-recognized attr so the registry
-    # lifecycle releases it too (df_pairs_cache was invisible to it)
-    out.df_pipeline_caches = [p]
+    # lifecycle releases it too (df_pairs_cache was invisible to it);
+    # harvest the incoming frame's own handles as well (e.g. the banded
+    # self-join cache lsh_candidate_pairs now attaches)
+    out.df_pipeline_caches = [p] + cache_handles(pairs)
     return out
 
 
@@ -441,7 +462,12 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return docs.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    # fan_out: the per-token md5 vote loop is the whole cost and would
+    # otherwise run inside a single-task scan stage (see
+    # minhash_signatures); no-op when the scan already parallelizes
+    return fan_out(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_neardup_pairs(
@@ -491,7 +517,10 @@ def simhash_neardup_pairs(
         keyed, dropped = cap_buckets(keyed, ["band_idx", "band_key"], max_bucket)
     a, b = keyed.alias("a"), keyed.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    joined = a.join(b, ["band_idx", "band_key"]).filter(
+    # shuffle join (see lsh_candidate_pairs): a broadcast side would
+    # re-run the whole simhash UDF pipeline a second time, and at
+    # corpus scale the banded relation can't broadcast anyway
+    joined = a.join(b.hint("shuffle_hash"), ["band_idx", "band_key"]).filter(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
     if max_hamming is not None:

@@ -394,7 +394,9 @@ def cross_source_neardup(
     # survive the survivors filter/joins)
     from .dedup import cache_handles
 
-    out.df_pipeline_caches = cache_handles(ver)
+    # pairs' own banded-frame cache went into `cross` (attrs don't
+    # survive .select), so harvest it from the pairs object directly
+    out.df_pipeline_caches = cache_handles(ver, pairs)
     return out
 
 

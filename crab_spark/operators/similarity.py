@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -59,6 +61,9 @@ def cosine_topk(
     """Exact brute-force top-k by cosine similarity to a literal query
     vector. Deterministic tiebreak on id."""
     q = _lit_vec(query_vec)
+    # fan_out: the per-row dot product (interpreted HOF) fuses into the
+    # scan stage — spread single-row-group inputs (no-op at real scale)
+    emb = fan_out(emb.select(id_col, vec_col), id_col)
     return (
         emb.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), round_to).alias("score"))
         .orderBy(F.desc("score"), id_col)
@@ -77,6 +82,9 @@ def ivf_assign(
     the max score. Adds a ``bucket`` column — at write time you'd
     partitionBy(bucket) so probes prune at the file level."""
     cents = F.array(*[_lit_vec(c) for c in centroids])
+    # fan_out: C interpreted cosine evaluations per row fuse into the
+    # scan stage — spread single-row-group inputs (no-op at real scale)
+    emb = fan_out(emb, id_col)
     scores = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
     # array_position returns 0 when nothing matched — i.e. every score
     # was NULL (NULL or zero-norm embedding). nullif maps that row to a
@@ -198,7 +206,10 @@ def embedding_neardup_pairs(
         F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     out = (
-        a.join(b, "bucket")
+        # shuffle join (see dedup.lsh_candidate_pairs): a broadcast side
+        # would re-run the whole IVF-assignment pipeline a second time,
+        # and at corpus scale the vector relation can't broadcast anyway
+        a.join(b.hint("shuffle_hash"), "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), round_to))
         .filter(F.col("score") >= threshold)

@@ -16,6 +16,7 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import fan_out
 from .dedup import normalized, word_shingles
 
 # Function-word profiles: the 20 highest-frequency function words per
@@ -71,6 +72,9 @@ def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         bpe = token_count_udf(tokenizer)(F.col(text_col))
     else:
         bpe = F.ceil(F.length(text_col) / F.lit(4)).cast("long")
+    # fan_out: per-row tokenize/count work must not fuse into a
+    # single-task scan (one-row-group inputs); no-op at real scale
+    docs = fan_out(docs.select(id_col, text_col), id_col)
     return docs.select(
         F.col(id_col),
         F.size(t).alias("n_tokens"),
@@ -88,6 +92,9 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("double")
     space = F.length(F.regexp_replace(text, r"[^ ]", "")).cast("double")
     n_words = F.size(tokens(text)).cast("double")
+    # fan_out: five regexp passes per row fuse into the scan stage —
+    # spread single-row-group inputs first (no-op at real scale)
+    docs = fan_out(docs.select(id_col, text_col), id_col)
     return docs.select(
         F.col(id_col),
         n.cast("long").alias("n_chars"),
@@ -259,6 +266,7 @@ def lang_id(
         # scores are NULL for NULL input): mask the model verdict so
         # the StopwordModel equivalence contract holds row-for-row
         notnull = F.col(text_col).isNotNull()
+        docs = fan_out(docs.select(id_col, text_col), id_col)
         return docs.select(
             F.col(id_col), notnull.alias("_nn"),
             predict(F.col(text_col)).alias("_p"),
@@ -274,7 +282,11 @@ def lang_id(
         for lang, ws in LANG_STOPWORDS.items()
     ]
     langs = sorted(LANG_STOPWORDS)
-    scored = docs.select(F.col(id_col), *scores)
+    # fan_out: the per-row distinct-token ∩ profile work fuses into the
+    # scan stage — spread single-row-group inputs (no-op at real scale)
+    scored = fan_out(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col), *scores
+    )
     best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
     pred = F.coalesce(
         *[F.when(F.col(f"_s_{l}") == best, F.lit(l)) for l in langs]
@@ -290,7 +302,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     same shingle machinery as MinHash)."""
     norm = normalized(F.col(text_col))
     sh = word_shingles(norm, k)
-    return docs.select(
+    # fan_out: per-row shingle + md5 HOF work fuses into the scan
+    # stage — spread single-row-group inputs (no-op at real scale)
+    return fan_out(docs.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.md5(norm).alias("content_hash"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("structural_hash"),
@@ -357,9 +371,12 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 def word_freq(docs: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
     """Corpus-wide word frequency (explode → groupBy). The classic
     map-side-combinable aggregation: partial counts per partition,
-    single shuffle on the word."""
+    single shuffle on the word. The input is fanned out first so the
+    tokenize+explode work never fuses into a single-task scan of a
+    one-row-group table (no-op at real scale)."""
     return (
-        docs.select(F.explode(tokens(normalized(F.col(text_col)))).alias("word"))
+        fan_out(docs.select(text_col))
+        .select(F.explode(tokens(normalized(F.col(text_col)))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("n"))

@@ -159,6 +159,52 @@ class TableStore:
             dirs = dirs + [d]
         self._commit(name, dirs)
 
+    _PA_TYPES = {
+        "integer": "int32", "long": "int64", "double": "float64",
+        "float": "float32", "string": "string", "boolean": "bool",
+    }
+
+    def append_rows(self, name: str, rows: list[tuple], schema,
+                    tag: str) -> None:
+        """Driver-side append of a TINY driver-held row set (per-epoch
+        metrics lineage: O(partitions) rows of plain ints). Writes one
+        parquet file with pyarrow and commits the manifest — the
+        Spark-job path (local_df → coalesce(1) → write) costs a full
+        job submission + task round-trip per epoch for rows that are
+        already ON the driver. Same on-disk contract as append():
+        idempotent tagged dir, zstd parquet, manifest commit last.
+        Flat tables only (the caller's bookkeeping tables)."""
+        if self.partition_by(name) is not None:
+            raise ValueError(f"append_rows: table {name!r} is partitioned")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_schema = pa.schema(
+            [
+                (f.name, getattr(pa, self._PA_TYPES[f.dataType.typeName()])())
+                for f in schema.fields
+            ]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=field.type)
+             for c, field in zip(cols, pa_schema)],
+            schema=pa_schema,
+        )
+        dirname = f"snap-{tag}"
+        target = self.root / name / dirname
+        if target.exists():  # crashed previous attempt: replace wholesale
+            shutil.rmtree(target)
+        target.mkdir(parents=True)
+        pq.write_table(table, target / "part-00000.parquet",
+                       compression="zstd")
+        # parquet dir markers Spark writes too, for reader parity
+        (target / "_SUCCESS").touch()
+        dirs = self._read_manifest(name)["dirs"]
+        if dirname not in dirs:
+            dirs = dirs + [dirname]
+        self._commit(name, dirs)
+
     def set_partitioning(self, name: str, col: str) -> None:
         """Declare a table's Hive-style partition column BEFORE the
         first write (Iceberg: PARTITIONED BY in the DDL). Every

@@ -66,6 +66,39 @@ def ordered_index(
     return out
 
 
+def fan_out(df: DataFrame, *by: str) -> DataFrame:
+    """Spread a low-parallelism input over the cluster before CPU-heavy
+    per-row work (shingling, per-token hashing, vector math).
+
+    A small parquet table is often ONE row group, so its scan is one
+    task no matter how many cores exist — and everything fused into the
+    scan stage (explode + md5 per shingle, dot products per row) runs
+    serially while 31 cores idle (measured: q23's shingle+minhash stage
+    13.7 s serial vs 2.3 s fanned out at sf1.0). The optimization
+    guide's cure for input skew is "repartition immediately after the
+    read"; this helper does that ONLY when the input's planned scan
+    parallelism is below the cluster's, so at real scale (thousands of
+    input splits) it is a no-op and adds no exchange.
+
+    ``by`` columns make the added exchange a hash partitioning that a
+    downstream groupBy/window on the same key reuses (one exchange
+    total instead of two). Without ``by`` it is a round-robin spread.
+    The explicit partition count pins the exchange against AQE
+    coalescing (a user-specified repartition is never coalesced).
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # unplannable frames (e.g. streaming): leave as-is
+        return df
+    if cur >= n:
+        return df
+    if by:
+        return df.repartition(n, *[F.col(c) for c in by])
+    return df.repartition(n)
+
+
 def local_df(spark: SparkSession, rows: list[tuple], schema: T.StructType) -> DataFrame:
     """Tiny driver-side DataFrame via the pandas→Arrow path.
 

@@ -267,7 +267,7 @@ def test_filter_fold_never_materializes_keys_on_driver(spark, store, registry):
     DataFrame.toPandas = boom
     try:
         stats = crawl(store, CorpusFetcher(_corpus(spark)), registry,
-                      batch_size=10, use_bloom=True)
+                      batch_size=10, use_bloom=True, bloom_min_frontier=0)
     finally:
         DataFrame.toPandas = orig
     assert stats.epochs > 2 and pending(store).count() == 0

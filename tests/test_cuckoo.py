@@ -109,10 +109,12 @@ def test_crawl_with_cuckoo_filter_equivalent(spark, store):
     registry = load_registry([listing, data])
     fetcher = CorpusFetcher(C.corpus_df(spark, 4))
     seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
-    crawl(store, fetcher, registry, batch_size=10, max_epochs=2, use_bloom="cuckoo")
+    crawl(store, fetcher, registry, batch_size=10, max_epochs=2, use_bloom="cuckoo",
+          bloom_min_frontier=0)
     side = load_sidecar(store.root / "_manifests" / "bloom-frontier.d")
     assert side is not None and isinstance(side[0], CuckooFilter)
-    crawl(store, fetcher, registry, batch_size=10, use_bloom="cuckoo")  # resume
+    crawl(store, fetcher, registry, batch_size=10, use_bloom="cuckoo",
+          bloom_min_frontier=0)  # resume
     on = {r["url"]: r["seq"] for r in store.read("frontier").collect()}
 
     store2 = type(store)(store.root.parent / "wh-nofilter", spark)
@@ -143,7 +145,7 @@ def test_crawl_with_undersized_cuckoo_survives_and_matches(spark, store):
     seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
     with w.catch_warnings(record=True) as caught:
         w.simplefilter("always")
-        crawl(store, fetcher, registry, batch_size=60, use_bloom="cuckoo",
+        crawl(store, fetcher, registry, batch_size=60, use_bloom="cuckoo", bloom_min_frontier=0,
               bloom_capacity=16)
     assert any("over capacity" in str(c.message) for c in caught)
     on = {r["url"]: r["seq"] for r in store.read("frontier").collect()}
@@ -172,7 +174,7 @@ def test_recrawl_with_cuckoo_delete_forgets_urls(spark, store):
     registry = load_registry([listing, data])
     fetcher = CorpusFetcher(C.corpus_df(spark, 4))
     seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
-    crawl(store, fetcher, registry, batch_size=10, use_bloom="cuckoo")
+    crawl(store, fetcher, registry, batch_size=10, use_bloom="cuckoo", bloom_min_frontier=0)
     side = load_sidecar(store.root / "_manifests" / "bloom-frontier.d")
     assert side is not None
     filt, _ = side

@@ -579,14 +579,17 @@ def test_crawl_persists_and_reuses_bloom_sidecar(spark, store):
     registry = load_registry([pl_, pd_])
     fr.seed_frontier(store, spark.createDataFrame([(C.page_url(1), C.PAGE_TYPE)], SEEDS))
     fetcher = CorpusFetcher(C.corpus_df(spark, 4))
-    crawl(store, fetcher, registry, batch_size=10, max_epochs=2)
+    # bloom_min_frontier=0: force the sidecar on below the
+    # scale-adaptive activation threshold (crawler.BLOOM_MIN_FRONTIER)
+    crawl(store, fetcher, registry, batch_size=10, max_epochs=2,
+          bloom_min_frontier=0)
     side = _load(store.root / "_manifests" / "bloom-frontier.d")
     assert side is not None
     bloom, covered = side
     assert covered == set(store.tags("frontier"))
     # resume completes on the sidecar (equivalence: same final state as
     # the bloom-off path)
-    crawl(store, fetcher, registry, batch_size=10)
+    crawl(store, fetcher, registry, batch_size=10, bloom_min_frontier=0)
     on = {r["url"]: r["seq"] for r in store.read("frontier").collect()}
 
     store2 = type(store)(store.root.parent / "wh-nobloom", spark)
