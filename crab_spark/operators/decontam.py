@@ -32,6 +32,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import fan_out
 from .dedup import normalized, word_shingles
 
 
@@ -45,6 +46,8 @@ def repetition_stats(
     sh = word_shingles(normalized(F.col(text_col)), k)
     n = F.size(sh).cast("long")
     d = F.size(F.array_distinct(sh)).cast("long")
+    # fan_out: per-row shingling fuses into the scan (no-op at scale)
+    docs = fan_out(docs.select(id_col, text_col))
     return docs.select(
         F.col(id_col),
         n.alias("n_ngrams"),
@@ -106,7 +109,7 @@ def ngram_contamination(
     bench = F.broadcast(
         benchmark_shingles(benchmark, text_col, k).withColumn("_hit", F.lit(1))
     )
-    doc_sh = docs.select(
+    doc_sh = fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(word_shingles(normalized(F.col(text_col)), k))
@@ -253,7 +256,8 @@ def source_mix_report(
     the per-source group is the unit of interest)."""
     norm = normalized(F.col(text_col))
     return (
-        docs.select(
+        fan_out(docs.select(source_col, lang_col, text_col))
+        .select(
             F.col(source_col).alias("source"),
             F.col(lang_col).alias("lang"),
             F.length(text_col).cast("long").alias("n_chars"),
@@ -358,7 +362,8 @@ def contamination_attribution(
     # corpus explode would run once per consumer. df_ordered_cache is
     # the caller-unpersist handle.
     dsh = (
-        docs.select(
+        fan_out(docs.select(id_col, text_col))
+        .select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(word_shingles(normalized(F.col(text_col)), k))

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..util import fan_out
+
 PR_SCALE = 10**12
 _W_CAP = 9 * 10**5  # keeps (85·SCALE div 100)·w inside int64
 
@@ -57,8 +59,10 @@ def host_edges(
            .cast("int") % n_hosts)
     dst = (F.conv(F.substring(F.md5(F.concat(F.lit("d|"), txt)), 1, 2), 16, 10)
            .cast("int") % n_hosts)
+    # fan_out: two md5s per row fuse into the scan (no-op at scale)
     return (
-        docs.select(src.alias("src"), dst.alias("dst"))
+        fan_out(docs.select(id_col, text_col))
+        .select(src.alias("src"), dst.alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )

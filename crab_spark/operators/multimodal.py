@@ -97,6 +97,12 @@ def media_from_documents(docs: DataFrame, text_col: str = "text",
     # otherwise NULLs the media_id AND the kind route, and a NULL text
     # NULLs the payload — the degenerate-corpus gate caught both
     # engines inventing different groups for those rows
+    from ..util import fan_out
+
+    # fan_out: md5 routing + payload encode per row fuse into the scan
+    # (no-op at real scale); the downstream decode mapInPandas then
+    # also runs at full parallelism instead of one task
+    docs = fan_out(docs.select(id_col, text_col))
     did = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
     txt = F.coalesce(F.col(text_col), F.lit(""))
     kind = F.element_at(

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import fan_out
+
 from .dedup import normalized
 
 # RE2-compatible (and Java-regex-compatible) PII patterns: character
@@ -76,6 +78,8 @@ def pii_scrub(
     text = F.coalesce(F.col(text_col), F.lit(""))
     after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    # fan_out: four regexp passes per row fuse into the scan (no-op at scale)
+    docs = fan_out(docs.select(id_col, text_col))
     return docs.select(
         F.col(id_col),
         F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
@@ -115,7 +119,8 @@ def _first_wins_marked(
     back on the hash (AQE skew-splittable), never a window — see the
     module docstring."""
     segs = (
-        docs.select(
+        fan_out(docs.select(id_col, text_col))
+        .select(
             F.col(id_col),
             F.posexplode(word_windows(F.col(text_col), window_words)).alias(
                 "pos", "seg"
@@ -239,7 +244,8 @@ def cross_source_overlap(
     # bigram_lm lesson) and the corpus segment explode ran once per
     # side; MEMORY_AND_DISK cache = one pass, spill-safe
     sh = (
-        docs.select(
+        fan_out(docs.select(source_col, text_col))
+        .select(
             F.col(source_col).alias("s"),
             F.explode(word_windows(F.col(text_col), window_words)).alias("seg"),
         )
@@ -283,7 +289,7 @@ def chunk_documents(
         (n - F.lit(chunk_words) + F.lit(stride - 1)) / F.lit(stride)
     ).cast("int")
     n_chunks = F.when(n <= chunk_words, F.lit(1)).otherwise(extra + 1)
-    chunked = docs.select(
+    chunked = fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -424,6 +430,8 @@ def dedup_lines(
     with a per-(doc, line) row_number over positions."""
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     kept = F.array_distinct(lines)
+    # fan_out: per-row line splitting/dedup fuses into the scan (no-op at scale)
+    docs = fan_out(docs.select(id_col, text_col))
     return docs.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias(text_col),

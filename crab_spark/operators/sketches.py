@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import fan_out
+
 # 0.7213 / (1 + 1.079/64) evaluated once in IEEE double and pinned as
 # a literal: DuckDB would otherwise evaluate the expression in DECIMAL
 # arithmetic and disagree in the 16th digit.
@@ -77,7 +79,8 @@ def hll_registers(
     commutative, so Spark's partial aggregation IS the sketch union
     and duplicate words cost nothing."""
     words = (
-        docs.select(
+        fan_out(docs.select(group_col, text_col))
+        .select(
             F.col(group_col).alias("grp"),
             F.explode(_norm_words(F.col(text_col))).alias("word"),
         )
@@ -269,7 +272,8 @@ def cms_heavy_hitters(
     caller-unpersist handle.
     """
     words = (
-        docs.select(F.explode(_norm_words(F.col(text_col))).alias("word"))
+        fan_out(docs.select(text_col))
+        .select(F.explode(_norm_words(F.col(text_col))).alias("word"))
         .where(F.col("word") != "")
     )
     exact = (

@@ -174,6 +174,8 @@ def heuristic_quality_gate(
     r_symbol = n_symbols * s.denominator <= s.numerator * n_words
     r_alpha = n_alpha * al.denominator >= al.numerator * n_words
     r_stop = hits >= min_stopword_hits
+    # fan_out: per-row rule evaluation fuses into the scan (no-op at scale)
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col),
         *keep_cols,
@@ -326,7 +328,8 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     per occurrence — the remaining skew is the standard AQE skew-join
     case. The vocabulary total is a 1-row broadcast."""
     toks = (
-        docs.select(
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(
             F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("w")
         )
         .filter(F.col("w") != "")
@@ -402,7 +405,8 @@ def tfidf_topk(
     The tf⋈df join is the same pre-aggregated shape as lm_score (one
     row per (doc, word), AQE skew-safe)."""
     toks = (
-        docs.select(
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(
             F.col(id_col), F.explode(tokens(normalized(F.col(text_col)))).alias("w")
         )
         .filter(F.col("w") != "")
@@ -519,6 +523,8 @@ def source_reputation_gate(
     the two combinable aggs."""
     frac = Fraction(str(max_dup_frac))
     n_words = F.size(tokens(F.col(text_col))).cast("long")
+    # fan_out: per-row tokenize + md5 fuses into the scan (no-op at scale)
+    docs = fan_out(docs.select(id_col, source_col, text_col))
     per_text = (
         docs.select(
             F.col(source_col).alias("source"),
@@ -597,6 +603,8 @@ def linear_quality_score(
     d = len(weights)
     if d == 0:
         raise ValueError("weights must be non-empty")
+    # fan_out: per-token md5 bucketing fuses into the scan (no-op at scale)
+    docs = fan_out(docs, id_col)
     txt = F.coalesce(F.col(text_col), F.lit(""))
     tks = F.filter(tokens(normalized(txt)), lambda w: w != "")
 
@@ -794,6 +802,8 @@ def bm25_topk(
         raise ValueError("query_terms must be non-empty")
     q = sorted({t.lower() for t in query_terms})
     toks = F.filter(tokens(normalized(F.col(text_col))), lambda w: w != "")
+    # fan_out: per-row tokenize+filter fuses into the scan (no-op at scale)
+    docs = fan_out(docs.select(id_col, text_col), id_col)
     base = docs.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("dl"),
@@ -921,7 +931,8 @@ def bigram_lm_score(
     n = F.size(ws)
     pair_len = F.greatest(n - 1, F.lit(0))
     p = (
-        docs.select(
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(
             F.col(id_col),
             F.explode(
                 F.arrays_zip(
@@ -1130,7 +1141,8 @@ def dsir_importance(
     a = float(alpha)
 
     def toks(frame):
-        t = frame.select(
+        # fan_out: per-token md5 bucketing fuses into the scan (no-op at scale)
+        t = fan_out(frame.select(id_col, text_col), id_col).select(
             F.col(id_col),
             F.explode(tokens(normalized(F.coalesce(F.col(text_col), F.lit("")))))
                 .alias("w"),
@@ -1203,7 +1215,8 @@ def pmi_collocations(
     n = F.size(ws)
     pair_len = F.greatest(n - 1, F.lit(0))
     pairs = (
-        docs.select(
+        fan_out(docs.select(text_col))
+        .select(
             F.explode(
                 F.arrays_zip(
                     F.slice(ws, 1, pair_len).alias("w1"),
