@@ -128,6 +128,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host-budget", type=int, default=None,
                    help="priority-frontier mode: cap per-host rows per "
                         "priority level (north_rule host-budget scoring)")
+    p.add_argument("--bloom-min-frontier", type=int, default=None,
+                   help="frontier size below which the bloom/cuckoo "
+                        "seen-set sidecar stays off (exact broadcast "
+                        "check instead); 0 forces the sidecar on "
+                        "(default: crawler.BLOOM_MIN_FRONTIER)")
     p.add_argument("--trap-cap", type=int, default=None,
                    help="self-defending mode: periodically cap URL-template "
                         "shapes holding more registered URLs than this")
@@ -250,12 +255,21 @@ def main(argv: list[str] | None = None) -> int:
                       batch_size=args.batch or c["batch_size"],
                       robots=robots, proxy_pool=pool,
                       host_budget=args.host_budget,
-                      trap_cap=args.trap_cap, trap_check_every=args.trap_every)
+                      trap_cap=args.trap_cap, trap_check_every=args.trap_every,
+                      **({"bloom_min_frontier": args.bloom_min_frontier}
+                         if args.bloom_min_frontier is not None else {}))
+        # robots_denied prints whenever gate material existed: a user
+        # robots cache, a trap-cap sweep, OR persisted trap state from
+        # a prior run (ADVICE r5 — the persisted-only case printed
+        # nothing when the count was 0)
+        persisted_traps = bool(
+            store.read_state("traps", {"hosts": {}})["hosts"]
+        )
         print(f"epochs={stats.epochs} requests={stats.requests} "
               f"successful={stats.successful} new_links={stats.new_links}"
               + (f" robots_denied={stats.robots_denied}"
                  if robots is not None or args.trap_cap is not None
-                 or stats.robots_denied else ""))
+                 or persisted_traps or stats.robots_denied else ""))
         if pool is not None:
             for row in pool.report():
                 print(row)

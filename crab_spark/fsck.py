@@ -238,7 +238,11 @@ def _check_fetched_rows(store: TableStore, horizon: int,
         F.countDistinct("url_hash", "url").alias("n_key"),
         F.sum(F.when(~F.col("reason").isin("fetched", "robots"), 1)
               .otherwise(0)).alias("bad_reason"),
-        F.sum(F.when(F.col("epoch") > horizon + 1, 1)
+        # the fetched append IS the done commit point (crawler.py
+        # commit order), so epoch > horizon is already impossible —
+        # no +1 crash window here, unlike the docs/reg delta checks
+        # (ADVICE r5: the check was under-sensitive by one epoch)
+        F.sum(F.when(F.col("epoch") > horizon, 1)
               .otherwise(0)).alias("bad_epoch"),
     ).collect()[0]
     if row["n_key"] < row["n"]:

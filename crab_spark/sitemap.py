@@ -48,6 +48,10 @@ _URL_BLOCK = r"(?is)<(?:\w+:)?url[\s>].*?</(?:\w+:)?url\s*>"
 _SM_BLOCK = r"(?is)<(?:\w+:)?sitemap[\s>].*?</(?:\w+:)?sitemap\s*>"
 
 
+# sitemaps.org size cap (uncompressed): bodies past this are failed fetches
+_MAX_SITEMAP_BYTES = 50 * 1024 * 1024
+
+
 def _tag_text(block: Column, tag: str) -> Column:
     """Inner text of ``<tag>…</tag>`` within a block ('' if absent),
     trimmed, CDATA honored verbatim, XML named entities unescaped
@@ -64,8 +68,16 @@ def _tag_text(block: Column, tag: str) -> Column:
     plain = F.regexp_extract(
         block, rf"(?is)<{tag}(?:\s[^>]*)?>(.*?)</{tag}\s*>", 1
     )
+    # same prefix required on open AND close (backreference), and the
+    # known extension prefixes (image/video/news) are excluded: in a
+    # fully-prefixed urlset that also carries extension tags, a bare
+    # any-prefix fallback let <image:loc> win over the page's own
+    # <s:loc> (ADVICE r5)
     prefixed = F.regexp_extract(
-        block, rf"(?is)<\w+:{tag}(?:\s[^>]*)?>(.*?)</\w+:{tag}\s*>", 1
+        block,
+        rf"(?is)<((?!image:|video:|news:)\w+):{tag}(?:\s[^>]*)?>"
+        rf"(.*?)</\1:{tag}\s*>",
+        2,
     )
     raw = F.trim(F.when(plain != "", plain).otherwise(prefixed))
     cdata = F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1)
@@ -204,9 +216,16 @@ def fetch_sitemap_bodies(
                     with urllib.request.urlopen(
                         u, timeout=timeout, context=ctx
                     ) as resp:
-                        raw = resp.read()
+                        # protocol cap: 50 MB uncompressed; read one
+                        # byte past it and treat oversize as a failed
+                        # fetch so a hostile/misconfigured URL cannot
+                        # stream an executor OOM (ADVICE r5)
+                        raw = resp.read(_MAX_SITEMAP_BYTES + 1)
                     if raw[:2] == b"\x1f\x8b":
                         raw = gzip.decompress(raw)
+                    if len(raw) > _MAX_SITEMAP_BYTES:
+                        bodies.append(None)
+                        continue
                     bodies.append(raw.decode("utf-8", errors="replace"))
                 except Exception:
                     bodies.append(None)
@@ -246,6 +265,9 @@ def ingest_sitemaps(
     ).cache()
     kids = sitemap_index_entries(first).select(
         F.col("child_url").alias("url")
+    ).join(  # a sitemap both advertised directly and listed in an
+        # index must not be fetched (and parsed) twice (ADVICE r5)
+        first.select("url"), "url", "left_anti"
     )
     second = fetch_sitemap_bodies(kids, timeout=timeout)
     out = sitemap_entries(first.unionByName(second)).cache()

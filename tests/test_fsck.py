@@ -38,7 +38,11 @@ def workspace(spark, tmp_path_factory):
     (ws / "parser_listing.py").write_text(LISTING_PARSER)
     (ws / "parser_data.py").write_text(DATA_PARSER)
     assert main(["--workdir", str(ws), "register", C.page_url(1), "1"]) == 0
-    assert main(["--workdir", str(ws), "run-crawler", "--navigate"]) == 0
+    # --bloom-min-frontier 0: force the seen-set sidecar on (the
+    # scale-adaptive default keeps it off for tiny frontiers) so the
+    # fsck sidecar checks have a sidecar to audit
+    assert main(["--workdir", str(ws), "run-crawler", "--navigate",
+                 "--bloom-min-frontier", "0"]) == 0
     return ws
 
 
@@ -206,6 +210,25 @@ def test_fetched_duplicate_is_error(spark, workspace, tmp_path):
     store = _store(spark, ws)
     store.append("fetched", store.read("fetched").limit(1), tag="fsck-dup2")
     assert "fetched_dup" in _checks(fsck(store), "error")
+
+
+def test_fetched_epoch_past_horizon_is_error(spark, workspace, tmp_path):
+    """The fetched append IS the done commit point, so a fetched row
+    claiming horizon+1 is impossible under the commit order and must
+    flag (ADVICE r5: the check allowed a one-epoch blind spot)."""
+    ws = _copy(workspace, tmp_path)
+    store = _store(spark, ws)
+    horizon = max(
+        int(t.split("-", 1)[1]) for t in store.historic_tags("fetched")
+        if t.startswith("done-")
+    )
+    crafted = store.read("fetched").limit(1).select(
+        "url_hash", "url", "depth", "reason",
+        F.lit(horizon + 1).cast("int").alias("epoch"),
+    )
+    store.append("fetched", crafted, tag="fsck-future")
+    findings = fsck(store)
+    assert "fetched_bad_epoch" in _checks(findings, "error")
 
 
 def test_documents_orphan_is_error(spark, workspace, tmp_path):

@@ -280,6 +280,71 @@ def test_ingest_sitemaps_two_pass_file_urls(spark, tmp_path):
     }
 
 
+def test_prefixed_urlset_with_extension_tags(spark):
+    """ADVICE r6-in: in a FULLY-prefixed urlset that also carries
+    extension tags, the prefixed fallback must not let <image:loc>
+    (appearing first) shadow the page's own <s:loc>; close tag must
+    match the open tag's prefix (backreference)."""
+    body = f"""<s:urlset xmlns:s="{_NS}" xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">
+  <s:url>
+    <image:image><image:loc>http://y.example/img.jpg</image:loc></image:image>
+    <s:loc>http://y.example/page</s:loc>
+  </s:url>
+</s:urlset>"""
+    rows = sitemap_entries(
+        _bodies(spark, [("http://y.example/sm.xml", body)])
+    ).collect()
+    assert [r["loc"] for r in rows] == ["http://y.example/page"]
+
+
+def test_oversized_sitemap_body_is_failed_fetch(spark, tmp_path):
+    """Bodies past the 50 MB protocol cap come back as failed fetches
+    (NULL body), never streamed whole into an executor."""
+    from crab_spark.sitemap import _MAX_SITEMAP_BYTES, fetch_sitemap_bodies
+
+    big = tmp_path / "big.xml"
+    head = f'<urlset xmlns="{_NS}"><url><loc>http://z.example/a</loc></url></urlset>'
+    with open(big, "w") as f:
+        f.write(head)
+        f.write(" " * (_MAX_SITEMAP_BYTES + 1 - len(head)))
+    ok = tmp_path / "ok.xml"
+    ok.write_text(
+        f'<urlset xmlns="{_NS}"><url><loc>http://z.example/b</loc></url></urlset>'
+    )
+    urls = spark.createDataFrame(
+        [(f"file://{big}",), (f"file://{ok}",)], ["sitemap_url"]
+    )
+    got = {r["url"]: r["body"]
+           for r in fetch_sitemap_bodies(urls, url_col="sitemap_url").collect()}
+    assert got[f"file://{big}"] is None
+    assert got[f"file://{ok}"] is not None
+
+
+def test_index_child_also_advertised_fetched_once(spark, tmp_path):
+    """A sitemap both advertised directly AND listed in an index must
+    contribute its entries exactly once (the second pass anti-joins the
+    index children against the first-pass URL set)."""
+    from crab_spark.sitemap import ingest_sitemaps
+
+    us = tmp_path / "us.xml"
+    us.write_text(
+        f'<urlset xmlns="{_NS}"><url><loc>http://d.example/a</loc></url></urlset>'
+    )
+    idx = tmp_path / "idx.xml"
+    idx.write_text(
+        f'<sitemapindex xmlns="{_NS}">'
+        f"<sitemap><loc>file://{us}</loc></sitemap></sitemapindex>"
+    )
+    urls = spark.createDataFrame(
+        [(f"file://{idx}",), (f"file://{us}",)], ["sitemap_url"]
+    )
+    entries = ingest_sitemaps(urls)
+    rows = [r["loc"] for r in entries.collect()]
+    for c in entries.df_pipeline_caches:
+        c.unpersist()
+    assert rows == ["http://d.example/a"]  # exactly once, not twice
+
+
 # ---------------------------------------------------------------------------
 # sitemap-driven recrawl (lastmod snapshot diff)
 # ---------------------------------------------------------------------------
