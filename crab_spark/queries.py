@@ -242,18 +242,21 @@ def q18_tumbling_window(spark, sf):
 
 
 def q19_sessionize(spark, sf):
-    """Session windows via gap detection (30 min) — lag + cumulative sum."""
+    """Session windows via gap detection (30 min). One lag window pass;
+    the session COUNT is sum(new_sess) per user — identical to
+    max(running-sum sess_id) since new_sess ∈ {0,1} and every user's
+    first event starts a session, but it drops the second WindowExec
+    (a full cumulative-sum pass over the event log) from the plan
+    (r6: plans/r06/q19_sessionize_{before,after}.txt)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     secs = F.col("ts").cast("timestamp").cast("long")  # ts is TIMESTAMP_NTZ
     gap = secs - F.lag(secs).over(w)
     ev = (
         t(spark, sf, "events")
         .withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
-        .withColumn("sess_id", F.sum("new_sess").over(
-            w.rowsBetween(W.unboundedPreceding, 0)))
     )
     return ev.groupBy("user_id").agg(
-        F.max("sess_id").alias("n_sessions"), F.count("*").alias("n_events")
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
     )
 
 
