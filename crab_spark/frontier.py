@@ -52,9 +52,16 @@ def seed_frontier(store: TableStore, seeds: DataFrame) -> int:
     main.rs:186-200). seeds: DataFrame[url (canonical), type_id].
 
     The deterministic per-seed index (CLI-call-order stand-in: url
-    ascending) comes from util.ordered_index — seed lists can be
-    domain-list-sized (10^7+), so no global single-task window is ever
-    allowed here; the two-pass range rank stays fully parallel."""
+    ascending) is scale-adaptive, same strategy as register()'s seq
+    assignment: seed lists can be domain-list-sized (10^7+), where the
+    two-pass util.ordered_index range rank stays fully parallel — but
+    the common case is a small list, where a single-task window over
+    ≤ SEQ_WINDOW_MAX narrow rows is milliseconds and skips the
+    two-pass's extra job barriers (r6: the measured warm seed phase was
+    ~3.5 s of the timed crawl leg, mostly per-job overhead). The count
+    that picks the path is reused by register() (n_cands) so seeding
+    costs one fewer job either way. Index values are identical on both
+    paths (row_number over url ascending, start=1)."""
     # URLs are validated+canonicalized on register, like the reference's
     # TryInto<Url> bound (storage.rs:84-97); invalid seeds are dropped.
     seeds = (
@@ -64,12 +71,24 @@ def seed_frontier(store: TableStore, seeds: DataFrame) -> int:
     cands = (
         seeds.withColumn("depth", F.lit(0))
         .withColumn("parent_pos", F.lit(0).cast("long"))
-    )
-    indexed = ordered_index(cands, ["url"], "link_idx", start=1)
-    seed_cache = indexed.df_ordered_cache
-    indexed = indexed.withColumn("link_idx", F.col("link_idx").cast("int"))
-    n = register(store, indexed, epoch=0)
-    seed_cache.unpersist()
+    ).cache()
+    n_seeds = cands.count()  # one job: materializes the canonicalize UDF
+    seed_caches = [cands]
+    if n_seeds <= SEQ_WINDOW_MAX:
+        w_idx = Window.orderBy("url")
+        indexed = cands.withColumn(
+            "link_idx", F.row_number().over(w_idx).cast("int")
+        )
+    else:
+        indexed = ordered_index(cands, ["url"], "link_idx", start=1)
+        seed_caches.append(indexed.df_ordered_cache)
+        indexed = indexed.withColumn("link_idx", F.col("link_idx").cast("int"))
+    # n_cands is the PRE-dedup seed count — a safe upper bound for
+    # register's seq-strategy pick (overcounting can only push it to
+    # the parallel path)
+    n = register(store, indexed, epoch=0, n_cands=n_seeds)
+    for c in seed_caches:
+        c.unpersist()
     return n
 
 
@@ -155,8 +174,15 @@ def register(
     seen_bloom=None,
     max_seq: int | None = None,
     depth_counts_out: dict[int, int] | None = None,
+    n_cands: int | None = None,
 ) -> int:
     """Dedup-insert candidate URLs; returns the number of NEW rows.
+
+    ``n_cands``: caller-known upper bound on the candidate count
+    (e.g. the seed list size) — only consulted on the first-registration
+    path to pick the seq-assignment strategy without a count job; an
+    overcount is safe (it can only push the pick to the parallel
+    two-pass path).
 
     candidates: DataFrame[url (canonical), type_id, depth, parent_pos,
     link_idx]. Registration order (⇒ seq) is (parent_pos, link_idx) —
@@ -209,7 +235,6 @@ def register(
     )
 
     cached_cands = None
-    n_cands = None
     probe = None
     if store.exists("frontier"):
         if seen_bloom is not None:
@@ -269,16 +294,17 @@ def register(
                                seen_rows=max_seq + 1)
     else:
         store.set_partitioning("frontier", "part")
-        new = cands
         if max_seq is None:
             max_seq = -1
-        # first registration (seed lists): count the deduped set so the
-        # seq-assignment strategy pick below sees the real size — a
-        # seed-sized batch then takes the cheap single-task window
+        # first registration (seed lists): the seq-assignment strategy
+        # pick below needs the batch size — use the caller's (free)
+        # upper bound when given, else count the deduped set; either
+        # way a seed-sized batch takes the cheap single-task window
         # instead of the two-pass range index (two extra job barriers)
         cached_cands = cands.cache()
         new = cached_cands
-        n_cands = new.count()
+        if n_cands is None:
+            n_cands = new.count()
 
     # Deterministic seq assignment. Small candidate sets (the common
     # epoch case) take a single-task window — ≤ SEQ_WINDOW_MAX narrow

@@ -357,6 +357,44 @@ def test_ordered_index_matches_global_sort(spark):
     out.df_ordered_cache.unpersist()
 
 
+# -- fan_out (r6 serial-scan spread) ------------------------------------------
+
+def test_fan_out_spreads_narrow_input_and_reuses_exchange(spark):
+    """A below-parallelism input (the single-row-group parquet case) is
+    repartitioned to the cluster's default parallelism, and the
+    by-column form hash-partitions so a downstream groupBy on the same
+    key reuses that one exchange (no second shuffle)."""
+    from crab_spark.plans import formatted_plan
+    from crab_spark.util import fan_out
+
+    n = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).toDF("id").coalesce(1)
+    out = fan_out(narrow, "id")
+    assert out.rdd.getNumPartitions() == n
+    # content unchanged
+    assert out.count() == 1000
+    agg = out.groupBy("id").count()
+    plan = formatted_plan(agg)
+    # exactly ONE shuffle: the fan-out exchange, reused by the groupBy
+    # (count the numbered operator detail headers, e.g. "(3) Exchange")
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+    assert n_exchanges == 1, plan
+
+
+def test_fan_out_noop_on_already_parallel_input(spark):
+    """At or above the cluster's parallelism (the real-scale case:
+    thousands of input splits) fan_out returns the frame UNTOUCHED —
+    no exchange is added."""
+    from crab_spark.util import fan_out
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).toDF("id").repartition(n)
+    assert fan_out(wide, "id") is wide
+    assert fan_out(wide) is wide
+
+
 def test_crawl_on_empty_store_completes(spark, store):
     """No registered pages ⇒ empty first refill ⇒ done (crawler.rs:61-67)."""
     registry = load_registry([parser_listing, parser_data])

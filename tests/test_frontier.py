@@ -283,6 +283,61 @@ def test_register_seen_side_is_pruned_and_streamed(spark, store):
     assert got == {f"http://h/{i}" for i in range(64, 70)}
 
 
+def test_antijoin_seen_broadcast_fast_path(spark, store):
+    """r6: at or below SEEN_BROADCAST_LIMIT seen rows the slice itself
+    is broadcast — ONE BroadcastHashJoin LeftAnti, no two-step semi
+    probe — with results identical to the probe path."""
+    from crab_spark.plans import formatted_plan
+
+    fr.register(
+        store,
+        _cands(spark, [(f"http://h/{i}", 1, 0, 0, i) for i in range(40)]),
+        epoch=1,
+    )
+    cand_keys = (
+        spark.createDataFrame(
+            [(f"http://h/{i}",) for i in range(30, 50)], "url string"
+        )
+        .withColumn("url_hash", F.xxhash64("url"))
+        .select("url_hash", "url")
+    )
+    seen = fr.seen_slice(store, list(range(32)))
+    fast = fr.antijoin_new(cand_keys, seen, seen_rows=40)
+    plan = formatted_plan(fast)
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "LeftSemi" not in plan, plan
+    want = {f"http://h/{i}" for i in range(40, 50)}
+    assert {r["url"] for r in fast.collect()} == want
+    # above the limit: the two-step probe (semi + anti), same rows
+    slow = fr.antijoin_new(cand_keys, seen,
+                           seen_rows=fr.SEEN_BROADCAST_LIMIT + 1)
+    assert "LeftSemi" in formatted_plan(slow)
+    assert {r["url"] for r in slow.collect()} == want
+
+
+def test_seed_index_paths_identical(spark, tmp_path, monkeypatch):
+    """r6: seed_frontier's scale-adaptive link_idx assignment — the
+    small-list single-task window and the large-list two-pass range
+    rank (forced via SEQ_WINDOW_MAX=0, which also forces the parallel
+    seq path) must produce byte-identical frontiers, including under
+    duplicate and invalid seeds."""
+    from crab_spark.store import TableStore
+
+    rows = [("http://h/b", 1), ("http://h/a", 2), ("http://h/c", 1),
+            ("http://h/a", 2), ("not a url", 1)]
+    seeds = spark.createDataFrame(rows, "url string, type_id int")
+    s1 = TableStore(tmp_path / "w1", spark)
+    n1 = fr.seed_frontier(s1, seeds)
+    monkeypatch.setattr(fr, "SEQ_WINDOW_MAX", 0)
+    s2 = TableStore(tmp_path / "w2", spark)
+    n2 = fr.seed_frontier(s2, seeds)
+    assert n1 == n2 == 3  # dup url deduped, invalid dropped
+    cols = s1.read("frontier").columns
+    r1 = sorted(map(tuple, s1.read("frontier").select(cols).collect()))
+    r2 = sorted(map(tuple, s2.read("frontier").select(cols).collect()))
+    assert r1 == r2
+
+
 def test_register_shuffle_fallback_above_broadcast_limit(spark, store, monkeypatch):
     """Candidate batches past BROADCAST_CANDIDATE_LIMIT take the classic
     shuffle anti-join (broadcasting millions of keys would pressure the
